@@ -1,0 +1,203 @@
+"""Pure numpy + stdlib image codecs for the image+caption payload table.
+
+The input table (BASELINE.json ``input_hint``) carries encoded image bytes in
+a ``binary`` column with a ``fmt`` tag. No Pillow / imageio in the sandbox,
+so the codecs are self-contained:
+
+  ``ppm`` — binary PPM (P6), lossless, zero-dependency.
+  ``png`` — real PNG (8-bit RGB, zlib DEFLATE), lossless. Encoder always
+            emits filter 0; decoder handles filter types 0-4.
+  ``qnt`` — 6-bit/channel uniform quantization, lossy. Reconstruction error
+            is bounded (step 4, midpoint reconstruction) so PSNR >= 40 dB,
+            exercising the lossy branch of the per-row invariant
+            (decoded-pixel PSNR>=40dB; see BASELINE.md correctness gate).
+
+All functions take/return ``numpy.uint8`` arrays of shape ``(h, w, 3)``.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------- PPM (P6)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    idx, tokens = 2, []
+    while len(tokens) < 3:
+        while idx < len(data) and data[idx : idx + 1].isspace():
+            idx += 1
+        if data[idx : idx + 1] == b"#":  # comment line
+            idx = data.index(b"\n", idx) + 1
+            continue
+        start = idx
+        while idx < len(data) and not data[idx : idx + 1].isspace():
+            idx += 1
+        tokens.append(int(data[start:idx]))
+    idx += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only maxval=255 supported")
+    return np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=idx).reshape(
+        h, w, 3
+    )
+
+
+# ---------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    crc = zlib.crc32(tag + payload) & 0xFFFFFFFF
+    return struct.pack(">I", len(payload)) + tag + payload + struct.pack(">I", crc)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, color type 2 (RGB)
+    # filter byte 0 prepended to every scanline
+    raw = np.empty((h, w * 3 + 1), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = img.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if not data.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    idx = len(_PNG_SIG)
+    w = h = None
+    idat = b""
+    while idx < len(data):
+        (length,) = struct.unpack_from(">I", data, idx)
+        tag = data[idx + 4 : idx + 8]
+        payload = data[idx + 8 : idx + 8 + length]
+        idx += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or ctype != 2 or interlace != 0:
+                raise ValueError("only 8-bit RGB non-interlaced supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w * 3 + 1)
+    filters = raw[:, 0]
+    lines = raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, w * 3), dtype=np.int32)
+    bpp = 3
+    for y in range(h):
+        f = filters[y]
+        cur = lines[y]
+        prev = out[y - 1] if y > 0 else np.zeros(w * 3, dtype=np.int32)
+        if f == 0:
+            out[y] = cur
+        elif f == 2:  # Up
+            out[y] = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need a left-to-right scan
+            row = out[y]
+            for x in range(w * 3):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 1:
+                    row[x] = (cur[x] + a) & 0xFF
+                elif f == 3:
+                    row[x] = (cur[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    cc = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - cc
+                    pa, pb, pcv = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa <= pb and pa <= pcv) else (b if pb <= pcv else cc)
+                    row[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------- QNT (lossy)
+
+_QNT_MAGIC = b"QNT1"
+_QNT_SHIFT = 2  # 6 bits/channel -> max abs error 2 -> PSNR ~ 46 dB
+
+
+def encode_qnt(img: np.ndarray) -> bytes:
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    q = (img >> _QNT_SHIFT).astype(np.uint8)
+    return _QNT_MAGIC + struct.pack(">II", w, h) + zlib.compress(q.tobytes(), 6)
+
+
+def decode_qnt(data: bytes) -> np.ndarray:
+    if not data.startswith(_QNT_MAGIC):
+        raise ValueError("not QNT")
+    w, h = struct.unpack_from(">II", data, 4)
+    q = np.frombuffer(zlib.decompress(data[12:]), dtype=np.uint8)
+    img = (q.astype(np.uint16) << _QNT_SHIFT) + (1 << (_QNT_SHIFT - 1))
+    return np.minimum(img, 255).astype(np.uint8).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------- dispatch
+
+_ENCODERS = {"ppm": encode_ppm, "png": encode_png, "qnt": encode_qnt}
+_DECODERS = {"ppm": decode_ppm, "png": decode_png, "qnt": decode_qnt}
+LOSSLESS_FMTS = frozenset({"ppm", "png"})
+
+
+def encode(img: np.ndarray, fmt: str) -> bytes:
+    return _ENCODERS[fmt](img)
+
+
+def decode(data: bytes, fmt: str) -> np.ndarray:
+    return _DECODERS[fmt](data)
+
+
+# ---------------------------------------------------------------- metrics
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    diff = a.astype(np.float64) - b.astype(np.float64)
+    mse = float(np.mean(diff * diff))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def phash64(img: np.ndarray) -> int:
+    """Average-hash over an 8x8 block-mean downsample -> signed int64.
+
+    Analog of the reference's exact-URL dedup key, lifted to image payloads
+    (SURVEY.md D5): identical/near-identical pixels map to the same hash, so
+    near-dup grouping is ``groupby('phash')``.
+    """
+    gray = img.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    # block-mean resize to 8x8 using index binning (works for any h, w >= 8)
+    ys = (np.arange(h) * 8) // h
+    xs = (np.arange(w) * 8) // w
+    small = np.zeros((8, 8), dtype=np.float64)
+    counts = np.zeros((8, 8), dtype=np.int64)
+    np.add.at(small, (ys[:, None], xs[None, :]), gray)
+    np.add.at(counts, (ys[:, None], xs[None, :]), 1)
+    small /= np.maximum(counts, 1)
+    bits = (small > small.mean()).flatten()
+    val = np.uint64(0)
+    for i, b in enumerate(bits):
+        if b:
+            val |= np.uint64(1) << np.uint64(i)
+    return int(val.astype(np.int64))
