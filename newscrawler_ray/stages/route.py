@@ -1,0 +1,166 @@
+"""Link routing stage: canonicalize -> filter -> seen check -> frontier push.
+
+The discovery half of the crawl loop (SURVEY.md J4 Full-Coverage expansion
+``google_news_crawler.py:274-326`` + D2/D3 dedup + J2 excluded-domain
+anti-join ``utils/url_utils.py:18-34``), distributed:
+
+  1. explode each fetched row's out-links, canonicalize (M8 analog)
+  2. blocklist + robots disallow-prefix anti-filter (blocked URLs never
+     reach the seen-set — identical rule in the oracle)
+  3. batch-group by ``shard_of_hash`` and check-and-add on the owning
+     SeenShard (atomic per shard -> no double-enqueue)
+  4. group novel URLs by ``shard_of_host`` and push to FrontierShards
+     with their priority (in the simulation, priority comes from the
+     broadcast per-URL metadata map — the analog of the listing page's
+     ``<time datetime>`` the reference parses per article, SURVEY M7)
+
+Pushes and metric increments are ``ray.get``-ed before the batch returns,
+so by the time a wave's sink finishes, every discovered URL is visible to
+the next ``pop_wave`` — no lost frontier rows from in-flight messages.
+
+The batch itself passes through unchanged minus the ``outlinks`` column
+(payload bytes are untouched — routing ships only URL strings).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from ..functions.urls import canonicalize_batch, is_blocked
+from ..state.frontier import shard_of_host
+from ..state.seen import shard_of_hash
+
+
+def route_candidates(
+    raw_urls: list[str],
+    depths: list[int],
+    seen_actors: list,
+    frontier_actors: list,
+    blocklist: frozenset,
+    robots: dict[str, list[str]],
+    priority_of: dict[str, int],
+    metrics_actor=None,
+    default_priority: int = 0,
+) -> dict[str, int]:
+    """Shared by the LinkRouter stage and the driver's seed push."""
+    if not raw_urls:
+        return {"candidates": 0, "blocked": 0, "novel": 0}
+    canon, hosts, hashes = canonicalize_batch(raw_urls)
+
+    keep = np.ones(len(canon), dtype=bool)
+    blocked = 0
+    for i, (c, h) in enumerate(zip(canon, hosts)):
+        dis = robots.get(h)
+        if is_blocked(h, blocklist) or (
+            dis and any(c[7 + len(h) :].startswith(p) for p in dis)
+        ):
+            keep[i] = False
+            blocked += 1
+    idx = np.nonzero(keep)[0]
+
+    n_seen = len(seen_actors)
+    shard = shard_of_hash(hashes, n_seen)
+    futures, groups = [], []
+    for s in range(n_seen):
+        gi = idx[shard[idx] == s]
+        if len(gi) == 0:
+            continue
+        futures.append(
+            seen_actors[s].add_filter.remote([canon[i] for i in gi], hashes[gi])
+        )
+        groups.append(gi)
+    novel_idx: list[int] = []
+    for gi, mask in zip(groups, ray.get(futures)):
+        novel_idx.extend(int(i) for i in gi[np.asarray(mask)])
+
+    n_frontier = len(frontier_actors)
+    pushes = []
+    by_shard: dict[int, list[int]] = {}
+    for i in novel_idx:
+        by_shard.setdefault(shard_of_host(hosts[i], n_frontier), []).append(i)
+    for s, gi in by_shard.items():
+        pushes.append(
+            frontier_actors[s].push.remote(
+                [canon[i] for i in gi],
+                [hosts[i] for i in gi],
+                [priority_of.get(canon[i], default_priority) for i in gi],
+                [int(depths[i]) for i in gi],
+            )
+        )
+    counts = {"candidates": len(raw_urls), "blocked": blocked, "novel": len(novel_idx)}
+    if metrics_actor is not None:
+        pushes.append(metrics_actor.add.remote(counts))
+    if pushes:
+        ray.get(pushes)
+    return counts
+
+
+def _route_batch(batch: pa.Table, seen, frontier, blocklist, robots, priority_of, metrics) -> pa.Table:
+    links_col = batch.column("outlinks")
+    depths = batch.column("depth").to_pylist()
+    raw, link_depths = [], []
+    for row_links, d in zip(links_col.to_pylist(), depths):
+        if row_links:
+            raw.extend(row_links)
+            link_depths.extend([d + 1] * len(row_links))
+    route_candidates(
+        raw, link_depths, seen, frontier, blocklist, robots, priority_of, metrics
+    )
+    return batch.drop_columns(["outlinks"])
+
+
+_PRIORITY_CACHE: dict = {}
+
+
+def make_route_fn(
+    seen_actors,
+    frontier_actors,
+    blocklist: frozenset,
+    robots: dict[str, list[str]],
+    priority_ref,
+    metrics_actor=None,
+):
+    """Task-form router: the broadcast priority map is resolved once per
+    worker process (module-global cache), so per-wave setup is zero."""
+
+    def route(batch: pa.Table) -> pa.Table:
+        priority_of = _PRIORITY_CACHE.get(priority_ref)
+        if priority_of is None:
+            priority_of = ray.get(priority_ref)
+            _PRIORITY_CACHE.clear()
+            _PRIORITY_CACHE[priority_ref] = priority_of
+        return _route_batch(
+            batch, seen_actors, frontier_actors, blocklist, robots, priority_of,
+            metrics_actor,
+        )
+
+    return route
+
+
+class LinkRouter:
+    """Actor-pool form of the routing stage (kept for the live-web shape;
+    the wave loop uses the fused task form above)."""
+
+    def __init__(
+        self,
+        seen_actors,
+        frontier_actors,
+        blocklist: frozenset,
+        robots: dict[str, list[str]],
+        priority_ref,
+        metrics_actor=None,
+    ):
+        self.seen = seen_actors
+        self.frontier = frontier_actors
+        self.blocklist = blocklist
+        self.robots = robots
+        self.priority_of: dict[str, int] = ray.get(priority_ref)
+        self.metrics = metrics_actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return _route_batch(
+            batch, self.seen, self.frontier, self.blocklist, self.robots,
+            self.priority_of, self.metrics,
+        )

@@ -1,0 +1,95 @@
+"""End-to-end: Ray crawl pipeline vs single-threaded oracle (goldens).
+
+Correctness gate from BASELINE.md: crawl ordering + final URL-seen set
+under the same seed list + politeness budget; per-row decoded-pixel
+allclose (PSNR>=40dB for lossy) + caption equality; resume == uninterrupted.
+"""
+
+import numpy as np
+import pytest
+
+from newscrawler_ray import codecs
+from newscrawler_ray.oracle import run_oracle
+from newscrawler_ray.pipelines.crawl import (
+    crawl_order,
+    crawl_output_dataset,
+    run_crawl,
+)
+from newscrawler_ray.synth import SynthWorld
+
+
+@pytest.fixture(scope="module")
+def crawl_run(ray_session, fixture_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("crawl") / "out"
+    res = run_crawl(fixture_dir, out, n_seen_shards=3, n_frontier_shards=3)
+    return res, out, run_oracle(fixture_dir)
+
+
+def test_seen_set_matches_oracle(crawl_run):
+    res, _, oracle = crawl_run
+    assert res["seen"] == oracle.seen
+
+
+def test_crawl_order_matches_oracle(crawl_run):
+    _, out, oracle = crawl_run
+    assert crawl_order(out) == oracle.order
+
+
+def test_metrics_match_oracle(crawl_run):
+    res, _, oracle = crawl_run
+    assert res["enqueued"] == oracle.metrics["enqueued"]
+    assert res["dedup_hits"] == oracle.metrics["dedup_hits"]
+    assert res["blocked"] == oracle.metrics["blocked"]
+    assert res["fetched"] == oracle.metrics["fetched"]
+    assert res["makespan_ms"] == oracle.makespan_ms
+
+
+def test_payload_invariants(crawl_run, fixture_dir):
+    """Per-row: decoded pixels match the world's (exact for lossless,
+    PSNR>=40dB for qnt), captions equal, phash recomputed == stored."""
+    _, out, oracle = crawl_run
+    world = SynthWorld(2000, 42)
+    ds = crawl_output_dataset(out)
+    rows = ds.filter(lambda r: r["stored"]).take(80)
+    assert len(rows) == 80
+    for r in rows:
+        i = int(r["image_id"].split("-")[1])
+        expected = world.pixels(i)
+        decoded = codecs.decode(r["bytes"], r["fmt"])
+        if r["fmt"] in codecs.LOSSLESS_FMTS:
+            np.testing.assert_array_equal(decoded, expected)
+        else:
+            assert codecs.psnr(expected, decoded) >= 40.0
+        assert r["caption"] == world.caption(i)
+        assert r["phash_decoded"] == r["phash"] or r["fmt"] == "qnt"
+        assert r["decode_error"] is None
+        assert r["summary"] == r["caption"][:200] + "..."
+
+
+def test_error_rows_present(crawl_run):
+    _, out, oracle = crawl_run
+    ds = crawl_output_dataset(out)
+    errs = ds.filter(lambda r: r["extraction_error"] is not None)
+    err_map = {r["url"]: r["extraction_error"] for r in errs.take_all()}
+    oracle_errs = {
+        u: rec["extraction_error"]
+        for u, rec in oracle.records.items()
+        if rec["extraction_error"]
+    }
+    assert err_map == oracle_errs
+
+
+def test_resume_equals_uninterrupted(ray_session, fixture_dir, tmp_path_factory, crawl_run):
+    _, full_out, oracle = crawl_run
+    out = tmp_path_factory.mktemp("crawl_resume") / "out"
+    partial = run_crawl(
+        fixture_dir, out, n_seen_shards=3, n_frontier_shards=3, stop_after_wave=2
+    )
+    assert partial["partial"]
+    res = run_crawl(
+        fixture_dir, out, n_seen_shards=3, n_frontier_shards=3, resume=True
+    )
+    assert not res["partial"]
+    assert res["seen"] == oracle.seen
+    assert crawl_order(out) == oracle.order
+    assert res["makespan_ms"] == oracle.makespan_ms
