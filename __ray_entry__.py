@@ -1,44 +1,156 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl pipeline (BASELINE.json north_rule) on
+a small deterministic synthetic world; ``queries()`` exposes every
+implemented operator/pipeline from SURVEY.md §2 over the driver parquet
+tables; ``oracle_sql()`` gives the DuckDB-equivalent SQL for each
+SQL-expressible query (same column names, same rounding).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in newscrawler_ray) calls ``ray.init`` / ``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from newscrawler_ray.pipelines import queries as Q  # noqa: E402
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: the wave-based crawl over the synthetic image+caption web
+    (fixtures cached under /tmp); returns the stored output rows."""
+    from newscrawler_ray.pipelines.crawl import crawl_output_dataset, run_crawl
+    from newscrawler_ray.synth import default_fixture_dir, gen_fixtures
+
+    fx = gen_fixtures(default_fixture_dir(600), n_urls=600, seed=42)
+    out = Path("/tmp/newscrawler_ray_entry_out")
+    run_crawl(fx, out, n_seen_shards=2, n_frontier_shards=2, checkpoint=False)
+    ds = crawl_output_dataset(out)
+    return ds.drop_columns(["bytes"])  # stable, driver-friendly schema
+
+
+def _crawl_e2e(sf_dir: str) -> Any:
+    """Rows-only check: full crawl on the deterministic synthetic web
+    (sf_dir-independent input by design — the crawl's input table is the
+    image+caption world from BASELINE.json input_hint, not the TPC-H set).
+    Equality vs the single-threaded oracle is enforced in tests/."""
+    import pyarrow as pa
+
+    from newscrawler_ray.pipelines.crawl import crawl_order, run_crawl
+    from newscrawler_ray.synth import default_fixture_dir, gen_fixtures
+
+    fx = gen_fixtures(default_fixture_dir(1200), n_urls=1200, seed=42)
+    out = Path("/tmp/newscrawler_ray_q_crawl")
+    res = run_crawl(fx, out, checkpoint=False)
+    order = crawl_order(out)
+    return pa.table(
+        {"rank": pa.array(range(len(order)), pa.int64()), "url": pa.array(order)}
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # aggregations (SURVEY A1-A6)
+        "q1_lineitem_agg": Q.q1_lineitem_agg,
+        "count_by_source": Q.count_by_source,
+        "count_by_lang": Q.count_by_lang,
+        "global_counts": Q.global_counts,
+        "avg_value_by_type": Q.avg_value_by_type,
+        "part_brand_stats": Q.part_brand_stats,
+        "orders_by_status": Q.orders_by_status,
+        "shipped_before_agg": Q.shipped_before_agg,
+        # search / filters (SURVEY §3.3, M1, M3)
+        "search_keywords": Q.search_keywords,
+        "search_substring": Q.search_substring,
+        "excluded_filter": Q.excluded_filter,
+        # sort / top-k / pagination (SURVEY O1/O2)
+        "recent_topk": Q.recent_topk,
+        "page_offset": Q.page_offset,
+        # dedup (SURVEY D2/D3)
+        "dedup_first_wins": Q.dedup_first_wins,
+        # joins (SURVEY J1-J3)
+        "seg_revenue": Q.seg_revenue,
+        "nation_orders": Q.nation_orders,
+        # windows (SURVEY §2.9)
+        "events_daily_window": Q.events_daily_window,
+        # text stats
+        "token_stats": Q.token_stats,
+        # flagship crawl (north_rule; rows-only — oracle equality in tests/)
+        "crawl_e2e": _crawl_e2e,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "count_by_source": "SELECT source, count(*) AS n FROM documents GROUP BY source",
+        "count_by_lang": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
+        "global_counts": """
+            SELECT count(*) AS n_total,
+                   count(*) FILTER (WHERE n_chars >= 200) AS n_long,
+                   count(*) FILTER (WHERE lang = 'en') AS n_en
+            FROM documents""",
+        "avg_value_by_type": """
+            SELECT event_type, round(avg(value), 4) AS avg_value,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value, count(*) AS n
+            FROM events GROUP BY event_type""",
+        "part_brand_stats": """
+            SELECT p_brand, count(*) AS n,
+                   round(sum(p_retailprice), 2) AS total_price
+            FROM part GROUP BY p_brand""",
+        "orders_by_status": """
+            SELECT o_orderstatus, count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY o_orderstatus""",
+        "shipped_before_agg": """
+            SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+            GROUP BY l_returnflag""",
+        "search_keywords": r"""
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE regexp_matches(text, '(?i)\bspark\b')
+              AND regexp_matches(text, '(?i)\bmerge\b')
+              AND n_chars >= 100""",
+        "search_substring": "SELECT doc_id, lang FROM documents WHERE text ILIKE '%window%'",
+        "excluded_filter": """
+            SELECT doc_id, source, lang FROM documents
+            WHERE source NOT IN ('src0', 'src13', 'src7') AND lang <> 'zh'""",
+        "recent_topk": """
+            SELECT event_id, ts, event_type, round(value, 4) AS value
+            FROM events ORDER BY ts DESC, event_id LIMIT 100""",
+        "page_offset": """
+            SELECT event_id, ts, event_type
+            FROM events ORDER BY ts DESC, event_id LIMIT 50 OFFSET 100""",
+        "dedup_first_wins": """
+            SELECT user_id, event_type, min(event_id) AS first_event_id
+            FROM events GROUP BY user_id, event_type""",
+        "seg_revenue": """
+            SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment""",
+        "nation_orders": """
+            SELECT n_name, count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        "events_daily_window": """
+            SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
+                   round(sum(value), 4) AS total
+            FROM events GROUP BY event_type, date_trunc('day', ts)""",
+        "token_stats": r"""
+            SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+            FROM documents""",
+    }

@@ -1,0 +1,316 @@
+"""Query layer: Ray Data pipelines over the corpus tables, DuckDB-parity.
+
+Each function is the Ray-Data-native analog of a reference query shape
+(SURVEY.md §2 / §3.2-3.3), runs over the driver-provided parquet tables in
+``sf_dir`` and has a matching ANSI-SQL oracle in ``__ray_entry__.oracle_sql``.
+Column names match the SQL exactly (the driver hashes values under sorted
+column names).
+
+Scale/shape notes honored throughout:
+  * reads prune columns (``read_parquet(columns=[...])``)
+  * per-batch kernels are pyarrow.compute / numpy — no Python row loops
+  * ``groupby().aggregate()`` in Ray Data already computes per-block
+    partial aggregates before the shuffle (combiner-style), so grouped
+    sums/counts ship one partial row per key per block, not raw rows
+  * small-side joins are broadcast (functions/joins.py), never shuffled
+  * float aggregates are rounded identically on both sides to make the
+    value-hash comparison float-order-insensitive
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.joins import (
+    broadcast_table,
+    make_broadcast_map_fn,
+    make_broadcast_semijoin_fn,
+    table_to_mapping,
+)
+from ..functions.text import keyword_search_mask
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return str(Path(sf_dir) / f"{table}.parquet")
+
+
+def _round_col(ds: rd.Dataset, cols: dict[str, int]) -> rd.Dataset:
+    def rnd(batch: pa.Table) -> pa.Table:
+        for c, nd in cols.items():
+            batch = batch.set_column(
+                batch.schema.get_field_index(c), c, pc.round(batch.column(c), nd)
+            )
+        return batch
+
+    return ds.map_batches(rnd, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ aggregations
+
+
+def q1_lineitem_agg(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1 shape: grouped sums over lineitem (SURVEY A1/A2 analog).
+
+    Ray Data's hash aggregate pre-combines per block, so the shuffle ships
+    one partial row per (returnflag, linestatus) per block.
+    """
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def add_disc(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            batch.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), batch.column("l_discount"))
+        )
+        return batch.append_column("disc_price", disc)
+
+    ds = ds.map_batches(add_disc, batch_format="pyarrow")
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Count(alias_name="n_rows"),
+    )
+    return _round_col(out, {"sum_qty": 2, "sum_disc_price": 2})
+
+
+def count_by_source(sf_dir: str) -> rd.Dataset:
+    """Grouped count(*) by source (reference A1, ``db_manage.py:32-36``)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["source"])
+    return ds.groupby("source").aggregate(Count(alias_name="n"))
+
+
+def count_by_lang(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang"])
+    return ds.groupby("lang").aggregate(Count(alias_name="n"))
+
+
+def global_counts(sf_dir: str) -> pa.Table:
+    """Conditional global counts (reference A2, ``db_manage.py:27-51``).
+
+    One streaming pass: per-batch partial counts, summed — no groupby
+    shuffle at all for a global aggregate.
+    """
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["n_chars", "lang"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_total": pa.array([batch.num_rows], pa.int64()),
+                "n_long": pa.array(
+                    [pc.sum(pc.greater_equal(batch.column("n_chars"), 200)).as_py() or 0],
+                    pa.int64(),
+                ),
+                "n_en": pa.array(
+                    [pc.sum(pc.equal(batch.column("lang"), "en")).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    out = parts.aggregate(Sum("n_total", alias_name="n_total"),
+                          Sum("n_long", alias_name="n_long"),
+                          Sum("n_en", alias_name="n_en"))
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in out.items()})
+
+
+def avg_value_by_type(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Mean("value", alias_name="avg_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+        Count(alias_name="n"),
+    )
+    return _round_col(out, {"avg_value": 4, "min_value": 4, "max_value": 4})
+
+
+def part_brand_stats(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(_p(sf_dir, "part"), columns=["p_brand", "p_retailprice"])
+    out = ds.groupby("p_brand").aggregate(
+        Count(alias_name="n"), Sum("p_retailprice", alias_name="total_price")
+    )
+    return _round_col(out, {"total_price": 2})
+
+
+def orders_by_status(sf_dir: str) -> rd.Dataset:
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderstatus", "o_totalprice"])
+    out = ds.groupby("o_orderstatus").aggregate(
+        Count(alias_name="n"), Sum("o_totalprice", alias_name="total")
+    )
+    return _round_col(out, {"total": 2})
+
+
+def shipped_before_agg(sf_dir: str) -> rd.Dataset:
+    """Filter pushdown at the read + grouped agg (pruned columns only)."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"),
+        columns=["l_returnflag", "l_quantity", "l_shipdate"],
+        filter=pads.field("l_shipdate") < pa.scalar(pa.compute.strptime("1996-01-01", "%Y-%m-%d", "us").as_py()),
+    )
+    out = ds.groupby("l_returnflag").aggregate(
+        Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty")
+    )
+    return _round_col(out, {"sum_qty": 2})
+
+
+# ------------------------------------------------------------ search / filter
+
+
+def search_keywords(sf_dir: str) -> rd.Dataset:
+    """Whole-word, case-insensitive, multi-keyword AND search (reference
+    ``/search``, ``main.py:271-294``) + min-length gate, vectorized RE2."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source", "n_chars", "text"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        mask = keyword_search_mask(batch, ["spark", "merge"], ["text"])
+        mask = pc.and_(mask, pc.greater_equal(batch.column("n_chars"), 100))
+        return batch.filter(mask).select(["doc_id", "source", "n_chars"])
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def search_substring(sf_dir: str) -> rd.Dataset:
+    """Substring ILIKE search (reference ``db_manage.py:149-154``)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang", "text"])
+
+    def filt(batch: pa.Table) -> pa.Table:
+        mask = pc.match_substring(batch.column("text"), "window", ignore_case=True)
+        return batch.filter(pc.fill_null(mask, False)).select(["doc_id", "lang"])
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def excluded_filter(sf_dir: str) -> rd.Dataset:
+    """Broadcast anti-semi-join vs a small blocklist (reference M1/J2,
+    ``utils/url_utils.py:18-34``): blocklist in every worker, no shuffle."""
+    import ray
+
+    blockset = {"src0", "src13", "src7"}
+    ref = ray.put(blockset)
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source", "lang"])
+    ds = ds.map_batches(
+        make_broadcast_semijoin_fn("source", ref, anti=True), batch_format="pyarrow"
+    )
+
+    def filt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch.column("lang"), "zh"))
+
+    return ds.map_batches(filt, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------ sort / top-k
+
+
+def recent_topk(sf_dir: str) -> rd.Dataset:
+    """Global top-k by recency with deterministic tiebreak (reference O1,
+    ``google_news_crawler.py:518-519`` — the crawl-ordering sort)."""
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "ts", "event_type", "value"]
+    )
+    out = ds.sort(["ts", "event_id"], descending=[True, False]).limit(100)
+    return _round_col(out, {"value": 4})
+
+
+def page_offset(sf_dir: str) -> pa.Table:
+    """ORDER BY ts DESC OFFSET 100 LIMIT 50 (reference O2, ``main.py:296``)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "event_type"])
+    rows = ds.sort(["ts", "event_id"], descending=[True, False]).limit(150).take_all()
+    return pa.Table.from_pylist(rows[100:150])
+
+
+# ------------------------------------------------------------ dedup
+
+
+def dedup_first_wins(sf_dir: str) -> rd.Dataset:
+    """Exact first-wins dedup by key (reference D2/D3 URL dedup semantics):
+    hash-partition by key, keep min sequence id per group."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type", "event_id"])
+    return ds.groupby(["user_id", "event_type"]).aggregate(
+        Min("event_id", alias_name="first_event_id")
+    )
+
+
+# ------------------------------------------------------------ joins
+
+
+def seg_revenue(sf_dir: str) -> rd.Dataset:
+    """orders ⋈ customer (broadcast small side) → revenue by segment
+    (reference J1 lifted to an analytical join; no shuffle join)."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    ref = broadcast_table(table_to_mapping(cust, "c_custkey", "c_mktsegment"))
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    ds = ds.map_batches(
+        make_broadcast_map_fn("o_custkey", "c_mktsegment", ref, pa.string()),
+        batch_format="pyarrow",
+    )
+    out = ds.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
+    )
+    return _round_col(out, {"revenue": 2})
+
+
+def nation_orders(sf_dir: str) -> rd.Dataset:
+    """orders ⋈ customer ⋈ nation via two chained broadcast lookups."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    cust_ref = broadcast_table(table_to_mapping(cust, "c_custkey", "c_nationkey"))
+    nat_ref = broadcast_table(table_to_mapping(nat, "n_nationkey", "n_name"))
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"])
+    ds = ds.map_batches(
+        make_broadcast_map_fn("o_custkey", "nationkey", cust_ref, pa.int32()),
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(
+        make_broadcast_map_fn("nationkey", "n_name", nat_ref, pa.string()),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("n_name").aggregate(Count(alias_name="n_orders"))
+
+
+# ------------------------------------------------------------ windows
+
+
+def events_daily_window(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1-day window per event_type (SURVEY §2.9: the rebuild's
+    window analog — event-time bucket computed vectorized, then grouped)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        return batch.append_column("day", day).drop_columns(["ts"])
+
+    ds = ds.map_batches(add_day, batch_format="pyarrow")
+    out = ds.groupby(["event_type", "day"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="total")
+    )
+    return _round_col(out, {"total": 4})
+
+
+# ------------------------------------------------------------ text stats
+
+
+def token_stats(sf_dir: str) -> rd.Dataset:
+    """Whitespace token count per doc, vectorized (split + list_value_length)."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def toks(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        counts = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "n_tokens": pc.cast(counts, pa.int64())}
+        )
+
+    return ds.map_batches(toks, batch_format="pyarrow")

@@ -1,0 +1,71 @@
+"""DuckDB-oracle parity for every SQL-paired query (mimics the driver:
+row count + sorted-column, order-insensitive value comparison at sf0.01).
+"""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def _to_pandas(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result.to_pandas()  # ray Dataset
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    # canonical row order for comparison only
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df
+
+
+SQL_PAIRED = sorted(set(entrymod.queries()) & set(entrymod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", SQL_PAIRED)
+def test_query_matches_oracle(ray_session, con, name):
+    ray_df = _normalize(_to_pandas(entrymod.queries()[name](SF_DIR)))
+    sql_df = _normalize(con.execute(entrymod.oracle_sql()[name]).fetchdf())
+    assert list(ray_df.columns) == list(sql_df.columns), (
+        f"{name}: columns {list(ray_df.columns)} vs {list(sql_df.columns)}"
+    )
+    assert len(ray_df) == len(sql_df), f"{name}: {len(ray_df)} vs {len(sql_df)} rows"
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False, atol=1e-9)
+
+
+def test_every_query_has_oracle_or_is_marked():
+    qs = set(entrymod.queries())
+    missing = qs - set(entrymod.oracle_sql())
+    # non-SQL-expressible ops only (driver records rows-only checks)
+    assert missing <= {"crawl_e2e"} | {
+        n for n in qs if n.startswith(("minhash", "simhash", "ngram", "knn",
+                                       "embedding", "lang_id", "quality",
+                                       "fingerprint", "phash", "image", "crawl"))
+    }
