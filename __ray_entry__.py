@@ -19,7 +19,10 @@ from typing import Any
 
 sys.path.insert(0, str(Path(__file__).parent))
 
+from newscrawler_ray.pipelines import dedup as D  # noqa: E402
 from newscrawler_ray.pipelines import queries as Q  # noqa: E402
+from newscrawler_ray.pipelines import simsearch as S  # noqa: E402
+from newscrawler_ray.pipelines import textstats as T  # noqa: E402
 
 
 def entry() -> Any:
@@ -81,9 +84,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_window": Q.events_daily_window,
         # text stats
         "token_stats": Q.token_stats,
+        "bpe_token_stats": T.bpe_token_stats,
+        # training-data ops: dedup family (SURVEY D2-D5 + graft additions)
+        "exact_dedup_docs": D.exact_dedup_docs,
+        "minhash_near_dup": lambda sf: D.minhash_lsh_pairs(sf, threshold=0.5),
+        "simhash_docs": D.simhash_docs,
+        "embedding_near_dup": lambda sf: D.embedding_near_dup(sf, tau=0.4),
+        # similarity search
+        "knn_topk": S.knn_topk,
+        "knn_ivf_topk": S.knn_ivf,
+        # text analysis (rows-only: heuristics not SQL-expressible)
+        "lang_id_docs": T.lang_id,
+        "quality_score_docs": T.quality_score,
+        "fingerprint_docs": T.fingerprint_docs,
+        # multimodal image stages (over the synthetic image fixture table)
+        "image_features": _image_features,
+        "phash_near_dup": _phash_near_dup,
         # flagship crawl (north_rule; rows-only — oracle equality in tests/)
         "crawl_e2e": _crawl_e2e,
     }
+
+
+def _fixture_images():
+    from newscrawler_ray.synth import default_fixture_dir, gen_fixtures
+
+    fx = gen_fixtures(default_fixture_dir(1200), n_urls=1200, seed=42)
+    return fx / "images.parquet"
+
+
+def _image_features(sf_dir: str) -> Any:
+    """Rows-only: actor-pool decode/feature/thumbnail stage over the
+    synthetic image table (input_hint shape; sf_dir-independent input)."""
+    from newscrawler_ray.pipelines.multimodal import image_features
+
+    return image_features(_fixture_images()).drop_columns(["thumbnail"])
+
+
+def _phash_near_dup(sf_dir: str) -> Any:
+    from newscrawler_ray.pipelines.multimodal import phash_near_dup_groups
+
+    return phash_near_dup_groups(_fixture_images())
 
 
 def oracle_sql() -> dict[str, str]:
@@ -153,4 +193,18 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": r"""
             SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
             FROM documents""",
+        "bpe_token_stats": r"""
+            SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
+            FROM documents""",
+        "exact_dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+        "knn_topk": """
+            SELECT vec_id FROM embeddings WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(
+                embedding,
+                (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+            LIMIT 10""",
     }

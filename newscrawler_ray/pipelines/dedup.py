@@ -1,0 +1,275 @@
+"""Deduplication operators over document corpora (training-data ops).
+
+The reference only does exact URL dedup (SURVEY.md D2/D3/D5 — and D5
+records that it has NO near-dedup); a 100 TB training-data pipeline needs
+the near-dup family too, so it is built here as first-class Ray Data
+operators:
+
+  exact_dedup_docs    — exact content dedup: hash-partition + first-wins
+  minhash_lsh_pairs   — MinHash + LSH banding near-dup candidate pairs,
+                        verified with true n-gram Jaccard
+  simhash_docs        — 64-bit SimHash per doc (+ bucket grouping)
+  embedding_near_dup  — cosine near-dup pairs over an embedding column
+
+Shuffle discipline: content hashes / band keys / simhashes are small
+fixed-width columns — the shuffles ship those, never the full text. The
+Jaccard verify stage uses a broadcast of the candidate docs' shingle sets
+(small side); at corpus scale the documented partitioning assumption is:
+re-join candidates to text hash-partitioned by doc_id.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Min
+
+_WORD_RE = re.compile(r"\w+")
+_U64 = np.uint64
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return str(Path(sf_dir) / f"{table}.parquet")
+
+
+def content_hash64(text: str) -> int:
+    """64-bit content hash. NOTE: at 10^10-doc scale use 128-bit (birthday
+    bound); 64 bits are collision-safe for the sandbox corpus sizes."""
+    return int.from_bytes(
+        hashlib.blake2b(text.encode("utf-8"), digest_size=8).digest(), "big", signed=True
+    )
+
+
+def exact_dedup_docs(sf_dir: str) -> rd.Dataset:
+    """Exact first-wins dedup by content (reference D2/D3 semantics lifted
+    from URL to content): hash the text per batch (vector stage), shuffle
+    only ``(hash, doc_id)``, keep min doc_id per group."""
+    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def hashes(batch: pa.Table) -> pa.Table:
+        h = [content_hash64(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"content_hash": pa.array(h, pa.int64()), "doc_id": batch.column("doc_id")}
+        )
+
+    ds = ds.map_batches(hashes, batch_format="pyarrow")
+    out = ds.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+    return out.select_columns(["doc_id"])
+
+
+# ------------------------------------------------------------------ MinHash
+
+
+def _shingles(text: str, k: int = 3) -> np.ndarray:
+    """Word k-shingle hashes (uint64)."""
+    words = _WORD_RE.findall(text.lower())
+    if len(words) < k:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    out = np.empty(len(grams), dtype=np.uint64)
+    for i, g in enumerate(grams):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"
+        )
+    return out
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    x = (x + _U64(0x9E3779B97F4A7C15)).astype(_U64)
+    x ^= x >> _U64(30)
+    x *= _U64(0xBF58476D1CE4E5B9)
+    x ^= x >> _U64(27)
+    x *= _U64(0x94D049BB133111EB)
+    x ^= x >> _U64(31)
+    return x
+
+
+_MINHASH_SEEDS = _splitmix(np.arange(1, 65, dtype=_U64) * _U64(0xA24BAED4963EE407))
+
+
+def minhash_signature(text: str, n_hashes: int = 64) -> np.ndarray:
+    """64 minhashes via seeded xor-permutations of the shingle hashes."""
+    sh = _shingles(text)
+    if len(sh) == 0:
+        return np.zeros(n_hashes, dtype=np.uint64)
+    # (n_hashes, n_shingles) xor + mix, min over shingles — fully vectorized
+    mixed = _splitmix(sh[None, :] ^ _MINHASH_SEEDS[:n_hashes, None])
+    return mixed.min(axis=1)
+
+
+def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
+    """Exact word-k-gram Jaccard similarity (the verify oracle for LSH)."""
+    sa, sb = set(_shingles(a, k).tolist()), set(_shingles(b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_lsh_pairs(
+    sf_dir: str,
+    *,
+    threshold: float = 0.5,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    docs: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """MinHash+LSH near-dup pairs, verified with exact n-gram Jaccard.
+
+    Stages (each scales independently):
+      1. map_batches: text -> 64 minhashes -> 16 bands of 4 -> explode to
+         (band_id, band_hash, doc_id) rows (small fixed-width, no text)
+      2. groupby(band_id, band_hash): emit candidate pairs per bucket
+      3. dedupe pairs (groupby pair key)
+      4. verify: exact Jaccard >= threshold via broadcast text lookup
+         (candidate count << corpus; at larger scale re-join text by id)
+    """
+    rows_per_band = n_hashes // n_bands
+    if docs is None:
+        docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    # broadcast text for the verify stage (small side at sandbox scale)
+    text_map = {}
+    for b in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        text_map.update(
+            zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist())
+        )
+    text_ref = ray.put(text_map)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids, bands, bhashes = [], [], []
+        for did, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            sig = minhash_signature(text, n_hashes)
+            banded = sig.reshape(n_bands, rows_per_band)
+            # one 64-bit hash per band: mix-fold the band values
+            bh = _splitmix(banded[:, 0])
+            for v in range(1, rows_per_band):
+                bh = _splitmix(bh ^ banded[:, v])
+            ids.extend([did] * n_bands)
+            bands.extend(range(n_bands))
+            bhashes.extend(bh.view(np.int64).tolist())
+        return pa.table(
+            {
+                "band_id": pa.array(bands, pa.int32()),
+                "band_hash": pa.array(bhashes, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    bands_ds = docs.map_batches(band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(group.column("doc_id").to_pylist())
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+
+    pairs = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    # dedupe pairs found by multiple bands
+    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(text_ref)
+        ja = []
+        for x, y in zip(batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist()):
+            ja.append(round(ngram_jaccard(texts[x], texts[y]), 4))
+        out = batch.append_column("jaccard", pa.array(ja, pa.float64()))
+        return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+
+    return pairs.map_batches(verify, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ SimHash
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word-unigram features weighted by count."""
+    words = _WORD_RE.findall(text.lower())
+    if not words:
+        return 0
+    uniq, counts = np.unique(np.array(words), return_counts=True)
+    hs = np.empty(len(uniq), dtype=np.uint64)
+    for i, w in enumerate(uniq):
+        hs[i] = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)).astype(
+        np.int64
+    )
+    acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+    val = _U64(0)
+    for b in np.nonzero(acc > 0)[0]:
+        val |= _U64(1) << _U64(int(b))
+    return int(val.astype(np.int64))
+
+
+def simhash_docs(sf_dir: str, docs: rd.Dataset | None = None) -> rd.Dataset:
+    """Per-doc 64-bit SimHash; identical hashes = near-dup bucket
+    (hamming-radius search = groupby on rotated hash quarters, same plan
+    shape as the band stage above)."""
+    if docs is None:
+        docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def sh(batch: pa.Table) -> pa.Table:
+        vals = [simhash64(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "simhash": pa.array(vals, pa.int64())}
+        )
+
+    return docs.map_batches(sh, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- embedding dups
+
+
+def embedding_near_dup(sf_dir: str, *, tau: float = 0.4) -> rd.Dataset:
+    """Cosine near-dup pairs over the embedding column.
+
+    Baseline: blocked brute force — each batch is matmul-ed against the
+    broadcast normalized matrix (numpy, zero Python loops over pairs);
+    emits (id_a < id_b) pairs with cos >= tau. The scale path swaps the
+    broadcast for IVF cells (see simsearch.ivf_build) — same pair-emit
+    contract. Matches the DuckDB list_cosine_similarity oracle.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    ref = ray.put((ids, En))
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, all_n = ray.get(ref)
+        bids = batch.column("vec_id").to_numpy()
+        B = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+        sims = Bn @ all_n.T
+        rows, cols = np.nonzero(sims >= tau)
+        keep = bids[rows] < all_ids[cols]  # i<j once, no self pairs
+        return pa.table(
+            {
+                "id_a": pa.array(bids[rows[keep]], pa.int64()),
+                "id_b": pa.array(all_ids[cols[keep]], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")

@@ -1,0 +1,122 @@
+"""Multimodal column operators: image decode / features / resize stages.
+
+Treats image payloads as opaque ``binary`` columns with typed metadata
+(``w, h, fmt`` — exactly BASELINE.json input_hint). The Ray-side plumbing
+(schema, actor signature, batch sizing, output layout) is real and tested;
+codecs for formats this sandbox cannot decode (jpeg/webp/video) are
+STUBBED behind clearly-marked ``NotImplementedError`` gates, while
+ppm/png/qnt decode, block-mean resize, color stats and phash are real
+numpy work.
+
+Actor-pool shape: feature extraction is a callable CLASS so a real model
+(CLIP, OCR, ...) would load once per actor in ``__init__``; batch size is
+small because rows are payload-heavy (see stages/fetch.py scale note).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from .. import codecs
+
+SANDBOX_FMTS = frozenset({"ppm", "png", "qnt"})
+
+
+def decode_any(data: bytes, fmt: str) -> np.ndarray:
+    if fmt in SANDBOX_FMTS:
+        return codecs.decode(data, fmt)
+    # STUB: external codecs (PIL/ffmpeg) are not installable in this
+    # sandbox; a deployment wires them here.
+    raise NotImplementedError(
+        f"decode for fmt={fmt!r} requires an external codec (stubbed in sandbox)"
+    )
+
+
+def sample_video_frames(data: bytes, every_n: int = 30) -> list[np.ndarray]:
+    # STUB: video frame sampling needs ffmpeg; the stage contract
+    # (binary in -> list of frames out) is what the pipeline tests.
+    raise NotImplementedError("video frame sampling requires ffmpeg (stubbed in sandbox)")
+
+
+def block_mean_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic block-mean downsample (any size -> out_h x out_w)."""
+    h, w, c = img.shape
+    ys = (np.arange(h) * out_h) // h
+    xs = (np.arange(w) * out_w) // w
+    acc = np.zeros((out_h, out_w, c), dtype=np.float64)
+    cnt = np.zeros((out_h, out_w, 1), dtype=np.int64)
+    np.add.at(acc, (ys[:, None], xs[None, :]), img.astype(np.float64))
+    np.add.at(cnt, (ys[:, None], xs[None, :]), 1)
+    return (acc / np.maximum(cnt, 1)).round().astype(np.uint8)
+
+
+class ImageFeatures:
+    """Actor-pool stage: decode -> color stats + phash + 16x16 thumbnail.
+
+    ``__init__`` is the model-load slot (once per actor); ``__call__``
+    does per-batch numpy work. Output keeps the input's identity columns
+    and appends fixed-width features plus a small lossless thumbnail.
+    """
+
+    def __init__(self, thumb: int = 16):
+        self.thumb = thumb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        means = np.zeros((n, 3), dtype=np.float64)
+        stds = np.zeros(n, dtype=np.float64)
+        phashes = np.zeros(n, dtype=np.int64)
+        thumbs: list = [None] * n
+        errs: list = [None] * n
+        raw = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        for i in range(n):
+            try:
+                img = decode_any(raw[i], fmts[i])
+                means[i] = img.reshape(-1, 3).mean(axis=0)
+                stds[i] = float(img.std())
+                phashes[i] = codecs.phash64(img)
+                thumbs[i] = codecs.encode_ppm(
+                    block_mean_resize(img, self.thumb, self.thumb)
+                )
+            except NotImplementedError as e:
+                errs[i] = str(e)
+        out = batch.select(["image_id", "w", "h", "fmt", "phash"])
+        out = out.append_column("mean_r", pa.array(np.round(means[:, 0], 3)))
+        out = out.append_column("mean_g", pa.array(np.round(means[:, 1], 3)))
+        out = out.append_column("mean_b", pa.array(np.round(means[:, 2], 3)))
+        out = out.append_column("pixel_std", pa.array(np.round(stds, 3)))
+        out = out.append_column("phash_decoded", pa.array(phashes, pa.int64()))
+        out = out.append_column("thumbnail", pa.array(thumbs, pa.binary()))
+        out = out.append_column("feature_error", pa.array(errs, pa.string()))
+        return out
+
+
+def image_features(images_path: str | Path, *, concurrency: int = 2, batch_size: int = 64) -> rd.Dataset:
+    """Feature-extraction pipeline over an image table (parquet/lance dir
+    or file). Small batch_size: payload-heavy rows (see module docstring)."""
+    ds = rd.read_parquet(str(images_path))
+    return ds.map_batches(
+        ImageFeatures,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def phash_near_dup_groups(images_path: str | Path) -> rd.Dataset:
+    """Near-dup image groups by exact phash match (SURVEY D5 graft analog):
+    shuffle ships only (phash, image_id); groups with >1 member are dups."""
+    from ray.data.aggregate import Count
+
+    ds = rd.read_parquet(str(images_path), columns=["image_id", "phash"])
+    out = ds.groupby("phash").aggregate(Count(alias_name="n_images"))
+
+    def only_dups(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.compute.greater(batch.column("n_images"), 1))
+
+    return out.map_batches(only_dups, batch_format="pyarrow")

@@ -1,0 +1,114 @@
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from newscrawler_ray.pipelines import dedup, simsearch
+
+SF = "/root/testdata/sf0.01"
+
+
+def _planted_docs():
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain in spain "
+        "falls mainly on the plain and every good boy deserves fudge today"
+    )
+    near = base.replace("fudge", "candy")  # one word changed -> high jaccard
+    other = (
+        "completely different content about distributed systems shuffle "
+        "partitions actors datasets blocks backpressure streaming execution"
+    )
+    return rd.from_items(
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": near},
+            {"doc_id": 3, "text": other},
+            {"doc_id": 4, "text": base},  # exact dup of 1
+        ]
+    )
+
+
+def test_minhash_lsh_finds_planted_near_dup(ray_session):
+    pairs = dedup.minhash_lsh_pairs(SF, threshold=0.5, docs=_planted_docs()).take_all()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found or (1, 4) in found
+    assert (1, 4) in found  # exact dup always survives
+    for r in pairs:
+        assert r["jaccard"] >= 0.5
+    assert not any({a, b} == {1, 3} or {a, b} == {2, 3} for a, b in found)
+
+
+def test_ngram_jaccard_bounds():
+    assert dedup.ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert dedup.ngram_jaccard("a b c d", "x y z w") == 0.0
+
+
+def test_simhash_near_texts_close(ray_session):
+    ds = _planted_docs()
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash_docs(SF, docs=ds).take_all()}
+    assert out[1] == out[4]  # identical text -> identical simhash
+    ham = bin((out[1] ^ out[2]) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((out[1] ^ out[3]) & ((1 << 64) - 1)).count("1")
+    assert ham < ham_far
+    assert ham <= 16
+
+
+def test_exact_dedup_docs_matches_sql(ray_session):
+    import duckdb
+
+    got = sorted(r["doc_id"] for r in dedup.exact_dedup_docs(SF).take_all())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = sorted(
+        r[0] for r in con.execute("SELECT min(doc_id) FROM documents GROUP BY text").fetchall()
+    )
+    assert got == want
+
+
+def _brute_pairs(tau):
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    S = En @ En.T
+    out = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and S[i, j] >= tau:
+                out.add((int(ids[i]), int(ids[j])))
+    return out
+
+
+def test_embedding_near_dup_matches_brute(ray_session):
+    got = {(r["id_a"], r["id_b"]) for r in dedup.embedding_near_dup(SF, tau=0.4).take_all()}
+    assert got == _brute_pairs(0.4)
+    assert len(got) > 0  # threshold calibrated so the check is non-vacuous
+
+
+def _brute_topk(k=10, qid=0):
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    q = En[list(ids).index(qid)]
+    sims = En @ q
+    order = [i for i in np.argsort(-sims, kind="stable") if ids[i] != qid]
+    return [int(ids[i]) for i in order[:k]]
+
+
+def test_knn_topk_exact(ray_session):
+    got = simsearch.knn_topk(SF)["vec_id"].to_pylist()
+    assert sorted(got) == sorted(_brute_topk())
+
+
+def test_knn_ivf_recall(ray_session):
+    approx = set(simsearch.knn_ivf(SF)["vec_id"].to_pylist())
+    exact = set(_brute_topk())
+    # near-uniform embeddings: recall ~ nprobe/n_cells (= 0.5 expected)
+    assert len(approx & exact) / len(exact) >= 0.4
+
+
+def test_ivf_deterministic():
+    a = simsearch.ivf_build(SF)
+    b = simsearch.ivf_build(SF)
+    np.testing.assert_array_equal(a, b)

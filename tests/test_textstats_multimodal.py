@@ -1,0 +1,107 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from newscrawler_ray import codecs
+from newscrawler_ray.pipelines import multimodal, textstats
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_bpe_token_stats_matches_sql(ray_session):
+    import duckdb
+
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in textstats.bpe_token_stats(SF).take_all()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = dict(
+        con.execute(
+            r"SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]')) FROM documents"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_lang_id_heuristics():
+    lid = textstats.LangId()
+    assert lid.guess("the cat sat on the mat and it was happy")[0] == "en"
+    assert lid.guess("der hund ist nicht in der küche und die katze")[0] == "de"
+    assert lid.guess("这是一个中文句子")[0] == "zh"
+    assert lid.guess("")[0] == "unknown"
+
+
+def test_lang_id_pipeline_runs(ray_session):
+    out = textstats.lang_id(SF).take(20)
+    assert all(r["lang_pred"] in {"en", "de", "es", "fr", "zh", "unknown"} for r in out)
+
+
+def test_quality_score_bounds(ray_session):
+    rows = textstats.quality_score(SF).take(50)
+    for r in rows:
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["n_tokens"] > 0
+
+
+def test_winnow_fingerprints_properties():
+    a = textstats.winnow_fingerprints("the quick brown fox jumps over the lazy dog")
+    b = textstats.winnow_fingerprints("the quick brown fox jumps over the lazy dog")
+    np.testing.assert_array_equal(a, b)
+    c = textstats.winnow_fingerprints("totally different text with other content here")
+    assert set(a.tolist()) != set(c.tolist())
+    # shared long substring -> shared fingerprints (the winnowing guarantee)
+    d = textstats.winnow_fingerprints(
+        "PREFIX the quick brown fox jumps over the lazy dog SUFFIX"
+    )
+    assert len(set(a.tolist()) & set(d.tolist())) > 0
+
+
+def test_image_features_real_decode(ray_session, fixture_dir):
+    ds = multimodal.image_features(fixture_dir / "images.parquet")
+    rows = ds.take(40)
+    for r in rows:
+        if r["fmt"] in codecs.LOSSLESS_FMTS:
+            assert r["phash_decoded"] == r["phash"]
+        assert r["feature_error"] is None
+        thumb = codecs.decode_ppm(r["thumbnail"])
+        assert thumb.shape == (16, 16, 3)
+        assert 0.0 <= r["mean_r"] <= 255.0
+
+
+def test_image_features_stub_for_unknown_fmt(ray_session):
+    import ray.data as rd
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    tbl = pa.table(
+        {
+            "image_id": ["x", "y"],
+            "bytes": pa.array([codecs.encode_ppm(img), b"\xff\xd8fakejpeg"], pa.binary()),
+            "w": pa.array([8, 8], pa.int32()),
+            "h": pa.array([8, 8], pa.int32()),
+            "fmt": ["ppm", "jpeg"],
+            "caption": ["a", "b"],
+            "phash": pa.array([0, 0], pa.int64()),
+        }
+    )
+    out = rd.from_arrow(tbl).map_batches(
+        multimodal.ImageFeatures, batch_format="pyarrow", concurrency=1
+    ).take_all()
+    by_id = {r["image_id"]: r for r in out}
+    assert by_id["x"]["feature_error"] is None
+    assert "external codec" in by_id["y"]["feature_error"]
+    assert by_id["y"]["thumbnail"] is None
+
+
+def test_phash_near_dup_groups(ray_session, fixture_dir):
+    groups = multimodal.phash_near_dup_groups(fixture_dir / "images.parquet").take_all()
+    assert len(groups) > 0
+    assert all(g["n_images"] > 1 for g in groups)
+
+
+def test_video_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.sample_video_frames(b"abc")
