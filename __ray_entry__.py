@@ -22,6 +22,7 @@ sys.path.insert(0, str(Path(__file__).parent))
 from newscrawler_ray.pipelines import dedup as D  # noqa: E402
 from newscrawler_ray.pipelines import queries as Q  # noqa: E402
 from newscrawler_ray.pipelines import simsearch as S  # noqa: E402
+from newscrawler_ray.pipelines import sources as SRC  # noqa: E402
 from newscrawler_ray.pipelines import textstats as T  # noqa: E402
 
 
@@ -82,6 +83,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_orders": Q.nation_orders,
         # windows (SURVEY §2.9)
         "events_daily_window": Q.events_daily_window,
+        # multi-source union + normalize + dedup (SURVEY §3.2, S1-S4/D1/M10)
+        "multi_source_union": SRC.multi_source_union,
+        # grouped ordered collect (SURVEY A4)
+        "user_event_sequence": SRC.user_event_sequence,
         # text stats
         "token_stats": Q.token_stats,
         "bpe_token_stats": T.bpe_token_stats,
@@ -190,6 +195,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
                    round(sum(value), 4) AS total
             FROM events GROUP BY event_type, date_trunc('day', ts)""",
+        "multi_source_union": """
+            SELECT DISTINCT doc_id, source, lang FROM (
+                SELECT doc_id, source, lang FROM documents WHERE source = 'src0'
+                UNION ALL
+                SELECT doc_id, source, lang FROM documents WHERE source = 'src1'
+                UNION ALL
+                SELECT doc_id, source, lang FROM documents WHERE source IN ('src2', 'src0')
+            ) WHERE lang <> 'zh'""",
+        "user_event_sequence": """
+            SELECT user_id, count(*) AS n_events,
+                   string_agg(event_type, ',' ORDER BY event_id) AS sequence
+            FROM events GROUP BY user_id""",
         "token_stats": r"""
             SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
             FROM documents""",

@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run per round -> BENCH_r{N}.json).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "crawl_urls_per_s": ..., "payload_rows_per_s": ...}
+
+value = wall seconds of the flagship crawl (frontier loop) at
+BENCH_CRAWL_URLS synthetic URLs. ``queries`` adds the payload-replay
+pipeline (image rows/s) and the representative query-layer pipelines over
+$GRAFT_SF_DIR.
+
+``--scaling``: runs this script in fresh processes at two parallelism
+levels (default RAY_GRAFT_CPUS=4 and =16, i.e. N and 4N; override with
+BENCH_SCALE_LO/BENCH_SCALE_HI) on the SAME input — the sandbox proxy for
+two cluster sizes — and reports both throughputs plus scaling efficiency
+for the payload pipeline (the wave-barrier-free throughput path; see
+BASELINE.md for the Amdahl analysis of the wave loop at sandbox scale)
+and for the full crawl. Two timed reps per level, best-of taken: this
+sandbox is a shared box with ~5-6 cores of background tenant load, so a
+single rep can be badly skewed (levels above ~16 CPUs oversubscribe).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_URLS = int(os.environ.get("BENCH_CRAWL_URLS", "400000"))
+SCALING_ONLY = os.environ.get("BENCH_SCALING_ONLY") == "1"
+
+QUERY_NAMES = [
+    "q1_lineitem_agg",
+    "search_keywords",
+    "recent_topk",
+    "events_daily_window",
+    "seg_revenue",
+    "dedup_first_wins",
+    "token_stats",
+    "bpe_token_stats",
+    "exact_dedup_docs",
+    "knn_topk",
+]
+
+
+def _consume(res) -> int:
+    if hasattr(res, "num_rows"):
+        return res.num_rows
+    if hasattr(res, "count"):
+        return res.count()
+    return len(res)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=N_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+    from newscrawler_ray.pipelines.crawl import payload_replay, run_crawl
+    from newscrawler_ray.synth import default_fixture_dir, gen_fixtures
+
+    fx = gen_fixtures(default_fixture_dir(N_URLS), n_urls=N_URLS, seed=42)
+    queries: dict[str, float] = {}
+
+    # warmup: spin up the worker pool + OS page cache (untimed)
+    payload_replay(fx)
+
+    reps = 2 if SCALING_ONLY else 1  # best-of damps tenant noise
+    payload_secs, n_payload = [], 0
+    for _ in range(reps):
+        t0 = time.time()
+        n_payload = payload_replay(fx)
+        payload_secs.append(time.time() - t0)
+    queries["payload_replay"] = round(min(payload_secs), 3)
+
+    crawl_secs, res = [], None
+    for _ in range(reps):
+        t0 = time.time()
+        res = run_crawl(
+            fx, "/tmp/newscrawler_ray_bench_crawl", wave_window_ms=86_400_000,
+            checkpoint=False,
+        )
+        crawl_secs.append(time.time() - t0)
+    crawl_sec = round(min(crawl_secs), 3)
+    queries["crawl"] = crawl_sec
+
+    if not SCALING_ONLY:
+        qmap = entrymod.queries()
+        for name in QUERY_NAMES:
+            t0 = time.time()
+            _consume(qmap[name](SF_DIR))
+            queries[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "crawl wall-clock (frontier loop, synthetic web) + per-pipeline secs",
+        "value": crawl_sec,
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": N_CPUS,
+        "n_urls": N_URLS,
+        "crawl_fetched": res["fetched"],
+        "crawl_urls_per_s": round(res["fetched"] / crawl_sec, 1),
+        "payload_rows": n_payload,
+        "payload_rows_per_s": round(n_payload / queries["payload_replay"], 1),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SCALING_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    n_lo = int(os.environ.get("BENCH_SCALE_LO", "4"))
+    n_hi = int(os.environ.get("BENCH_SCALE_HI", "16"))
+    # interleave levels and keep per-level best: this sandbox shares the
+    # box with other tenants, so consecutive runs see different machines —
+    # interleaving samples both levels under comparable conditions
+    runs_lo, runs_hi = [run(n_lo)], [run(n_hi)]
+    runs_lo.append(run(n_lo))
+    runs_hi.append(run(n_hi))
+
+    def best(runs, key):
+        return min(r["queries"][key] for r in runs)
+
+    lo = min(runs_lo, key=lambda r: r["queries"]["payload_replay"])
+    hi = min(runs_hi, key=lambda r: r["queries"]["payload_replay"])
+    lo["queries"]["payload_replay"] = best(runs_lo, "payload_replay")
+    hi["queries"]["payload_replay"] = best(runs_hi, "payload_replay")
+    lo["queries"]["crawl"] = best(runs_lo, "crawl")
+    hi["queries"]["crawl"] = best(runs_hi, "crawl")
+    ratio = n_hi / n_lo
+    payload_eff = (lo["queries"]["payload_replay"] / hi["queries"]["payload_replay"]) / ratio
+    crawl_eff = (lo["queries"]["crawl"] / hi["queries"]["crawl"]) / ratio
+    for r in (lo, hi):
+        r["payload_rows_per_s"] = round(r["payload_rows"] / r["queries"]["payload_replay"], 1)
+        r["crawl_urls_per_s"] = round(r["crawl_fetched"] / r["queries"]["crawl"], 1)
+    return {
+        "metric": f"scaling efficiency {n_lo} -> {n_hi} CPUs (same input, interleaved fresh processes, best-of)",
+        "cpus_lo": n_lo,
+        "cpus_hi": n_hi,
+        f"payload_rows_per_s_{n_lo}": lo["payload_rows_per_s"],
+        f"payload_rows_per_s_{n_hi}": hi["payload_rows_per_s"],
+        "payload_scaling_efficiency": round(payload_eff, 3),
+        f"crawl_urls_per_s_{n_lo}": lo["crawl_urls_per_s"],
+        f"crawl_urls_per_s_{n_hi}": hi["crawl_urls_per_s"],
+        "crawl_scaling_efficiency": round(crawl_eff, 3),
+        f"payload_sec_{n_lo}": lo["queries"]["payload_replay"],
+        f"payload_sec_{n_hi}": hi["queries"]["payload_replay"],
+        f"crawl_sec_{n_lo}": lo["queries"]["crawl"],
+        f"crawl_sec_{n_hi}": hi["queries"]["crawl"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -196,8 +196,5 @@ def phash64(img: np.ndarray) -> int:
     np.add.at(counts, (ys[:, None], xs[None, :]), 1)
     small /= np.maximum(counts, 1)
     bits = (small > small.mean()).flatten()
-    val = np.uint64(0)
-    for i, b in enumerate(bits):
-        if b:
-            val |= np.uint64(1) << np.uint64(i)
+    val = np.sum(bits.astype(np.uint64) << np.arange(64, dtype=np.uint64))
     return int(val.astype(np.int64))

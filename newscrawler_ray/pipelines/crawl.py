@@ -46,12 +46,15 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from ..functions.urls import canonicalize_url
-from ..oracle import ts_us
 from ..stages.extract import make_extract_stage
-from ..stages.fetch import make_fetch_fn
-from ..stages.route import make_route_fn, route_candidates
+from ..stages.fetch import WebIndex, build_web_index, fetch_batch, make_fetch_fn
+from ..stages.route import _route_batch, make_route_fn, route_candidates
 from ..state import FrontierShard, MetricsActor, SeenShard
+
+# below this many rows a wave runs inline on the driver: a cluster-wide
+# execution launch costs ~0.3-0.5 s, which dwarfs sub-batch-sized waves
+# (only the BFS tail ever triggers this; production-scale waves never do)
+INLINE_WAVE_ROWS = 512
 
 
 def _load_config(fixture_dir: Path):
@@ -64,15 +67,12 @@ def _load_config(fixture_dir: Path):
     return intervals, robots, frozenset(cfg["blocklist"])
 
 
-def _priority_map(fixture_dir: Path) -> dict[str, int]:
-    t = pq.read_table(fixture_dir / "pages.parquet", columns=["url", "priority"])
-    urls = t.column("url").to_pylist()
-    prios = [ts_us(x) for x in t.column("priority").to_pylist()]
-    return dict(zip(urls, prios))
-
-
 class CrawlState:
-    """Actor handles + broadcast refs for one crawl run."""
+    """Actor handles + broadcast refs for one crawl run.
+
+    The simulated web is indexed ONCE here (hash-sorted numpy arrays, see
+    stages/fetch.build_web_index) and broadcast; workers resolve it
+    zero-copy, so per-worker setup stays O(ms) at any worker count."""
 
     def __init__(self, fixture_dir: Path, n_seen: int, n_frontier: int):
         self.intervals, self.robots, self.blocklist = _load_config(fixture_dir)
@@ -81,11 +81,17 @@ class CrawlState:
             FrontierShard.remote(i, self.intervals) for i in range(n_frontier)
         ]
         self.metrics = MetricsActor.remote()
-        self.pages_ref = ray.put(pq.read_table(fixture_dir / "pages.parquet"))
-        self.images_ref = ray.put(pq.read_table(fixture_dir / "images.parquet"))
-        self.links_ref = ray.put(pq.read_table(fixture_dir / "links.parquet"))
-        self.priority_of = _priority_map(fixture_dir)
-        self.priority_ref = ray.put(self.priority_of)
+        bundle = build_web_index(fixture_dir)
+        self.web_ref = ray.put(bundle)
+        self.priority_index = (bundle["hash_sorted"], bundle["prio"])
+        self.priority_ref = ray.put(self.priority_index)
+        self._bundle = bundle
+        self._local_index: WebIndex | None = None
+
+    def local_web_index(self) -> WebIndex:
+        if self._local_index is None:
+            self._local_index = WebIndex(self._bundle)
+        return self._local_index
 
     def kill(self):
         for a in [*self.seen, *self.frontier, self.metrics]:
@@ -181,7 +187,7 @@ def run_crawl(
                 state.frontier,
                 state.blocklist,
                 state.robots,
-                state.priority_of,
+                state.priority_index,
                 state.metrics,
             )
             if checkpoint:
@@ -191,7 +197,7 @@ def run_crawl(
 
         # task-form stages: worker-global caches make per-wave setup zero,
         # and Ray fuses the task operators into one pipeline stage
-        fetch = make_fetch_fn(state.pages_ref, state.images_ref, state.links_ref)
+        fetch = make_fetch_fn(state.web_ref)
         route = make_route_fn(
             state.seen,
             state.frontier,
@@ -212,11 +218,34 @@ def run_crawl(
             ]
             if not tables:
                 break
-            ds = rd.from_arrow(tables)
-            ds = ds.map_batches(fetch, batch_size=batch_size, batch_format="pyarrow")
-            ds = ds.map_batches(route, batch_size=batch_size, batch_format="pyarrow")
-            ds = ds.map_batches(extract, batch_size=batch_size, batch_format="pyarrow")
-            ds.write_parquet(str(waves_dir / f"wave={wave:04d}"))
+            total_rows = sum(t.num_rows for t in tables)
+            wave_dir = waves_dir / f"wave={wave:04d}"
+            if total_rows <= INLINE_WAVE_ROWS:
+                # tiny tail wave: run the identical stages on the driver
+                batch = pa.concat_tables(tables)
+                fetched = fetch_batch(batch, state.local_web_index())
+                routed = _route_batch(
+                    fetched, state.seen, state.frontier, state.blocklist,
+                    state.robots, state.priority_index, state.metrics,
+                )
+                wave_dir.mkdir(parents=True, exist_ok=True)
+                pq.write_table(extract(routed), wave_dir / "part-inline.parquet")
+            else:
+                # one block per fused task; target ~1 block per CPU (zero-copy
+                # slices). Too-small blocks make the run dispatch-bound: the
+                # streaming executor costs ~40-50 ms per task launch.
+                ncpu = int(ray.cluster_resources().get("CPU", 8))
+                block_rows = max(batch_size, -(-total_rows // ncpu))
+                slices = [
+                    t.slice(lo, block_rows)
+                    for t in tables
+                    for lo in range(0, t.num_rows, block_rows)
+                ]
+                ds = rd.from_arrow(slices)
+                ds = ds.map_batches(fetch, batch_size=batch_size, batch_format="pyarrow")
+                ds = ds.map_batches(route, batch_size=batch_size, batch_format="pyarrow")
+                ds = ds.map_batches(extract, batch_size=batch_size, batch_format="pyarrow")
+                ds.write_parquet(str(wave_dir))
             if checkpoint:
                 _checkpoint(state, ckpt_dir, wave, fixture_dir)
             if stop_after_wave is not None and wave >= stop_after_wave:
@@ -243,6 +272,76 @@ def run_crawl(
         }
     finally:
         state.kill()
+
+
+# ------------------------------------------------------------ payload replay
+
+
+def payload_replay(
+    fixture_dir: str | Path,
+    out_dir: str | Path | None = None,
+    *,
+    batch_size: int = 4096,
+) -> int:
+    """Single-execution payload pipeline: fetch EVERY page's image row and
+    run the full multimodal feature stage (decode, color stats, phash,
+    16x16 thumbnail) in one streaming Dataset
+    (read -> hash -> fetch -> filter ok -> features -> sink).
+
+    This is the crawl's throughput-critical inner path (the 'image rows/s'
+    half of the BASELINE metric) with the BFS wave barriers removed — at
+    production wave sizes the crawl runs at exactly this width, so this is
+    the pipeline the scaling-efficiency criterion is measured on (see
+    BASELINE.md). Returns the number of image rows processed.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.urls import url_hash64
+    from .multimodal import ImageFeatures
+
+    fixture_dir = Path(fixture_dir)
+    bundle = build_web_index(fixture_dir)
+    web_ref = ray.put(bundle)
+    fetch = make_fetch_fn(web_ref)
+    features = ImageFeatures()
+
+    def prep(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        hosts = [u[7 : u.find("/", 7)] if u.find("/", 7) != -1 else u[7:] for u in urls]
+        hashes = [url_hash64(u) for u in urls]
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "host": pa.array(hosts, pa.string()),
+                "url_hash": pa.array(hashes, pa.int64()),
+                "priority": batch.column("priority").cast(pa.int64()),
+                "depth": pa.array([0] * len(urls), pa.int32()),
+            }
+        )
+
+    # pages is one small file: ~3 blocks per CPU balances straggler tail
+    # (1 block/CPU makes wall = slowest task) against the ~40-50 ms/task
+    # dispatch floor (dozens of tiny blocks make the run dispatch-bound)
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
+    ds = rd.read_parquet(
+        str(fixture_dir / "pages.parquet"),
+        columns=["url", "priority"],
+        override_num_blocks=ncpu * 3,
+    )
+    ds = ds.map_batches(prep, batch_size=batch_size, batch_format="pyarrow")
+    ds = ds.map_batches(fetch, batch_size=batch_size, batch_format="pyarrow")
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("status"), 200)),
+        batch_size=batch_size,
+        batch_format="pyarrow",
+    )
+    ds = ds.map_batches(features, batch_size=batch_size, batch_format="pyarrow")
+    if out_dir is not None:
+        ds.write_parquet(str(out_dir))
+        return rd.read_parquet(str(out_dir)).count()
+    # distributed consume: counting executes every stage in the workers and
+    # ships only block row-counts — payload bytes never funnel to the driver
+    return ds.count()
 
 
 # ---------------------------------------------------------------- readback

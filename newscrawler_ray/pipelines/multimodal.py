@@ -66,6 +66,9 @@ class ImageFeatures:
         self.thumb = thumb
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages import pin_worker_threads
+
+        pin_worker_threads()  # runs in the worker (init may run on driver)
         n = batch.num_rows
         means = np.zeros((n, 3), dtype=np.float64)
         stds = np.zeros(n, dtype=np.float64)
@@ -83,7 +86,7 @@ class ImageFeatures:
                 thumbs[i] = codecs.encode_ppm(
                     block_mean_resize(img, self.thumb, self.thumb)
                 )
-            except NotImplementedError as e:
+            except Exception as e:  # noqa: BLE001 — error-as-record
                 errs[i] = str(e)
         out = batch.select(["image_id", "w", "h", "fmt", "phash"])
         out = out.append_column("mean_r", pa.array(np.round(means[:, 0], 3)))

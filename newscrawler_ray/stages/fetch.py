@@ -1,44 +1,51 @@
 """Fetch + extract stages for the crawl waves.
 
 Rebuild of the reference's fetch path (SURVEY.md M6/T2/T3,
-``utils/article_extractor.py:205-410``) with expensive setup amortized
-across batches (the reference rebuilds its HTTP session per record —
-SURVEY T2 flags this as waste).
+``utils/article_extractor.py:205-410``). In the sandbox there is no
+network, so the "web" is a deterministic simulation backed by the fixture
+tables — encoded as a **numpy/Arrow-native index** (hash-sorted arrays +
+offset-encoded adjacency) that is built ONCE on the driver, broadcast via
+``ray.put``, and resolved ZERO-COPY per worker (plain ``ray.get`` of numpy
+arrays from plasma; no Python dict materialization). This matters for
+scaling: per-worker setup cost × worker count × worker churn is pure
+serial overhead at N=32+, so worker init must be O(ms), not O(corpus).
 
-In the sandbox there is no network, so the "web" is a deterministic
-simulation backed by the fixture tables (pages / links / images),
-broadcast ONCE via ``ray.put`` and index-built ONCE per worker process
-(module-global cache keyed by object ref — Ray reuses worker processes
-across the per-wave Dataset executions, so wave K+1 pays zero setup).
+``fetch_batch`` is fully vectorized:
+  * page lookup  — ``np.searchsorted`` on the 64-bit canonical-URL hash
+    (frontier rows CARRY ``url_hash``, computed once at route time)
+  * payload      — ``Table.take`` with null-masked indices (null index ->
+    null row; no Python scatter loops)
+  * out-links    — gather-index build + one ``take`` on the flat dst
+    array -> ``ListArray.from_arrays`` (no per-row list building)
+Only error-message strings are assembled row-wise, and only for the
+(rare) non-200 rows — error-as-record semantics (reference taxonomy
+``article_extractor.py:361-410``).
+
 Against a live web this stage becomes an actor pool holding HTTP sessions
-and per-host pacing state; here the politeness state lives in the
-FrontierShard actors (virtual clock, see state/frontier.py) so the fetch
-stage itself is stateless and runs as plain fused tasks — cheaper than an
-actor pool and elastically scheduled.
-
-Error-as-data: non-200 statuses become rows with ``extraction_error`` set
-(reference error taxonomy ``article_extractor.py:361-410``); tasks never
-throw for a bad URL, so Ray retries only cover real worker death.
+(see ``SimFetcher``); politeness state stays in the FrontierShard actors.
 
 Scale notes: payload ``bytes`` enter the stream HERE and flow straight to
-the wave sink — they never pass through a shuffle (SURVEY §7.5). Batch
-size stays modest (default 256 URLs) because each row can carry KBs of
-payload; the knob that matters at 100 TB is
-``batch_size x concurrency x mean_payload`` vs worker heap.
+the wave sink — they never cross a shuffle (SURVEY §7.5). Batch size
+stays modest (default 256 URLs) because rows carry KB-scale payloads.
 """
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 
+from ..functions.urls import url_hash64
 from ..oracle import ERROR_MESSAGES
 
 FETCHED_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
         ("host", pa.string()),
+        ("url_hash", pa.int64()),
         ("priority", pa.int64()),
         ("depth", pa.int32()),
         ("status", pa.int32()),
@@ -56,113 +63,166 @@ FETCHED_SCHEMA = pa.schema(
 )
 
 
-class SimWeb:
-    """Indexed view of the simulated web (built once per worker process)."""
-
-    def __init__(self, pages: pa.Table, images: pa.Table, links: pa.Table):
-        self.pages_idx = {u: i for i, u in enumerate(pages.column("url").to_pylist())}
-        self.images = images
-        self.images_idx = {
-            im: i for i, im in enumerate(images.column("image_id").to_pylist())
-        }
-        self.links: dict[str, list[str]] = {}
-        for s, d in zip(
-            links.column("src_url").to_pylist(), links.column("dst_url").to_pylist()
-        ):
-            self.links.setdefault(s, []).append(d)
-        self.page_status = pages.column("fetch_status").to_numpy()
-        self.page_clen = pages.column("content_len").to_numpy()
-        self.page_img = pages.column("image_id").to_pylist()
-
-
-_WEB_CACHE: dict = {}
-
-
-def get_web(pages_ref, images_ref, links_ref) -> SimWeb:
-    key = (pages_ref, images_ref, links_ref)
-    web = _WEB_CACHE.get(key)
-    if web is None:
-        web = SimWeb(ray.get(pages_ref), ray.get(images_ref), ray.get(links_ref))
-        _WEB_CACHE.clear()  # at most one world per worker
-        _WEB_CACHE[key] = web
-    return web
-
-
-def fetch_batch(batch: pa.Table, web: SimWeb) -> pa.Table:
-    urls = batch.column("url").to_pylist()
+def build_web_index(fixture_dir: str | Path) -> dict:
+    """Driver-side: one pass over the fixture tables -> broadcastable
+    bundle of hash-sorted numpy arrays + Arrow payload/link data."""
+    fixture_dir = Path(fixture_dir)
+    pages = pq.read_table(fixture_dir / "pages.parquet")
+    urls = pages.column("url").to_pylist()
     n = len(urls)
-    status = np.full(n, 404, dtype=np.int32)
-    clen = np.zeros(n, dtype=np.int32)
-    img_ids: list = [None] * n
-    errors: list = [None] * n
-    outlinks: list = [[] for _ in range(n)]
-    img_rows = np.full(n, -1, dtype=np.int64)
+    hashes = np.fromiter((url_hash64(u) for u in urls), np.int64, n)
+    order = np.argsort(hashes)
+    bundle = {
+        "hash_sorted": hashes[order],
+        "status": pages.column("fetch_status").to_numpy()[order].astype(np.int32),
+        "clen": pages.column("content_len").to_numpy()[order].astype(np.int32),
+        "prio": pages.column("priority").cast(pa.int64()).to_numpy()[order],
+        # image row index: image_id is 'img-{row:08d}' into the images table
+        "img_row": np.fromiter(
+            (int(s[4:]) for s in pages.column("image_id").to_pylist()), np.int64, n
+        )[order],
+    }
+    links = pq.read_table(fixture_dir / "links.parquet")
+    src_h = np.fromiter(
+        (url_hash64(u) for u in links.column("src_url").to_pylist()),
+        np.int64,
+        links.num_rows,
+    )
+    pos = np.searchsorted(bundle["hash_sorted"], src_h)
+    link_order = np.argsort(pos, kind="stable")
+    counts = np.bincount(pos, minlength=n)
+    bundle["link_offsets"] = np.concatenate(
+        [np.zeros(1, np.int64), np.cumsum(counts)]
+    )
+    bundle["flat_dst"] = (
+        links.column("dst_url").take(pa.array(link_order)).combine_chunks()
+    )
+    # combine_chunks: take() on a multi-chunk table is ~100x slower than on
+    # contiguous arrays (pyarrow re-resolves chunks per index) — pay the
+    # one-time concat here, not per batch
+    bundle["images"] = pq.read_table(fixture_dir / "images.parquet").combine_chunks()
+    return bundle
 
-    for i, u in enumerate(urls):
-        pi = web.pages_idx.get(u)
-        if pi is None:
-            errors[i] = "HTTP 404 Not Found"
-            continue
-        st = int(web.page_status[pi])
-        status[i] = st
-        if st != 200:
-            errors[i] = ERROR_MESSAGES.get(st, f"HTTP {st}")
-            continue
-        clen[i] = int(web.page_clen[pi])
-        img_ids[i] = web.page_img[pi]
-        outlinks[i] = web.links.get(u, [])
-        img_rows[i] = web.images_idx.get(img_ids[i], -1)
 
-    # payload: take matched image rows once, scatter into null-padded arrays
-    have = np.nonzero(img_rows >= 0)[0]
-    img_sub = web.images.take(pa.array(img_rows[have])) if len(have) else None
+class WebIndex:
+    """Per-worker view of the broadcast web bundle (zero-copy arrays)."""
 
-    def scatter(col: str, typ):
-        vals: list = [None] * n
-        if img_sub is not None:
-            sub = img_sub.column(col).to_pylist()
-            for j, i in enumerate(have):
-                vals[i] = sub[j]
-        return pa.array(vals, typ)
+    _SENTINEL = np.iinfo(np.int64).min  # pad empty worlds so lookups no-op
+
+    def __init__(self, bundle: dict):
+        if len(bundle["hash_sorted"]) == 0:
+            bundle = dict(
+                bundle,
+                hash_sorted=np.array([self._SENTINEL], np.int64),
+                status=np.zeros(1, np.int32),
+                clen=np.zeros(1, np.int32),
+                prio=np.zeros(1, np.int64),
+                img_row=np.zeros(1, np.int64),
+                link_offsets=np.zeros(2, np.int64),
+            )
+        self.hash_sorted = bundle["hash_sorted"]
+        self.status = bundle["status"]
+        self.clen = bundle["clen"]
+        self.prio = bundle["prio"]
+        self.img_row = bundle["img_row"]
+        self.link_offsets = bundle["link_offsets"]
+        self.flat_dst = bundle["flat_dst"]
+        self.images = bundle["images"]
+        self.n = len(self.hash_sorted)
+
+
+_INDEX_CACHE: dict = {}
+
+
+def get_web_index(bundle_ref) -> WebIndex:
+    from . import pin_worker_threads
+
+    pin_worker_threads()
+    idx = _INDEX_CACHE.get(bundle_ref)
+    if idx is None:
+        idx = WebIndex(ray.get(bundle_ref))
+        _INDEX_CACHE.clear()  # at most one world per worker
+        _INDEX_CACHE[bundle_ref] = idx
+    return idx
+
+
+def fetch_batch(batch: pa.Table, idx: WebIndex) -> pa.Table:
+    h = batch.column("url_hash").to_numpy()
+    m = len(h)
+    pos = np.clip(np.searchsorted(idx.hash_sorted, h), 0, idx.n - 1)
+    found = idx.hash_sorted[pos] == h
+
+    status = np.where(found, idx.status[pos], 404).astype(np.int32)
+    ok = found & (status == 200)
+    clen = np.where(ok, idx.clen[pos], 0).astype(np.int32)
+    img_rows = np.where(ok, idx.img_row[pos], 0)
+
+    # payload: take with null-masked indices -> nulls where not ok
+    take_idx = pa.array(img_rows, type=pa.int64(), mask=~ok)
+    img = idx.images.take(take_idx)
+
+    # out-links: gather ranges from the flat adjacency, one take, ListArray
+    starts = np.where(ok, idx.link_offsets[pos], 0)
+    cnt = np.where(ok, idx.link_offsets[pos + 1] - idx.link_offsets[pos], 0)
+    total = int(cnt.sum())
+    if total:
+        gather = np.repeat(starts, cnt) + (
+            np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        )
+        values = idx.flat_dst.take(pa.array(gather, pa.int64()))
+    else:
+        values = pa.array([], pa.string())
+    offsets = np.concatenate([np.zeros(1, np.int64), np.cumsum(cnt)]).astype(np.int32)
+    outlinks = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), values)
+
+    # error strings: only the (rare) non-ok rows, row-wise
+    errors: list = [None] * m
+    for i in np.nonzero(~ok)[0]:
+        errors[i] = (
+            "HTTP 404 Not Found"
+            if not found[i]
+            else ERROR_MESSAGES.get(int(status[i]), f"HTTP {int(status[i])}")
+        )
 
     return pa.table(
         {
             "url": batch.column("url"),
             "host": batch.column("host"),
+            "url_hash": batch.column("url_hash"),
             "priority": batch.column("priority"),
             "depth": batch.column("depth"),
             "status": pa.array(status),
-            "image_id": pa.array(img_ids, pa.string()),
-            "bytes": scatter("bytes", pa.binary()),
-            "w": scatter("w", pa.int32()),
-            "h": scatter("h", pa.int32()),
-            "fmt": scatter("fmt", pa.string()),
-            "caption": scatter("caption", pa.string()),
-            "phash": scatter("phash", pa.int64()),
+            "image_id": img.column("image_id"),
+            "bytes": img.column("bytes"),
+            "w": img.column("w"),
+            "h": img.column("h"),
+            "fmt": img.column("fmt"),
+            "caption": img.column("caption"),
+            "phash": img.column("phash"),
             "content_len": pa.array(clen),
             "extraction_error": pa.array(errors, pa.string()),
-            "outlinks": pa.array(outlinks, pa.list_(pa.string())),
+            "outlinks": outlinks,
         },
         schema=FETCHED_SCHEMA,
     )
 
 
-def make_fetch_fn(pages_ref, images_ref, links_ref):
-    """Task-form fetch stage: worker-global web index, zero per-wave setup."""
+def make_fetch_fn(bundle_ref):
+    """Task-form fetch stage: zero-copy per-worker index, O(ms) setup."""
 
     def fetch(batch: pa.Table) -> pa.Table:
-        return fetch_batch(batch, get_web(pages_ref, images_ref, links_ref))
+        return fetch_batch(batch, get_web_index(bundle_ref))
 
     return fetch
 
 
 class SimFetcher:
-    """Actor-pool form of the fetch stage (``map_batches(SimFetcher,
-    concurrency=N)``) — the shape a live-web fetcher with per-actor HTTP
-    sessions would take. The wave loop uses the fused task form above."""
+    """Actor-pool form of the fetch stage (the shape a live-web fetcher
+    with per-actor HTTP sessions would take); the wave loop uses the
+    fused task form above."""
 
-    def __init__(self, pages_ref, images_ref, links_ref):
-        self.web = SimWeb(ray.get(pages_ref), ray.get(images_ref), ray.get(links_ref))
+    def __init__(self, bundle_ref):
+        self.idx = WebIndex(ray.get(bundle_ref))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return fetch_batch(batch, self.web)
+        return fetch_batch(batch, self.idx)

@@ -4,14 +4,14 @@ The discovery half of the crawl loop (SURVEY.md J4 Full-Coverage expansion
 ``google_news_crawler.py:274-326`` + D2/D3 dedup + J2 excluded-domain
 anti-join ``utils/url_utils.py:18-34``), distributed:
 
-  1. explode each fetched row's out-links, canonicalize (M8 analog)
+  1. explode each fetched row's out-links, canonicalize + hash (M8 analog)
   2. blocklist + robots disallow-prefix anti-filter (blocked URLs never
      reach the seen-set — identical rule in the oracle)
   3. batch-group by ``shard_of_hash`` and check-and-add on the owning
      SeenShard (atomic per shard -> no double-enqueue)
-  4. group novel URLs by ``shard_of_host`` and push to FrontierShards
-     with their priority (in the simulation, priority comes from the
-     broadcast per-URL metadata map — the analog of the listing page's
+  4. group novel URLs by ``shard_of_host`` and push to FrontierShards with
+     their priority — looked up by ``np.searchsorted`` on the broadcast
+     hash-sorted priority array (the analog of the listing page's
      ``<time datetime>`` the reference parses per article, SURVEY M7)
 
 Pushes and metric increments are ``ray.get``-ed before the batch returns,
@@ -19,7 +19,7 @@ so by the time a wave's sink finishes, every discovered URL is visible to
 the next ``pop_wave`` — no lost frontier rows from in-flight messages.
 
 The batch itself passes through unchanged minus the ``outlinks`` column
-(payload bytes are untouched — routing ships only URL strings).
+(payload bytes are untouched — routing ships only URL strings + hashes).
 """
 
 from __future__ import annotations
@@ -40,11 +40,15 @@ def route_candidates(
     frontier_actors: list,
     blocklist: frozenset,
     robots: dict[str, list[str]],
-    priority_of: dict[str, int],
+    priority_index: tuple[np.ndarray, np.ndarray],
     metrics_actor=None,
     default_priority: int = 0,
 ) -> dict[str, int]:
-    """Shared by the LinkRouter stage and the driver's seed push."""
+    """Shared by the LinkRouter stage and the driver's seed push.
+
+    ``priority_index`` = (hash_sorted int64[n], prio int64[n]) — the
+    broadcast per-URL priority lookup, resolved zero-copy per worker.
+    """
     if not raw_urls:
         return {"candidates": 0, "blocked": 0, "novel": 0}
     canon, hosts, hashes = canonicalize_batch(raw_urls)
@@ -75,6 +79,16 @@ def route_candidates(
     for gi, mask in zip(groups, ray.get(futures)):
         novel_idx.extend(int(i) for i in gi[np.asarray(mask)])
 
+    # vectorized priority lookup for the novel URLs
+    hash_sorted, prio_sorted = priority_index
+    prios: dict[int, int] = {}
+    if novel_idx and len(hash_sorted):
+        nh = hashes[novel_idx]
+        pos = np.clip(np.searchsorted(hash_sorted, nh), 0, len(hash_sorted) - 1)
+        found = hash_sorted[pos] == nh
+        looked = np.where(found, prio_sorted[pos], default_priority)
+        prios = dict(zip(novel_idx, looked.tolist()))
+
     n_frontier = len(frontier_actors)
     pushes = []
     by_shard: dict[int, list[int]] = {}
@@ -85,8 +99,9 @@ def route_candidates(
             frontier_actors[s].push.remote(
                 [canon[i] for i in gi],
                 [hosts[i] for i in gi],
-                [priority_of.get(canon[i], default_priority) for i in gi],
+                [prios.get(i, default_priority) for i in gi],
                 [int(depths[i]) for i in gi],
+                [int(hashes[i]) for i in gi],
             )
         )
     counts = {"candidates": len(raw_urls), "blocked": blocked, "novel": len(novel_idx)}
@@ -97,7 +112,21 @@ def route_candidates(
     return counts
 
 
-def _route_batch(batch: pa.Table, seen, frontier, blocklist, robots, priority_of, metrics) -> pa.Table:
+_PRIORITY_CACHE: dict = {}
+
+
+def _resolve_priority(priority_ref) -> tuple[np.ndarray, np.ndarray]:
+    pi = _PRIORITY_CACHE.get(priority_ref)
+    if pi is None:
+        pi = ray.get(priority_ref)  # (hash_sorted, prio) numpy arrays, zero-copy
+        _PRIORITY_CACHE.clear()
+        _PRIORITY_CACHE[priority_ref] = pi
+    return pi
+
+
+def _route_batch(
+    batch: pa.Table, seen, frontier, blocklist, robots, priority_index, metrics
+) -> pa.Table:
     links_col = batch.column("outlinks")
     depths = batch.column("depth").to_pylist()
     raw, link_depths = [], []
@@ -106,12 +135,9 @@ def _route_batch(batch: pa.Table, seen, frontier, blocklist, robots, priority_of
             raw.extend(row_links)
             link_depths.extend([d + 1] * len(row_links))
     route_candidates(
-        raw, link_depths, seen, frontier, blocklist, robots, priority_of, metrics
+        raw, link_depths, seen, frontier, blocklist, robots, priority_index, metrics
     )
     return batch.drop_columns(["outlinks"])
-
-
-_PRIORITY_CACHE: dict = {}
 
 
 def make_route_fn(
@@ -122,17 +148,17 @@ def make_route_fn(
     priority_ref,
     metrics_actor=None,
 ):
-    """Task-form router: the broadcast priority map is resolved once per
-    worker process (module-global cache), so per-wave setup is zero."""
+    """Task-form router; the broadcast priority arrays resolve zero-copy
+    once per worker process."""
 
     def route(batch: pa.Table) -> pa.Table:
-        priority_of = _PRIORITY_CACHE.get(priority_ref)
-        if priority_of is None:
-            priority_of = ray.get(priority_ref)
-            _PRIORITY_CACHE.clear()
-            _PRIORITY_CACHE[priority_ref] = priority_of
         return _route_batch(
-            batch, seen_actors, frontier_actors, blocklist, robots, priority_of,
+            batch,
+            seen_actors,
+            frontier_actors,
+            blocklist,
+            robots,
+            _resolve_priority(priority_ref),
             metrics_actor,
         )
 
@@ -156,11 +182,11 @@ class LinkRouter:
         self.frontier = frontier_actors
         self.blocklist = blocklist
         self.robots = robots
-        self.priority_of: dict[str, int] = ray.get(priority_ref)
+        self.priority_index = ray.get(priority_ref)
         self.metrics = metrics_actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return _route_batch(
             batch, self.seen, self.frontier, self.blocklist, self.robots,
-            self.priority_of, self.metrics,
+            self.priority_index, self.metrics,
         )

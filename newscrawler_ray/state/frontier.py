@@ -43,6 +43,7 @@ FRONTIER_SCHEMA = pa.schema(
     [
         ("url", pa.string()),
         ("host", pa.string()),
+        ("url_hash", pa.int64()),  # stable 64-bit canonical-URL hash
         ("priority", pa.int64()),  # epoch microseconds
         ("depth", pa.int32()),
     ]
@@ -70,28 +71,34 @@ class FrontierShard:
         return self.host_intervals.get(host, self.default_interval_ms)
 
     def push(
-        self, urls: list[str], hosts: list[str], priorities: list[int], depths: list[int]
+        self,
+        urls: list[str],
+        hosts: list[str],
+        priorities: list[int],
+        depths: list[int],
+        hashes: list[int],
     ) -> int:
-        for u, h, p, d in zip(urls, hosts, priorities, depths):
-            heapq.heappush(self.heaps.setdefault(h, []), (-int(p), u, int(d)))
+        for u, h, p, d, uh in zip(urls, hosts, priorities, depths, hashes):
+            heapq.heappush(self.heaps.setdefault(h, []), (-int(p), u, int(d), int(uh)))
         self.pending += len(urls)
         self.pushed += len(urls)
         return len(urls)
 
     def pop_wave(self, window_ms: int = 60_000) -> pa.Table | None:
         """Release <= window/interval URLs per host; advance virtual clocks."""
-        urls, hosts, prios, depths = [], [], [], []
+        urls, hosts, prios, depths, hashes = [], [], [], [], []
         empty_hosts = []
         for host, heap in self.heaps.items():
             interval = self._interval(host)
             budget = max(1, window_ms // interval)
             n = min(budget, len(heap))
             for _ in range(n):
-                negp, u, d = heapq.heappop(heap)
+                negp, u, d, uh = heapq.heappop(heap)
                 urls.append(u)
                 hosts.append(host)
                 prios.append(-negp)
                 depths.append(d)
+                hashes.append(uh)
             self.host_clock_ms[host] = self.host_clock_ms.get(host, 0) + n * interval
             if not heap:
                 empty_hosts.append(host)
@@ -105,6 +112,7 @@ class FrontierShard:
             {
                 "url": pa.array(urls, pa.string()),
                 "host": pa.array(hosts, pa.string()),
+                "url_hash": pa.array(hashes, pa.int64()),
                 "priority": pa.array(prios, pa.int64()),
                 "depth": pa.array(depths, pa.int32()),
             },
