@@ -187,13 +187,16 @@ def phash64(img: np.ndarray) -> int:
     """
     gray = img.astype(np.float64).mean(axis=2)
     h, w = gray.shape
-    # block-mean resize to 8x8 using index binning (works for any h, w >= 8)
-    ys = (np.arange(h) * 8) // h
-    xs = (np.arange(w) * 8) // w
-    small = np.zeros((8, 8), dtype=np.float64)
-    counts = np.zeros((8, 8), dtype=np.int64)
-    np.add.at(small, (ys[:, None], xs[None, :]), gray)
-    np.add.at(counts, (ys[:, None], xs[None, :]), 1)
+    # block-mean resize to 8x8: pixel i -> block (i*8)//h, i.e. contiguous
+    # runs starting at ceil(b*h/8) — reduceat over run starts (vectorized;
+    # same partition and exact integer sums as an index-binned scatter)
+    ys = (np.arange(8) * h + 7) // 8
+    xs = (np.arange(8) * w + 7) // 8
+    rows = np.add.reduceat(gray, ys, axis=0)
+    small = np.add.reduceat(rows, xs, axis=1)
+    counts = np.outer(
+        np.diff(np.append(ys, h)), np.diff(np.append(xs, w))
+    ).astype(np.float64)
     small /= np.maximum(counts, 1)
     bits = (small > small.mean()).flatten()
     val = np.sum(bits.astype(np.uint64) << np.arange(64, dtype=np.uint64))

@@ -43,15 +43,27 @@ def sample_video_frames(data: bytes, every_n: int = 30) -> list[np.ndarray]:
 
 
 def block_mean_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Deterministic block-mean downsample (any size -> out_h x out_w)."""
-    h, w, c = img.shape
-    ys = (np.arange(h) * out_h) // h
-    xs = (np.arange(w) * out_w) // w
-    acc = np.zeros((out_h, out_w, c), dtype=np.float64)
-    cnt = np.zeros((out_h, out_w, 1), dtype=np.int64)
-    np.add.at(acc, (ys[:, None], xs[None, :]), img.astype(np.float64))
-    np.add.at(cnt, (ys[:, None], xs[None, :]), 1)
-    return (acc / np.maximum(cnt, 1)).round().astype(np.uint8)
+    """Deterministic block-mean downsample (any size -> out_h x out_w).
+
+    Downsampled axes: pixel i maps to block (i*out)/in — contiguous runs,
+    so the mean is a vectorized ``reduceat`` (no scatter atomics).
+    Upsampled axes: nearest-neighbor gather."""
+
+    def axis_reduce(arr: np.ndarray, n_in: int, n_out: int, axis: int):
+        if n_in >= n_out:
+            starts = (np.arange(n_out) * n_in + n_out - 1) // n_out
+            return (
+                np.add.reduceat(arr, starts, axis=axis),
+                np.diff(np.append(starts, n_in)),
+            )
+        idx = (np.arange(n_out) * n_in) // n_out
+        return np.take(arr, idx, axis=axis), np.ones(n_out, np.int64)
+
+    h, w, _ = img.shape
+    rows, ny = axis_reduce(img.astype(np.float64), h, out_h, 0)
+    acc, nx = axis_reduce(rows, w, out_w, 1)
+    cnt = np.outer(ny, nx)
+    return (acc / cnt[:, :, None]).round().astype(np.uint8)
 
 
 class ImageFeatures:
