@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_offset": Q.page_offset,
         # dedup (SURVEY D2/D3)
         "dedup_first_wins": Q.dedup_first_wins,
+        # bulk delete rewrite (SURVEY K5) + sampling (O4 extension)
+        "purge_old_events": Q.purge_old_events,
+        "sample_events": Q.sample_events,
         # joins (SURVEY J1-J3)
         "seg_revenue": Q.seg_revenue,
         "nation_orders": Q.nation_orders,
@@ -181,6 +184,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_first_wins": """
             SELECT user_id, event_type, min(event_id) AS first_event_id
             FROM events GROUP BY user_id, event_type""",
+        "purge_old_events": """
+            SELECT event_id, ts, event_type FROM events
+            WHERE ts >= TIMESTAMP '2024-01-15'""",
         "seg_revenue": """
             SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
                    count(*) AS n_orders

@@ -40,6 +40,13 @@ def summarize_array(arr: pa.ChunkedArray | pa.Array, n: int = 200) -> pa.Array:
     return pc.binary_join_element_wise(head, pa.scalar("..."), "")
 
 
+def strip_publisher_suffix(title: str) -> str:
+    """Headline cleaner (reference M11, ``google_news_crawler.py:433-437``):
+    drop a trailing ``' - Publisher'`` segment if present."""
+    head, sep, _ = title.rpartition(" - ")
+    return head if sep else title
+
+
 def whole_word_pattern(keyword: str) -> str:
     """RE2-compatible equivalent of PostgreSQL ``\\y kw \\y`` word bounds."""
     return r"\b" + re.escape(keyword.strip()) + r"\b"

@@ -207,6 +207,27 @@ def excluded_filter(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+def purge_old_events(sf_dir: str) -> rd.Dataset:
+    """Delete-by-age rewrite (reference K5, ``scripts/db_manage.py:62-90``):
+    the kept rows of a bulk delete expressed as a streaming anti-filter —
+    at scale this rewrites the table partition by partition."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "event_type"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        cutoff = pa.scalar(pc.strptime("2024-01-15", "%Y-%m-%d", "us").as_py())
+        return batch.filter(pc.greater_equal(batch.column("ts"), cutoff))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sample_events(sf_dir: str) -> rd.Dataset:
+    """Seeded record sampling (the one thing the reference's randomness
+    never does — SURVEY O4 — but a training-data pipeline needs).
+    Deterministic per seed; rows-only check (no SQL sampling oracle)."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type"])
+    return ds.random_sample(0.1, seed=7)
+
+
 # ------------------------------------------------------------ sort / top-k
 
 

@@ -67,5 +67,6 @@ def test_every_query_has_oracle_or_is_marked():
     assert missing <= {"crawl_e2e"} | {
         n for n in qs if n.startswith(("minhash", "simhash", "ngram", "knn",
                                        "embedding", "lang_id", "quality",
-                                       "fingerprint", "phash", "image", "crawl"))
+                                       "fingerprint", "phash", "image", "crawl",
+                                       "sample"))
     }

@@ -45,6 +45,14 @@ def test_is_blocked_subdomain_suffix():
     assert not is_blocked("bad.com.evil.org", bl)
 
 
+def test_strip_publisher_suffix():
+    from newscrawler_ray.functions.text import strip_publisher_suffix
+
+    assert strip_publisher_suffix("Big News - The Daily") == "Big News"
+    assert strip_publisher_suffix("No suffix here") == "No suffix here"
+    assert strip_publisher_suffix("A - B - C") == "A - B"
+
+
 def test_canonicalize_batch_matches_scalar():
     urls = ["https://www.A.com/x/", "http://b.com/y#z", "http://c.com:8080/q?a=1"]
     canon, hosts, hashes = canonicalize_batch(urls)
