@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_brand_stats": Q.part_brand_stats,
         "orders_by_status": Q.orders_by_status,
         "shipped_before_agg": Q.shipped_before_agg,
+        "salted_returnflag_agg": Q.salted_returnflag_agg,
         # search / filters (SURVEY §3.3, M1, M3)
         "search_keywords": Q.search_keywords,
         "search_substring": Q.search_substring,
@@ -166,6 +167,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
             GROUP BY l_returnflag""",
+        "salted_returnflag_agg": """
+            SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag""",
         "search_keywords": r"""
             SELECT doc_id, source, n_chars FROM documents
             WHERE regexp_matches(text, '(?i)\bspark\b')

@@ -268,10 +268,37 @@ def run_crawl(
                 return {"stopped_after_wave": wave, "partial": True}
             wave += 1
 
-        # final metrics
+        # final metrics — per-partition rows (north_rule: per-partition
+        # fetch/dedupe metrics) written next to the output for lineage
         seen_counts = ray.get([a.counters.remote() for a in state.seen])
         frontier_counts = ray.get([a.counters.remote() for a in state.frontier])
         route_counts = ray.get(state.metrics.get.remote())
+        metrics_rows = [
+            {
+                "kind": "seen",
+                "shard": i,
+                "added": c["added"],
+                "dup_hits": c["dup_hits"],
+                "pushed": None,
+                "popped": None,
+                "makespan_ms": None,
+            }
+            for i, c in enumerate(seen_counts)
+        ] + [
+            {
+                "kind": "frontier",
+                "shard": i,
+                "added": None,
+                "dup_hits": None,
+                "pushed": c["pushed"],
+                "popped": c["popped"],
+                "makespan_ms": c["makespan_ms"],
+            }
+            for i, c in enumerate(frontier_counts)
+        ]
+        pq.write_table(
+            pa.Table.from_pylist(metrics_rows), out_dir / "metrics.parquet"
+        )
         seen_urls = sorted(
             u for part in ray.get([a.contents.remote() for a in state.seen]) for u in part
         )
@@ -284,6 +311,7 @@ def run_crawl(
             "makespan_ms": max(c["makespan_ms"] for c in frontier_counts),
             "seen": seen_urls,
             "out_dir": str(out_dir),
+            "metrics_path": str(out_dir / "metrics.parquet"),
             "partial": False,
         }
     finally:

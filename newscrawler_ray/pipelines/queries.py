@@ -207,6 +207,23 @@ def excluded_filter(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(filt, batch_format="pyarrow")
 
 
+def salted_returnflag_agg(sf_dir: str) -> rd.Dataset:
+    """Hot-key aggregation with explicit salting (north_rule skew
+    mitigation): l_returnflag has 3 values over 600k rows — every key is
+    hot — so the first groupby runs on (key, salt) and the reduce fans
+    out 16-way per key before a tiny final merge. Same result as a
+    direct groupby (the SQL oracle)."""
+    from ..functions.skew import salted_groupby_sum
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity"]
+    )
+    out = salted_groupby_sum(
+        ds, "l_returnflag", {"l_quantity": "sum_qty"}, count_alias="n"
+    )
+    return _round_col(out, {"sum_qty": 2})
+
+
 def purge_old_events(sf_dir: str) -> rd.Dataset:
     """Delete-by-age rewrite (reference K5, ``scripts/db_manage.py:62-90``):
     the kept rows of a bulk delete expressed as a streaming anti-filter —

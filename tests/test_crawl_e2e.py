@@ -79,6 +79,21 @@ def test_error_rows_present(crawl_run):
     assert err_map == oracle_errs
 
 
+def test_per_partition_metrics_written(crawl_run):
+    import pyarrow.parquet as pq
+
+    res, out, oracle = crawl_run
+    t = pq.read_table(res["metrics_path"])
+    rows = t.to_pylist()
+    seen_rows = [r for r in rows if r["kind"] == "seen"]
+    frontier_rows = [r for r in rows if r["kind"] == "frontier"]
+    assert len(seen_rows) == 3 and len(frontier_rows) == 3
+    assert sum(r["added"] for r in seen_rows) == oracle.metrics["enqueued"]
+    assert sum(r["dup_hits"] for r in seen_rows) == oracle.metrics["dedup_hits"]
+    assert sum(r["popped"] for r in frontier_rows) == oracle.metrics["fetched"]
+    assert max(r["makespan_ms"] for r in frontier_rows) == oracle.makespan_ms
+
+
 def test_resume_equals_uninterrupted(ray_session, fixture_dir, tmp_path_factory, crawl_run):
     _, full_out, oracle = crawl_run
     out = tmp_path_factory.mktemp("crawl_resume") / "out"
