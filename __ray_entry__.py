@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": D.exact_dedup_docs,
         "minhash_near_dup": lambda sf: D.minhash_lsh_pairs(sf, threshold=0.5),
         "simhash_docs": D.simhash_docs,
+        "simhash_near_dup": lambda sf: D.simhash_near_dup_pairs(sf),
         "embedding_near_dup": lambda sf: D.embedding_near_dup(sf, tau=0.4),
         # similarity search
         "knn_topk": S.knn_topk,

@@ -235,6 +235,67 @@ def simhash_docs(sf_dir: str, docs: rd.Dataset | None = None) -> rd.Dataset:
     return docs.map_batches(sh, batch_format="pyarrow")
 
 
+def simhash_near_dup_pairs(
+    sf_dir: str, *, max_hamming: int = 3, docs: rd.Dataset | None = None
+) -> rd.Dataset:
+    """Hamming-radius SimHash near-dup pairs via the 4-band pigeonhole:
+    two 64-bit hashes within hamming distance 3 agree EXACTLY on at least
+    one of four 16-bit quarters, so candidates = groupby on each quarter
+    (same shuffle shape as MinHash banding), then verify the full distance.
+    """
+    sh = simhash_docs(sf_dir, docs=docs)
+
+    def quarters(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        h = batch.column("simhash").to_numpy().view(np.uint64)
+        out_ids, out_band, out_key, out_hash = [], [], [], []
+        for b in range(4):
+            q = ((h >> _U64(16 * b)) & _U64(0xFFFF)).astype(np.int64)
+            out_ids.extend(ids.tolist())
+            out_band.extend([b] * len(ids))
+            out_key.extend(q.tolist())
+            out_hash.extend(batch.column("simhash").to_pylist())
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "key": pa.array(out_key, pa.int64()),
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "simhash": pa.array(out_hash, pa.int64()),
+            }
+        )
+
+    bands = sh.map_batches(quarters, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_pylist()
+        hs = group.column("simhash").to_pylist()
+        order = np.argsort(ids)
+        a, b, d = [], [], []
+        for i in range(len(order)):
+            for j in range(i + 1, len(order)):
+                x, y = order[i], order[j]
+                ham = bin((hs[x] ^ hs[y]) & ((1 << 64) - 1)).count("1")
+                if ham <= max_hamming:
+                    a.append(ids[x])
+                    b.append(ids[y])
+                    d.append(ham)
+        return pa.table(
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+                "hamming": pa.array(d, pa.int64()),
+            }
+        )
+
+    pairs = bands.groupby(["band", "key"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    # a pair can match in several quarters — dedupe
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
 # ----------------------------------------------------------- embedding dups
 
 

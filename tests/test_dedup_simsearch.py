@@ -53,6 +53,17 @@ def test_simhash_near_texts_close(ray_session):
     assert ham <= 16
 
 
+def test_simhash_near_dup_pairs_planted(ray_session):
+    ds = _planted_docs()
+    pairs = dedup.simhash_near_dup_pairs(SF, max_hamming=16, docs=ds).take_all()
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert found.get((1, 4)) == 0  # exact dup: guaranteed candidate + verify
+    # distant docs must never pair (verify gate), regardless of banding
+    assert (1, 3) not in found and (2, 3) not in found
+    for ham in found.values():
+        assert ham <= 16
+
+
 def test_exact_dedup_docs_matches_sql(ray_session):
     import duckdb
 
