@@ -102,7 +102,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": lambda sf: D.embedding_near_dup(sf, tau=0.4),
         # similarity search
         "knn_topk": S.knn_topk,
+        "knn_multi": S.knn_multi,
         "knn_ivf_topk": S.knn_ivf,
+        # gap sessionization (SURVEY §2.9 streaming analog)
+        "user_sessions": SRC.user_sessions,
         # text analysis (rows-only: heuristics not SQL-expressible)
         "lang_id_docs": T.lang_id,
         "quality_score_docs": T.quality_score,
@@ -236,4 +239,23 @@ def oracle_sql() -> dict[str, str]:
                 embedding,
                 (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id
             LIMIT 10""",
+        "knn_multi": """
+            SELECT q.vec_id AS query_id, e.vec_id
+            FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+            WHERE q.vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 5)
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
+                         e.vec_id) <= 5""",
+        "user_sessions": """
+            SELECT user_id, count(*) AS n_events,
+                   CAST(1 + COALESCE(sum(CASE WHEN gap THEN 1 ELSE 0 END), 0) AS BIGINT)
+                       AS n_sessions
+            FROM (
+                SELECT user_id,
+                       ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                           > INTERVAL 60 MINUTE AS gap
+                FROM events
+            ) GROUP BY user_id""",
     }

@@ -58,6 +58,58 @@ def knn_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10) -> pa.Table:
     return pa.table({"vec_id": pa.array([r["vec_id"] for r in rows], pa.int64())})
 
 
+def knn_multi(
+    sf_dir: str, *, n_queries: int = 5, k: int = 5
+) -> pa.Table:
+    """Multi-query brute-force top-k: every batch is matmul-ed against a
+    BROADCAST QUERY MATRIX (one numpy GEMM per batch, all queries at
+    once); per-batch top-k per query pruned before the tiny global merge.
+    This is the shape that scales: queries ship once, batches stream."""
+    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    order = np.argsort(ids)
+    q_ids = ids[order[:n_queries]]
+    E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    Q = _norm(E[order[:n_queries]])
+    q_ref = ray.put((q_ids, Q))
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qids, qm = ray.get(q_ref)
+        bids = batch.column("vec_id").to_numpy()
+        B = _norm(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        sims = B @ qm.T  # (batch, n_queries) — one GEMM
+        out_q, out_v, out_s = [], [], []
+        for j, qid in enumerate(qids):
+            mask = bids != qid
+            cand_ids, cand_sims = bids[mask], sims[mask, j]
+            top = np.argsort(-cand_sims, kind="stable")[:k]
+            out_q.extend([int(qid)] * len(top))
+            out_v.extend(cand_ids[top].tolist())
+            out_s.extend(cand_sims[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "sim": pa.array(out_s),
+            }
+        )
+
+    parts = ds.map_batches(batch_topk, batch_format="pyarrow")
+    rows = parts.sort(["query_id", "sim", "vec_id"], descending=[False, True, False]).take_all()
+    out_q, out_v, seen_count = [], [], {}
+    for r in rows:
+        c = seen_count.get(r["query_id"], 0)
+        if c < k:
+            out_q.append(r["query_id"])
+            out_v.append(r["vec_id"])
+            seen_count[r["query_id"]] = c + 1
+    return pa.table(
+        {"query_id": pa.array(out_q, pa.int64()), "vec_id": pa.array(out_v, pa.int64())}
+    )
+
+
 # ------------------------------------------------------------------ IVF
 
 

@@ -112,6 +112,31 @@ def multi_source_union(sf_dir: str, sources: list[str] | None = None) -> rd.Data
     return out.select_columns(["doc_id", "source", "lang"])
 
 
+def user_sessions(sf_dir: str, *, gap_minutes: int = 60) -> rd.Dataset:
+    """Gap-based sessionization (SURVEY §2.9 streaming analog): events are
+    partitioned by user and sorted by time inside ``map_groups``; a new
+    session starts when the gap to the previous event exceeds
+    ``gap_minutes``. Ordering assumption: within-group sort — no global
+    order needed, so this scales as a single hash shuffle by user."""
+    import pandas as pd
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        n_sessions = int(gap.sum()) + 1
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
 def user_event_sequence(sf_dir: str) -> rd.Dataset:
     """Grouped ordered collect (reference A4 headline-cluster analog,
     ``google_news_crawler.py:388-440``): per user, the comma-joined
