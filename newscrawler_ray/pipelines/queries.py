@@ -40,10 +40,16 @@ def _p(sf_dir: str, table: str) -> str:
 
 
 def _round_col(ds: rd.Dataset, cols: dict[str, int]) -> rd.Dataset:
+    """Round float columns with numpy (NOT pc.round: arrow's kernel is
+    off by one ulp from DuckDB/numpy/python rounding for some values,
+    which breaks bit-level value-hash comparison against the oracle)."""
+    import numpy as np
+
     def rnd(batch: pa.Table) -> pa.Table:
         for c, nd in cols.items():
+            rounded = np.round(batch.column(c).to_numpy(zero_copy_only=False), nd)
             batch = batch.set_column(
-                batch.schema.get_field_index(c), c, pc.round(batch.column(c), nd)
+                batch.schema.get_field_index(c), c, pa.array(rounded)
             )
         return batch
 
@@ -334,7 +340,17 @@ def events_daily_window(sf_dir: str) -> rd.Dataset:
     out = ds.groupby(["event_type", "day"]).aggregate(
         Count(alias_name="n"), Sum("value", alias_name="total")
     )
-    return _round_col(out, {"total": 4})
+    out = _round_col(out, {"total": 4})
+
+    def fix_day_unit(batch: pa.Table) -> pa.Table:
+        # the groupby shuffle downcasts day to second precision; restore
+        # timestamp[us] so the schema matches the SQL oracle exactly
+        i = batch.schema.get_field_index("day")
+        return batch.set_column(
+            i, "day", pc.cast(batch.column("day"), pa.timestamp("us"))
+        )
+
+    return out.map_batches(fix_day_unit, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ text stats
