@@ -95,7 +95,7 @@ def run_bench() -> dict:
         t0 = time.time()
         res = run_crawl(
             fx, "/tmp/newscrawler_ray_bench_crawl", wave_window_ms=86_400_000,
-            checkpoint=False,
+            checkpoint=False, pipeline_waves=3,
         )
         crawl_secs.append(time.time() - t0)
     crawl_sec = round(min(crawl_secs), 3)

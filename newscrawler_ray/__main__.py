@@ -26,6 +26,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--wave-window-ms", type=int, default=600_000)
     p.add_argument("--no-checkpoint", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--pipeline-waves", type=int, default=1,
+                   help=">1 overlaps wave executions (throughput mode; "
+                        "requires --no-checkpoint)")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="only for standalone runs; ignored under ray job submit")
     args = p.parse_args(argv)
@@ -51,6 +54,7 @@ def main(argv: list[str] | None = None) -> int:
         wave_window_ms=args.wave_window_ms,
         checkpoint=not args.no_checkpoint,
         resume=args.resume,
+        pipeline_waves=args.pipeline_waves,
     )
     res.pop("seen", None)  # too large for stdout; it's in the output table
     print(json.dumps(res))

@@ -175,7 +175,18 @@ def run_crawl(
     checkpoint: bool = True,
     stop_after_wave: int | None = None,
     resume: bool = False,
+    pipeline_waves: int = 1,
 ) -> dict:
+    """``pipeline_waves > 1`` overlaps wave executions: while wave K's
+    Dataset is still streaming, newly-routed URLs are popped and launched
+    as wave K+1 from another driver thread. Correct because the seen-set
+    is the BFS closure and the output ordering a data-derived sort — both
+    invariant to how URLs are partitioned into waves (the e2e oracle
+    tests run in this mode too). Hides the per-execution launch latency
+    that otherwise serializes at BFS depth. Incompatible with
+    checkpointing (a mid-overlap snapshot isn't a consistent cut): the
+    durable path is sequential mode; the throughput path is this one.
+    """
     fixture_dir = Path(fixture_dir)
     out_dir = Path(out_dir)
     waves_dir = out_dir / "waves"
@@ -223,19 +234,9 @@ def run_crawl(
             state.metrics,
         )
         extract = make_extract_stage(min_content_len)
-        wave = start_wave
-        while True:
-            tables = [
-                t
-                for t in ray.get(
-                    [f.pop_wave.remote(wave_window_ms) for f in state.frontier]
-                )
-                if t is not None
-            ]
-            if not tables:
-                break
+
+        def execute_wave(tables: list[pa.Table], wave_dir: Path) -> None:
             total_rows = sum(t.num_rows for t in tables)
-            wave_dir = waves_dir / f"wave={wave:04d}"
             if total_rows <= INLINE_WAVE_ROWS:
                 # tiny tail wave: run the identical stages on the driver
                 batch = pa.concat_tables(tables)
@@ -246,27 +247,78 @@ def run_crawl(
                 )
                 wave_dir.mkdir(parents=True, exist_ok=True)
                 pq.write_table(extract(routed), wave_dir / "part-inline.parquet")
-            else:
-                # one block per fused task; target ~1 block per CPU (zero-copy
-                # slices). Too-small blocks make the run dispatch-bound: the
-                # streaming executor costs ~40-50 ms per task launch.
-                ncpu = int(ray.cluster_resources().get("CPU", 8))
-                block_rows = max(batch_size, -(-total_rows // ncpu))
-                slices = [
-                    t.slice(lo, block_rows)
-                    for t in tables
-                    for lo in range(0, t.num_rows, block_rows)
-                ]
-                ds = rd.from_arrow(slices)
-                ds = ds.map_batches(fetch, batch_size=batch_size, batch_format="pyarrow")
-                ds = ds.map_batches(route, batch_size=batch_size, batch_format="pyarrow")
-                ds = ds.map_batches(extract, batch_size=batch_size, batch_format="pyarrow")
-                ds.write_parquet(str(wave_dir))
-            if checkpoint:
-                _checkpoint(state, ckpt_dir, wave, fixture_dir)
-            if stop_after_wave is not None and wave >= stop_after_wave:
-                return {"stopped_after_wave": wave, "partial": True}
-            wave += 1
+                return
+            # one block per fused task; target ~1 block per CPU (zero-copy
+            # slices). Too-small blocks make the run dispatch-bound: the
+            # streaming executor costs ~40-50 ms per task launch.
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            block_rows = max(batch_size, -(-total_rows // ncpu))
+            slices = [
+                t.slice(lo, block_rows)
+                for t in tables
+                for lo in range(0, t.num_rows, block_rows)
+            ]
+            ds = rd.from_arrow(slices)
+            ds = ds.map_batches(fetch, batch_size=batch_size, batch_format="pyarrow")
+            ds = ds.map_batches(route, batch_size=batch_size, batch_format="pyarrow")
+            ds = ds.map_batches(extract, batch_size=batch_size, batch_format="pyarrow")
+            ds.write_parquet(str(wave_dir))
+
+        def pop_tables() -> list[pa.Table]:
+            return [
+                t
+                for t in ray.get(
+                    [f.pop_wave.remote(wave_window_ms) for f in state.frontier]
+                )
+                if t is not None
+            ]
+
+        wave = start_wave
+        if pipeline_waves <= 1 or checkpoint or stop_after_wave is not None:
+            while True:
+                tables = pop_tables()
+                if not tables:
+                    break
+                execute_wave(tables, waves_dir / f"wave={wave:04d}")
+                if checkpoint:
+                    _checkpoint(state, ckpt_dir, wave, fixture_dir)
+                if stop_after_wave is not None and wave >= stop_after_wave:
+                    return {"stopped_after_wave": wave, "partial": True}
+                wave += 1
+        else:
+            import concurrent.futures as cf
+
+            with cf.ThreadPoolExecutor(pipeline_waves) as pool:
+                in_flight: set = set()
+                while True:
+                    tables = pop_tables()
+                    if tables:
+                        in_flight.add(
+                            pool.submit(
+                                execute_wave, tables, waves_dir / f"wave={wave:04d}"
+                            )
+                        )
+                        wave += 1
+                    elif in_flight:
+                        # nothing poppable yet: wait for a wave to finish
+                        # routing more URLs, then try again
+                        done, in_flight = cf.wait(
+                            in_flight, return_when=cf.FIRST_COMPLETED
+                        )
+                        for f in done:
+                            f.result()  # surface worker exceptions
+                        continue
+                    else:
+                        break
+                    # bound in-flight executions
+                    while len(in_flight) >= pipeline_waves:
+                        done, in_flight = cf.wait(
+                            in_flight, return_when=cf.FIRST_COMPLETED
+                        )
+                        for f in done:
+                            f.result()
+                for f in cf.as_completed(in_flight):
+                    f.result()
 
         # final metrics — per-partition rows (north_rule: per-partition
         # fetch/dedupe metrics) written next to the output for lineage

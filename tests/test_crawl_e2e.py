@@ -79,6 +79,21 @@ def test_error_rows_present(crawl_run):
     assert err_map == oracle_errs
 
 
+def test_pipelined_waves_match_oracle(ray_session, fixture_dir, tmp_path_factory, crawl_run):
+    """Overlapped wave execution is wave-composition-invariant: same
+    seen-set, ordering, dedup counts and makespan as sequential/oracle."""
+    _, _, oracle = crawl_run
+    out = tmp_path_factory.mktemp("crawl_pipe") / "out"
+    res = run_crawl(
+        fixture_dir, out, n_seen_shards=3, n_frontier_shards=3,
+        checkpoint=False, pipeline_waves=3,
+    )
+    assert res["seen"] == oracle.seen
+    assert crawl_order(out) == oracle.order
+    assert res["makespan_ms"] == oracle.makespan_ms
+    assert res["dedup_hits"] == oracle.metrics["dedup_hits"]
+
+
 def test_per_partition_metrics_written(crawl_run):
     import pyarrow.parquet as pq
 
