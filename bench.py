@@ -46,6 +46,10 @@ QUERY_NAMES = [
     "bpe_token_stats",
     "exact_dedup_docs",
     "knn_topk",
+    "knn_multi",
+    "salted_returnflag_agg",
+    "multi_source_union",
+    "user_sessions",
 ]
 
 

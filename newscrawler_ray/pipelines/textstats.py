@@ -11,7 +11,6 @@ regexes, language profiles) is built once per worker.
 
 from __future__ import annotations
 
-import hashlib
 import re
 from pathlib import Path
 

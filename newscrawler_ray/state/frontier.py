@@ -30,7 +30,6 @@ from __future__ import annotations
 import heapq
 import zlib
 
-import numpy as np
 import pyarrow as pa
 import ray
 
