@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sort / top-k / pagination (SURVEY O1/O2)
         "recent_topk": Q.recent_topk,
         "page_offset": Q.page_offset,
+        "top_orders_per_segment": Q.top_orders_per_segment,
         # dedup (SURVEY D2/D3)
         "dedup_first_wins": Q.dedup_first_wins,
         # bulk delete rewrite (SURVEY K5) + sampling (O4 extension)
@@ -190,6 +191,12 @@ def oracle_sql() -> dict[str, str]:
         "page_offset": """
             SELECT event_id, ts, event_type
             FROM events ORDER BY ts DESC, event_id LIMIT 50 OFFSET 100""",
+        "top_orders_per_segment": """
+            SELECT c_mktsegment, o_orderkey, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            QUALIFY row_number() OVER (
+                PARTITION BY c_mktsegment
+                ORDER BY o_totalprice DESC, o_orderkey) <= 3""",
         "dedup_first_wins": """
             SELECT user_id, event_type, min(event_id) AS first_event_id
             FROM events GROUP BY user_id, event_type""",

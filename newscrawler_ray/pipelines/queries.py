@@ -271,6 +271,28 @@ def page_offset(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows[100:150])
 
 
+def top_orders_per_segment(sf_dir: str, *, k: int = 3) -> rd.Dataset:
+    """Per-group top-k (window-rank analog, SURVEY O1 generalized):
+    orders ranked by (totalprice DESC, orderkey ASC) within market
+    segment; the shuffle keys on the segment, ranking stays in-group."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    ref = broadcast_table(table_to_mapping(cust, "c_custkey", "c_mktsegment"))
+    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    ds = ds.map_batches(
+        make_broadcast_map_fn("o_custkey", "c_mktsegment", ref, pa.string()),
+        batch_format="pyarrow",
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
+        return g.head(k)[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+
+    return ds.groupby("c_mktsegment").map_groups(topk, batch_format="pandas")
+
+
 # ------------------------------------------------------------ dedup
 
 
