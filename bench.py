@@ -86,7 +86,7 @@ def run_bench() -> dict:
     # warmup: spin up the worker pool + OS page cache (untimed)
     payload_replay(fx)
 
-    reps = 2 if SCALING_ONLY else 1  # best-of damps tenant noise
+    reps = 3 if SCALING_ONLY else 1  # best-of damps tenant noise
     payload_secs, n_payload = [], 0
     for _ in range(reps):
         t0 = time.time()
@@ -103,6 +103,7 @@ def run_bench() -> dict:
         res = run_crawl(
             fx, "/tmp/newscrawler_ray_bench_crawl", wave_window_ms=86_400_000,
             checkpoint=False, pipeline_waves=max(1, min(3, N_CPUS // 4)),
+            collect_seen=False,
         )
         crawl_secs.append(time.time() - t0)
     crawl_sec = round(min(crawl_secs), 3)

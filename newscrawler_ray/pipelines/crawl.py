@@ -176,6 +176,7 @@ def run_crawl(
     stop_after_wave: int | None = None,
     resume: bool = False,
     pipeline_waves: int = 1,
+    collect_seen: bool = True,
 ) -> dict:
     """``pipeline_waves > 1`` overlaps wave executions: while wave K's
     Dataset is still streaming, newly-routed URLs are popped and launched
@@ -351,8 +352,17 @@ def run_crawl(
         pq.write_table(
             pa.Table.from_pylist(metrics_rows), out_dir / "metrics.parquet"
         )
-        seen_urls = sorted(
-            u for part in ray.get([a.contents.remote() for a in state.seen]) for u in part
+        # gathering the exact seen-set to the driver is for parity checks /
+        # small runs; at scale (or in benchmarks) the seen-set lives in the
+        # shards and the output table — skip the O(corpus) transfer
+        seen_urls = (
+            sorted(
+                u
+                for part in ray.get([a.contents.remote() for a in state.seen])
+                for u in part
+            )
+            if collect_seen
+            else None
         )
         return {
             "waves": wave,
