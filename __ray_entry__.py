@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recent_topk": Q.recent_topk,
         "page_offset": Q.page_offset,
         "top_orders_per_segment": Q.top_orders_per_segment,
+        # as-of join (custom operator: sort-within-group + merge_asof)
+        "purchase_click_asof": Q.purchase_click_asof,
         # dedup (SURVEY D2/D3)
         "dedup_first_wins": Q.dedup_first_wins,
         # bulk delete rewrite (SURVEY K5) + sampling (O4 extension)
@@ -197,6 +199,12 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY c_mktsegment
                 ORDER BY o_totalprice DESC, o_orderkey) <= 3""",
+        "purchase_click_asof": """
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   CAST(c.event_id AS DOUBLE) AS click_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts""",
         "dedup_first_wins": """
             SELECT user_id, event_type, min(event_id) AS first_event_id
             FROM events GROUP BY user_id, event_type""",

@@ -346,6 +346,57 @@ def nation_orders(sf_dir: str) -> rd.Dataset:
     return ds.groupby("n_name").aggregate(Count(alias_name="n_orders"))
 
 
+# ------------------------------------------------------------ as-of join
+
+
+def purchase_click_asof(sf_dir: str) -> rd.Dataset:
+    """As-of join (custom operator — Ray Data has none): each purchase
+    event matched to the latest click at-or-before it by the same user.
+
+    Composition per the guide: partition both sides by the equi-key
+    (user), sort within group, ``pd.merge_asof`` inside ``map_groups``.
+    Partitioning assumption: one user's events fit in one group — the
+    hash shuffle ships only the two event streams' key/ts/id columns.
+    DuckDB's ASOF JOIN is the oracle.
+    """
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch.column("event_type"), value_set=pa.array(["purchase", "click"])
+        )
+        return batch.filter(keep)
+
+    ds = ds.map_batches(filt, batch_format="pyarrow")
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        right = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
+        if left.empty:
+            return pd.DataFrame(
+                {"purchase_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "click_id": pd.Series(dtype="float64")}
+            )
+        merged = pd.merge_asof(
+            left[["event_id", "ts"]].rename(columns={"event_id": "purchase_id"}),
+            right[["event_id", "ts"]].rename(columns={"event_id": "click_id"}),
+            on="ts",
+            direction="backward",
+        )
+        merged["user_id"] = g["user_id"].iloc[0]
+        # float64 always: unmatched purchases are NaN, and the dtype must
+        # not flip between all-matched and partially-matched groups
+        merged["click_id"] = merged["click_id"].astype("float64")
+        return merged[["purchase_id", "user_id", "click_id"]]
+
+    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+
+
 # ------------------------------------------------------------ windows
 
 
