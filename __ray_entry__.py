@@ -113,9 +113,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": T.lang_id,
         "quality_score_docs": T.quality_score,
         "fingerprint_docs": T.fingerprint_docs,
-        # multimodal image stages (over the synthetic image fixture table)
+        # multimodal stages (over synthetic payload tables)
         "image_features": _image_features,
         "phash_near_dup": _phash_near_dup,
+        "audio_features": _audio_features,
         # flagship crawl (north_rule; rows-only — oracle equality in tests/)
         "crawl_e2e": _crawl_e2e,
     }
@@ -140,6 +141,15 @@ def _phash_near_dup(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.multimodal import phash_near_dup_groups
 
     return phash_near_dup_groups(_fixture_images())
+
+
+def _audio_features(sf_dir: str) -> Any:
+    """Rows-only: WAV decode + FFT feature stage over the deterministic
+    synthetic audio table (sf_dir-independent input by design)."""
+    from newscrawler_ray.pipelines.audio import audio_features, synth_audio
+
+    path = synth_audio("/tmp/newscrawler_ray_fixtures/audio_500.parquet", 500)
+    return audio_features(path)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -151,6 +151,45 @@ def decode_qnt(data: bytes) -> np.ndarray:
     return np.minimum(img, 255).astype(np.uint8).reshape(h, w, 3)
 
 
+# ---------------------------------------------------------------- WAV (audio)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """RIFF/WAVE, PCM 16-bit mono — real, zero-dependency audio codec."""
+    assert samples.dtype == np.int16 and samples.ndim == 1
+    data = samples.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """-> (int16 mono samples, sample_rate)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    idx = 12
+    sample_rate = None
+    samples = None
+    while idx + 8 <= len(data):
+        tag = data[idx : idx + 4]
+        (size,) = struct.unpack_from("<I", data, idx + 4)
+        body = data[idx + 8 : idx + 8 + size]
+        if tag == b"fmt ":
+            fmt_code, channels, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body
+            )
+            if fmt_code != 1 or channels != 1 or bits != 16:
+                raise ValueError("only PCM 16-bit mono supported")
+        elif tag == b"data":
+            samples = np.frombuffer(body, dtype=np.int16)
+        idx += 8 + size + (size & 1)
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples, sample_rate
+
+
 # ---------------------------------------------------------------- dispatch
 
 _ENCODERS = {"ppm": encode_ppm, "png": encode_png, "qnt": encode_qnt}

@@ -141,6 +141,10 @@ def _checkpoint(state: CrawlState, ckpt_dir: Path, wave: int, fixture_dir: Path)
             }
         )
     )
+    # retention: keep the published + one predecessor, drop older state
+    published = sorted(ckpt_dir.glob("wave=*"))
+    for old in published[:-2]:
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def _restore(state: CrawlState, ckpt_dir: Path) -> int:
@@ -173,6 +177,7 @@ def run_crawl(
     min_content_len: int = 1000,
     batch_size: int = 256,
     checkpoint: bool = True,
+    checkpoint_interval: int = 1,
     stop_after_wave: int | None = None,
     resume: bool = False,
     pipeline_waves: int = 1,
@@ -281,7 +286,10 @@ def run_crawl(
                 if not tables:
                     break
                 execute_wave(tables, waves_dir / f"wave={wave:04d}")
-                if checkpoint:
+                # snapshot every K-th wave: resume redoes at most K-1 waves
+                # (redone waves re-pop from the restored frontier; their
+                # pruned outputs are rewritten — a consistent cut either way)
+                if checkpoint and (wave - start_wave) % checkpoint_interval == checkpoint_interval - 1:
                     _checkpoint(state, ckpt_dir, wave, fixture_dir)
                 if stop_after_wave is not None and wave >= stop_after_wave:
                     return {"stopped_after_wave": wave, "partial": True}

@@ -79,6 +79,25 @@ def test_error_rows_present(crawl_run):
     assert err_map == oracle_errs
 
 
+def test_resume_with_checkpoint_interval(ray_session, fixture_dir, tmp_path_factory, crawl_run):
+    """Interval checkpoints: the kill lands AFTER an uncheckpointed wave,
+    so resume redoes it from the last consistent cut — outputs equal."""
+    _, _, oracle = crawl_run
+    out = tmp_path_factory.mktemp("crawl_interval") / "out"
+    partial = run_crawl(
+        fixture_dir, out, n_seen_shards=3, n_frontier_shards=3,
+        checkpoint_interval=3, stop_after_wave=4,
+    )
+    assert partial["partial"]
+    res = run_crawl(
+        fixture_dir, out, n_seen_shards=3, n_frontier_shards=3,
+        checkpoint_interval=3, resume=True,
+    )
+    assert res["seen"] == oracle.seen
+    assert crawl_order(out) == oracle.order
+    assert res["makespan_ms"] == oracle.makespan_ms
+
+
 def test_pipelined_waves_match_oracle(ray_session, fixture_dir, tmp_path_factory, crawl_run):
     """Overlapped wave execution is wave-composition-invariant: same
     seen-set, ordering, dedup counts and makespan as sequential/oracle."""
