@@ -210,11 +210,16 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY c_mktsegment
                 ORDER BY o_totalprice DESC, o_orderkey) <= 3""",
         "purchase_click_asof": """
+            -- correlated form rather than ASOF JOIN: DuckDB's ASOF leaves
+            -- the choice among equal-ts clicks unspecified; this pins the
+            -- same tie-break as pandas merge_asof (latest ts, then max id)
             SELECT p.event_id AS purchase_id, p.user_id,
-                   CAST(c.event_id AS DOUBLE) AS click_id
-            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-              ON p.user_id = c.user_id AND p.ts >= c.ts""",
+                   CAST((SELECT c.event_id FROM events c
+                         WHERE c.event_type = 'click'
+                           AND c.user_id = p.user_id AND c.ts <= p.ts
+                         ORDER BY c.ts DESC, c.event_id DESC
+                         LIMIT 1) AS DOUBLE) AS click_id
+            FROM events p WHERE p.event_type = 'purchase'""",
         "dedup_first_wins": """
             SELECT user_id, event_type, min(event_id) AS first_event_id
             FROM events GROUP BY user_id, event_type""",

@@ -143,8 +143,8 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    n_lo = int(os.environ.get("BENCH_SCALE_LO", "4"))
-    n_hi = int(os.environ.get("BENCH_SCALE_HI", "16"))
+    n_lo = int(os.environ.get("BENCH_SCALE_LO", "2"))
+    n_hi = int(os.environ.get("BENCH_SCALE_HI", "8"))
     # interleave levels and keep per-level best: this sandbox shares the
     # box with other tenants, so consecutive runs see different machines —
     # interleaving samples both levels under comparable conditions

@@ -55,8 +55,9 @@ def main(argv: list[str] | None = None) -> int:
         checkpoint=not args.no_checkpoint,
         resume=args.resume,
         pipeline_waves=args.pipeline_waves,
+        collect_seen=False,  # the seen-set lives in the shards/output table
     )
-    res.pop("seen", None)  # too large for stdout; it's in the output table
+    res.pop("seen", None)
     print(json.dumps(res))
     ray.shutdown()
     return 0

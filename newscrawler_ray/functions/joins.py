@@ -26,15 +26,26 @@ def _resolve(ref):
     return val
 
 
-def make_broadcast_map_fn(key_col: str, out_col: str, mapping_ref, out_type=None):
-    """map_batches fn: adds ``out_col = mapping[key_col]`` (null if absent)."""
+def make_broadcast_map_fn(
+    key_col: str, out_col: str, mapping_ref, out_type=None, *, inner: bool = True
+):
+    """map_batches fn: adds ``out_col = mapping[key_col]``.
+
+    ``inner=True`` (default) drops rows with no match — INNER JOIN
+    semantics, matching the SQL oracles; ``inner=False`` keeps them with
+    a null value (LEFT JOIN)."""
 
     def add_mapped(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         mapping: dict = _resolve(mapping_ref)
         keys = batch.column(key_col).to_pandas()
         vals = keys.map(mapping)
         arr = pa.Array.from_pandas(vals, type=out_type)
-        return batch.append_column(out_col, arr)
+        out = batch.append_column(out_col, arr)
+        if inner:
+            out = out.filter(pc.is_valid(out.column(out_col)))
+        return out
 
     return add_mapped
 

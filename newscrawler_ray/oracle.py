@@ -144,6 +144,9 @@ def run_oracle(fixture_dir: str | Path, min_content_len: int = 1000) -> OracleRe
         page = pages.get(canon)
         interval = politeness.get(host, {}).get("min_interval_ms", 2000)
         host_clock[host] = host_clock.get(host, 0) + interval
+        # 'fetched' = fetch attempted (every dequeued URL), matching the
+        # pipeline's popped count; missing pages also count as errors
+        m["fetched"] += 1
         if page is None:
             m["missing_page"] += 1
             records[canon] = {
@@ -158,7 +161,6 @@ def run_oracle(fixture_dir: str | Path, min_content_len: int = 1000) -> OracleRe
             m["errors"] += 1
             continue
         status = page["fetch_status"]
-        m["fetched"] += 1
         rec = {
             "url": canon,
             "depth": depth,

@@ -410,7 +410,7 @@ def payload_replay(
     """
     import pyarrow.compute as pc
 
-    from ..functions.urls import url_hash64
+    from ..functions.urls import canonicalize_batch
     from .multimodal import ImageFeatures
 
     fixture_dir = Path(fixture_dir)
@@ -419,16 +419,16 @@ def payload_replay(
     features = ImageFeatures()
 
     def prep(batch: pa.Table) -> pa.Table:
-        urls = batch.column("url").to_pylist()
-        hosts = [u[7 : u.find("/", 7)] if u.find("/", 7) != -1 else u[7:] for u in urls]
-        hashes = [url_hash64(u) for u in urls]
+        # shared canonicalization (idempotent on already-canonical URLs)
+        # keeps host/hash semantics identical to the crawl's route stage
+        canon, hosts, hashes = canonicalize_batch(batch.column("url"))
         return pa.table(
             {
-                "url": batch.column("url"),
+                "url": pa.array(canon, pa.string()),
                 "host": pa.array(hosts, pa.string()),
                 "url_hash": pa.array(hashes, pa.int64()),
                 "priority": batch.column("priority").cast(pa.int64()),
-                "depth": pa.array([0] * len(urls), pa.int32()),
+                "depth": pa.array([0] * len(canon), pa.int32()),
             }
         )
 

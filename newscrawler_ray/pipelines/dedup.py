@@ -31,6 +31,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Min
 
+from ..functions.hashing import splitmix64 as _splitmix
+
 _WORD_RE = re.compile(r"\w+")
 _U64 = np.uint64
 
@@ -82,14 +84,6 @@ def _shingles(text: str, k: int = 3) -> np.ndarray:
     return out
 
 
-def _splitmix(x: np.ndarray) -> np.ndarray:
-    x = (x + _U64(0x9E3779B97F4A7C15)).astype(_U64)
-    x ^= x >> _U64(30)
-    x *= _U64(0xBF58476D1CE4E5B9)
-    x ^= x >> _U64(27)
-    x *= _U64(0x94D049BB133111EB)
-    x ^= x >> _U64(31)
-    return x
 
 
 _MINHASH_SEEDS = _splitmix(np.arange(1, 65, dtype=_U64) * _U64(0xA24BAED4963EE407))
@@ -187,7 +181,9 @@ def minhash_lsh_pairs(
     )
 
     def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(text_ref)
+        from ..functions.joins import _resolve
+
+        texts = _resolve(text_ref)  # per-worker cache, not per-batch unpickle
         ja = []
         for x, y in zip(batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist()):
             ja.append(round(ngram_jaccard(texts[x], texts[y]), 4))

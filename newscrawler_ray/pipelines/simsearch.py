@@ -48,7 +48,9 @@ def knn_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10) -> pa.Table:
         sims = E @ qv
         mask = ids != query_vec_id
         ids, sims = ids[mask], sims[mask]
-        top = np.argsort(-sims, kind="stable")[:k]
+        # tie-break by vec_id ASC within equal sims (matches the oracle's
+        # ORDER BY sim DESC, vec_id) so ties never prune a true top-k row
+        top = np.lexsort((ids, -sims))[:k]
         return pa.table(
             {"vec_id": pa.array(ids[top], pa.int64()), "sim": pa.array(sims[top])}
         )
@@ -84,7 +86,7 @@ def knn_multi(
         for j, qid in enumerate(qids):
             mask = bids != qid
             cand_ids, cand_sims = bids[mask], sims[mask, j]
-            top = np.argsort(-cand_sims, kind="stable")[:k]
+            top = np.lexsort((cand_ids, -cand_sims))[:k]
             out_q.extend([int(qid)] * len(top))
             out_v.extend(cand_ids[top].tolist())
             out_s.extend(cand_sims[top].tolist())
@@ -150,7 +152,7 @@ def knn_ivf(
         mask = np.isin(cells, list(probes)) & (ids != query_vec_id)
         ids, E = ids[mask], E[mask]
         sims = E @ qv
-        top = np.argsort(-sims, kind="stable")[:k]
+        top = np.lexsort((ids, -sims))[:k]
         return pa.table(
             {"vec_id": pa.array(ids[top], pa.int64()), "sim": pa.array(sims[top])}
         )

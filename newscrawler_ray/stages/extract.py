@@ -19,6 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .. import codecs
+from ..functions.text import summarize_array
 
 EXTRACT_EXTRA_FIELDS = [
     ("phash_decoded", pa.int64()),
@@ -49,7 +50,7 @@ def make_extract_stage(min_content_len: int = 1000):
             except Exception as e:  # noqa: BLE001 — error-as-record
                 derr[i] = f"decode failed: {e}"
 
-        summary = codecs_summary(batch.column("caption"))
+        summary = summarize_array(batch.column("caption"))
         # same definition as the oracle: status==200 and content-length gate
         # (decode failures are surfaced via decode_error, not by dropping rows)
         stored = pc.and_(
@@ -69,8 +70,3 @@ def make_extract_stage(min_content_len: int = 1000):
     return extract_batch
 
 
-def codecs_summary(captions: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """``caption[:200] + '...'`` with nulls preserved."""
-    head = pc.utf8_slice_codeunits(pc.fill_null(captions, ""), 0, 200)
-    joined = pc.binary_join_element_wise(head, pa.scalar("..."), "")
-    return pc.if_else(pc.is_valid(captions), joined, pa.scalar(None, pa.string()))

@@ -21,6 +21,8 @@ from __future__ import annotations
 import numpy as np
 import ray
 
+from ..functions.hashing import splitmix64 as _splitmix64
+
 _MASK63 = (1 << 63) - 1
 
 
@@ -29,14 +31,6 @@ def shard_of_hash(h: int | np.ndarray, n_shards: int):
     return (h & _MASK63) % n_shards
 
 
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
-    x ^= x >> np.uint64(30)
-    x *= np.uint64(0xBF58476D1CE4E5B9)
-    x ^= x >> np.uint64(27)
-    x *= np.uint64(0x94D049BB133111EB)
-    x ^= x >> np.uint64(31)
-    return x
 
 
 class BloomFilter:
