@@ -190,7 +190,7 @@ def run_oracle(fixture_dir: str | Path, min_content_len: int = 1000) -> OracleRe
     ]
     # final crawl ordering: recency desc, deterministic tiebreak url asc
     stored.sort(key=lambda r: (-ts_us(r["priority"]), r["url"]))
-    return OracleResult(
+    return OracleResult(  # noqa: keep construction in one place
         seen=sorted(seen),
         order=[r["url"] for r in stored],
         records=records,
@@ -198,3 +198,42 @@ def run_oracle(fixture_dir: str | Path, min_content_len: int = 1000) -> OracleRe
         makespan_ms=max(host_clock.values(), default=0),
         host_clock_ms=host_clock,
     )
+
+
+def write_goldens(fixture_dir: str | Path, out_dir: str | Path) -> Path:
+    """Materialize the golden tables per FIXTURES.md §5:
+    golden_order (rank, url), golden_seen (url_canonical),
+    golden_metrics (one row per counter). Produced by the oracle, never
+    hand-written."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    res = run_oracle(fixture_dir)
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "rank": pa.array(range(len(res.order)), pa.int64()),
+                "url": pa.array(res.order, pa.string()),
+            }
+        ),
+        out / "golden_order.parquet",
+    )
+    pq.write_table(
+        pa.table({"url_canonical": pa.array(res.seen, pa.string())}),
+        out / "golden_seen.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "metric": pa.array(list(res.metrics) + ["makespan_ms"], pa.string()),
+                "value": pa.array(
+                    [int(v) for v in res.metrics.values()] + [res.makespan_ms],
+                    pa.int64(),
+                ),
+            }
+        ),
+        out / "golden_metrics.parquet",
+    )
+    return out

@@ -44,6 +44,28 @@ def test_near_dups_share_phash(fixture_dir):
     assert found > 0
 
 
+def test_write_goldens(fixture_dir, tmp_path):
+    from newscrawler_ray.oracle import write_goldens
+
+    out = write_goldens(fixture_dir, tmp_path / "golden")
+    res = run_oracle(fixture_dir)
+    order = pq.read_table(out / "golden_order.parquet")
+    assert order.column("url").to_pylist() == res.order
+    assert order.column("rank").to_pylist() == list(range(len(res.order)))
+    seen = pq.read_table(out / "golden_seen.parquet")
+    assert seen.column("url_canonical").to_pylist() == res.seen
+    metrics = dict(
+        zip(
+            *[
+                pq.read_table(out / "golden_metrics.parquet").column(c).to_pylist()
+                for c in ("metric", "value")
+            ]
+        )
+    )
+    assert metrics["fetched"] == res.metrics["fetched"]
+    assert metrics["makespan_ms"] == res.makespan_ms
+
+
 def test_oracle_runs_and_is_consistent(fixture_dir):
     res = run_oracle(fixture_dir)
     assert res.metrics["fetched"] > 100
