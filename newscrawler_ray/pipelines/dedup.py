@@ -6,9 +6,13 @@ the near-dup family too, so it is built here as first-class Ray Data
 operators:
 
   exact_dedup_docs    — exact content dedup: hash-partition + first-wins
-  minhash_lsh_pairs   — MinHash + LSH banding near-dup candidate pairs,
-                        verified with true n-gram Jaccard
-  simhash_docs        — 64-bit SimHash per doc (+ bucket grouping)
+  minhash_lsh_pairs   — MinHash (Broder, "On the resemblance and
+                        containment of documents", 1997) + LSH banding
+                        (Leskovec/Rajaraman/Ullman, Mining of Massive
+                        Datasets ch.3), verified with true n-gram Jaccard
+  simhash_docs        — 64-bit SimHash (Charikar, "Similarity estimation
+                        techniques from rounding algorithms", STOC 2002;
+                        hamming search per Manku et al., WWW 2007)
   embedding_near_dup  — cosine near-dup pairs over an embedding column
 
 Shuffle discipline: content hashes / band keys / simhashes are small
