@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_by_source": Q.count_by_source,
         "count_by_lang": Q.count_by_lang,
         "global_counts": Q.global_counts,
+        # mergeable-sketch distinct count (rows-only: approximate)
+        "approx_distinct_users": Q.approx_distinct_users,
         "avg_value_by_type": Q.avg_value_by_type,
         "part_brand_stats": Q.part_brand_stats,
         "orders_by_status": Q.orders_by_status,

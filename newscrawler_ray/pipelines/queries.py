@@ -346,6 +346,32 @@ def nation_orders(sf_dir: str) -> rd.Dataset:
     return ds.groupby("n_name").aggregate(Count(alias_name="n_orders"))
 
 
+def approx_distinct_users(sf_dir: str, *, p: int = 12) -> pa.Table:
+    """Approximate distinct count via mergeable HyperLogLog sketches: one
+    ~4 KB sketch per batch inside ``map_batches``, merged in a tiny final
+    pass — no shuffle of raw keys at any scale (vs ``unique``/
+    ``COUNT(DISTINCT)`` which exchange every row). Accuracy ±~1.6% at
+    p=12; asserted against the exact count in tests. Rows-only for the
+    driver (approximate ≠ SQL-exact)."""
+    from ..functions.sketches import HyperLogLog
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id"])
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        h = HyperLogLog(p)
+        h.add_ints(batch.column("user_id").to_numpy())
+        return pa.table({"sketch": pa.array([h.serialize()], pa.binary())})
+
+    sketches = ds.map_batches(sketch_batch, batch_size=8192, batch_format="pyarrow")
+    merged = None
+    for b in sketches.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for blob in b.column("sketch").to_pylist():
+            s = HyperLogLog.deserialize(blob)
+            merged = s if merged is None else merged.merge(s)
+    est = int(round(merged.estimate())) if merged else 0
+    return pa.table({"approx_distinct_users": pa.array([est], pa.int64())})
+
+
 # ------------------------------------------------------------ as-of join
 
 
