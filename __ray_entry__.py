@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_counts": Q.global_counts,
         # mergeable-sketch distinct count (rows-only: approximate)
         "approx_distinct_users": Q.approx_distinct_users,
+        # exact order statistics via sort + boundary-row takes
+        "value_quantiles": Q.value_quantiles,
         "avg_value_by_type": Q.avg_value_by_type,
         "part_brand_stats": Q.part_brand_stats,
         "orders_by_status": Q.orders_by_status,
@@ -279,6 +281,11 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY q.vec_id
                 ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC,
                          e.vec_id) <= 5""",
+        "value_quantiles": """
+            SELECT q, round(v, 4) AS value FROM (
+                SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+                       unnest(quantile_cont(value, [0.25, 0.5, 0.75, 0.9, 0.99])) AS v
+                FROM events)""",
         "user_sessions": """
             SELECT user_id, count(*) AS n_events,
                    CAST(1 + COALESCE(sum(CASE WHEN gap THEN 1 ELSE 0 END), 0) AS BIGINT)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -43,7 +44,6 @@ def _round_col(ds: rd.Dataset, cols: dict[str, int]) -> rd.Dataset:
     """Round float columns with numpy (NOT pc.round: arrow's kernel is
     off by one ulp from DuckDB/numpy/python rounding for some values,
     which breaks bit-level value-hash comparison against the oracle)."""
-    import numpy as np
 
     def rnd(batch: pa.Table) -> pa.Table:
         for c, nd in cols.items():
@@ -344,6 +344,31 @@ def nation_orders(sf_dir: str) -> rd.Dataset:
         batch_format="pyarrow",
     )
     return ds.groupby("n_name").aggregate(Count(alias_name="n_orders"))
+
+
+def value_quantiles(sf_dir: str, *, qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)) -> pa.Table:
+    """Exact quantiles with linear interpolation (same definition as SQL
+    ``quantile_cont``): one distributed sort, then only the 2 boundary
+    rows per quantile leave the cluster (``split_at_indices`` + tiny
+    takes) — order statistics without materializing the sorted column."""
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["value"]).sort("value")
+    n = ds.count()
+    positions = [(len_q := (n - 1) * q, int(len_q), len_q - int(len_q)) for q in qs]
+    need = sorted({i for _, lo, _ in positions for i in (lo, min(lo + 1, n - 1))})
+    splits = ds.split_at_indices(need)
+    # row at sorted index need[j] is the first row of splits[j+1]
+    boundary = {}
+    for j, idx in enumerate(need):
+        row = splits[j + 1].take(1)
+        boundary[idx] = row[0]["value"] if row else splits[j].take(1)[0]["value"]
+    vals = []
+    for q, (_, lo, frac) in zip(qs, positions):
+        hi = min(lo + 1, n - 1)
+        v = boundary[lo] + frac * (boundary[hi] - boundary[lo])
+        vals.append(float(np.round(v, 4)))
+    return pa.table(
+        {"q": pa.array(list(qs), pa.float64()), "value": pa.array(vals, pa.float64())}
+    )
 
 
 def approx_distinct_users(sf_dir: str, *, p: int = 12) -> pa.Table:
