@@ -12,14 +12,16 @@ pipeline (image rows/s) and the representative query-layer pipelines over
 $GRAFT_SF_DIR.
 
 ``--scaling``: runs this script in fresh processes at two parallelism
-levels (default RAY_GRAFT_CPUS=4 and =16, i.e. N and 4N; override with
+levels (default RAY_GRAFT_CPUS=2 and =8, i.e. N and 4N; override with
 BENCH_SCALE_LO/BENCH_SCALE_HI) on the SAME input — the sandbox proxy for
 two cluster sizes — and reports both throughputs plus scaling efficiency
 for the payload pipeline (the wave-barrier-free throughput path; see
 BASELINE.md for the Amdahl analysis of the wave loop at sandbox scale)
-and for the full crawl. Two timed reps per level, best-of taken: this
-sandbox is a shared box with ~5-6 cores of background tenant load, so a
-single rep can be badly skewed (levels above ~16 CPUs oversubscribe).
+and for the full crawl. Levels are interleaved and best-of-3 reps taken:
+this sandbox shares the box with ~5-6 cores of background tenant load,
+so a single rep can be badly skewed (levels above ~16 CPUs also
+oversubscribe and hit shared memory-bandwidth contention a real
+multi-node scale-out would not have).
 """
 
 from __future__ import annotations
@@ -47,6 +49,8 @@ QUERY_NAMES = [
     "exact_dedup_docs",
     "knn_topk",
     "knn_multi",
+    "value_quantiles",
+    "approx_distinct_users",
     "salted_returnflag_agg",
     "multi_source_union",
     "user_sessions",
