@@ -96,7 +96,11 @@ def _allowed(canon: str, host: str, politeness: dict, blocklist: frozenset) -> b
         return False
     dis = politeness.get(host, {}).get("robots_disallow", [])
     if dis:
-        path = canon[7 + len(host) :]
+        # path starts at the first '/' after the authority — slicing at
+        # 7+len(host) would start at ':port/...' for non-default ports and
+        # '/private'-style prefixes would never match (route.py identical)
+        slash = canon.find("/", 7)
+        path = canon[slash:] if slash != -1 else ""
         for prefix in dis:
             if path.startswith(prefix):
                 return False

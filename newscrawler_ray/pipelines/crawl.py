@@ -147,8 +147,27 @@ def _checkpoint(state: CrawlState, ckpt_dir: Path, wave: int, fixture_dir: Path)
         shutil.rmtree(old, ignore_errors=True)
 
 
-def _restore(state: CrawlState, ckpt_dir: Path) -> int:
+def _restore(state: CrawlState, ckpt_dir: Path, fixture_dir: Path) -> int:
     manifest = json.loads((ckpt_dir / "MANIFEST.json").read_text())
+    # resuming with different shard counts would load snapshots onto a
+    # mispartitioned hash space (seen entries on the wrong shard -> missed
+    # check-and-add -> re-crawled or lost URLs); a different fixture dir is
+    # a different world entirely. Both must fail loudly, not silently.
+    expect = {
+        "n_seen": len(state.seen),
+        "n_frontier": len(state.frontier),
+        "fixture_dir": str(fixture_dir),
+    }
+    mismatches = {
+        k: (manifest.get(k), v) for k, v in expect.items() if manifest.get(k) != v
+    }
+    if mismatches:
+        raise ValueError(
+            "checkpoint manifest does not match this run configuration "
+            f"(manifest vs current): {mismatches}. Resume with the same "
+            "shard counts and fixture dir that wrote the checkpoint, or "
+            "start fresh with resume=False."
+        )
     wave = manifest["completed_wave"]
     wdir = ckpt_dir / f"wave={wave:04d}"
     futures = []
@@ -202,7 +221,7 @@ def run_crawl(
     try:
         start_wave = 0
         if resume and (ckpt_dir / "MANIFEST.json").exists():
-            completed = _restore(state, ckpt_dir)
+            completed = _restore(state, ckpt_dir, fixture_dir)
             start_wave = completed + 1
             # prune any partially-written newer wave outputs
             for d in sorted(waves_dir.glob("wave=*")):
@@ -280,7 +299,18 @@ def run_crawl(
             ]
 
         wave = start_wave
-        if pipeline_waves <= 1 or checkpoint or stop_after_wave is not None:
+        sequential = pipeline_waves <= 1 or checkpoint or stop_after_wave is not None
+        if pipeline_waves > 1 and sequential:
+            import warnings
+
+            warnings.warn(
+                "pipeline_waves > 1 is incompatible with checkpointing / "
+                "stop_after_wave (a mid-overlap snapshot is not a consistent "
+                "cut); falling back to sequential waves. Pass "
+                "checkpoint=False (CLI: --no-checkpoint) for throughput mode.",
+                stacklevel=2,
+            )
+        if sequential:
             while True:
                 tables = pop_tables()
                 if not tables:

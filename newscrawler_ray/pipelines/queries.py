@@ -353,14 +353,23 @@ def value_quantiles(sf_dir: str, *, qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)) ->
     takes) — order statistics without materializing the sorted column."""
     ds = rd.read_parquet(_p(sf_dir, "events"), columns=["value"]).sort("value")
     n = ds.count()
+    if n == 0:
+        # no order statistics exist on an empty table (and min(lo+1, n-1)
+        # below would produce a negative split index)
+        return pa.table(
+            {
+                "q": pa.array(list(qs), pa.float64()),
+                "value": pa.array([None] * len(qs), pa.float64()),
+            }
+        )
     positions = [(len_q := (n - 1) * q, int(len_q), len_q - int(len_q)) for q in qs]
     need = sorted({i for _, lo, _ in positions for i in (lo, min(lo + 1, n - 1))})
     splits = ds.split_at_indices(need)
-    # row at sorted index need[j] is the first row of splits[j+1]
+    # row at sorted index need[j] is the first row of splits[j+1]; every
+    # boundary index is < n, so splits[j+1] is never empty
     boundary = {}
     for j, idx in enumerate(need):
-        row = splits[j + 1].take(1)
-        boundary[idx] = row[0]["value"] if row else splits[j].take(1)[0]["value"]
+        boundary[idx] = splits[j + 1].take(1)[0]["value"]
     vals = []
     for q, (_, lo, frac) in zip(qs, positions):
         hi = min(lo + 1, n - 1)

@@ -58,7 +58,14 @@ def route_candidates(
     for i, (c, h) in enumerate(zip(canon, hosts)):
         dis = robots.get(h)
         if is_blocked(h, blocklist) or (
-            dis and any(c[7 + len(h) :].startswith(p) for p in dis)
+            # path = from the first '/' after 'http://' (not 7+len(host),
+            # which lands inside ':port' for non-default ports) — must stay
+            # identical to oracle._allowed
+            dis
+            and any(
+                (c[sl:] if (sl := c.find("/", 7)) != -1 else "").startswith(p)
+                for p in dis
+            )
         ):
             keep[i] = False
             blocked += 1
