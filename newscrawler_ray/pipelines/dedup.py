@@ -25,7 +25,7 @@ re-join candidates to text hash-partitioned by doc_id.
 from __future__ import annotations
 
 import hashlib
-import re
+
 from pathlib import Path
 
 import numpy as np
@@ -35,9 +35,14 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Min
 
-from ..functions.hashing import splitmix64 as _splitmix
+from ..functions.hashing import (
+    _SCRATCH,
+    shingle_hashes,
+    splitmix64 as _splitmix,
+    splitmix64_inplace,
+    tokenize_word_hashes,
+)
 
-_WORD_RE = re.compile(r"\w+")
 _U64 = np.uint64
 
 
@@ -74,32 +79,87 @@ def exact_dedup_docs(sf_dir: str) -> rd.Dataset:
 
 
 def _shingles(text: str, k: int = 3) -> np.ndarray:
-    """Word k-shingle hashes (uint64)."""
-    words = _WORD_RE.findall(text.lower())
-    if len(words) < k:
-        grams = [" ".join(words)] if words else []
-    else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"
-        )
+    """Word k-shingle hashes (uint64) via the shared Arrow tokenizer +
+    chained word-hash kernel (no per-shingle Python hashing). Fewer than
+    k words hash as ONE shingle over all words; empty text -> empty."""
+    wh, _ = tokenize_word_hashes([text])
+    return shingle_hashes(wh, k)
+
+
+# minwise permutation family: perm_h(x) = A[h]*x + B[h] (mod 2^64) — the
+# standard multiply-add permutation (2 vector ops/seed vs ~10 for a full
+# mix; odd multipliers are bijections mod 2^64). Seeds derive from
+# splitmix so they stay reproducible.
+_MINHASH_A = _splitmix(np.arange(1, 65, dtype=_U64) * _U64(0xA24BAED4963EE407)) | _U64(1)
+_MINHASH_B = _splitmix(np.arange(101, 165, dtype=_U64) * _U64(0x9E3779B97F4A7C15))
+
+
+def minhash_signatures_batch(texts, n_hashes: int = 64, k: int = 3) -> np.ndarray:
+    """(n_docs, n_hashes) uint64 minhash signatures for a whole batch.
+
+    ``texts`` is an Arrow string array (zero-copy fast path) or a list of
+    str. One Arrow-native tokenize+hash pass over every word in the
+    batch, one in-place shingle chain masked at doc boundaries, then a
+    per-seed loop of xor+mix+``np.minimum.reduceat`` over REUSED scratch
+    buffers — no per-doc Python and no large fresh temporaries (which
+    are mmap-backed and re-fault on every op on this box). Matches
+    ``minhash_signature`` bit-for-bit; docs with no words get the
+    all-zero signature.
+    """
+    flat, offsets = tokenize_word_hashes(texts)
+    n_docs = len(offsets) - 1
+    out = np.zeros((n_docs, n_hashes), dtype=_U64)
+    A, B = _MINHASH_A[:n_hashes], _MINHASH_B[:n_hashes]
+    lens = np.diff(offsets)
+    # short docs (< k words, incl. empty): ONE shingle over all words
+    for d in np.nonzero((lens > 0) & (lens < k))[0]:
+        sh = shingle_hashes(flat[offsets[d] : offsets[d + 1]], k)
+        out[d] = (sh[None, :] * A[:, None] + B[:, None]).min(axis=1)
+    long_idx = np.nonzero(lens >= k)[0]
+    if len(long_idx) == 0:
+        return out
+    # one shingle chain over the flat array (in-place); windows crossing
+    # a doc boundary are invalid, and each long doc's valid windows are
+    # the contiguous range [off[d], off[d] + len_d - k + 1)
+    m = len(flat) - k + 1
+    acc = _SCRATCH.get("mh_acc", m, _U64)
+    tmp = _SCRATCH.get("mh_tmp", max(m, len(flat)), _U64)
+    np.copyto(acc, flat[:m])
+    for j in range(1, k):
+        splitmix64_inplace(acc, tmp[:m])
+        acc ^= flat[j : j + m]
+    splitmix64_inplace(acc, tmp[:m])
+    n_sh = lens[long_idx] - k + 1
+    gather = np.repeat(offsets[long_idx], n_sh) + _ranges(n_sh)
+    s = len(gather)
+    sh_valid = np.take(acc, gather, out=_SCRATCH.get("mh_tak", s, _U64))
+    starts = np.zeros(len(long_idx), dtype=np.int64)
+    np.cumsum(n_sh[:-1], out=starts[1:])
+    v = _SCRATCH.get("mh_mix", s, _U64)
+    for h in range(n_hashes):
+        np.multiply(sh_valid, A[h], out=v)
+        v += B[h]
+        out[long_idx, h] = np.minimum.reduceat(v, starts)
     return out
 
 
-
-
-_MINHASH_SEEDS = _splitmix(np.arange(1, 65, dtype=_U64) * _U64(0xA24BAED4963EE407))
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized arange-per-group)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
 
 
 def minhash_signature(text: str, n_hashes: int = 64) -> np.ndarray:
-    """64 minhashes via seeded xor-permutations of the shingle hashes."""
+    """64 minhashes via seeded multiply-add permutations of the shingle
+    hashes (same family as the batch kernel — bit-identical)."""
     sh = _shingles(text)
     if len(sh) == 0:
         return np.zeros(n_hashes, dtype=np.uint64)
-    # (n_hashes, n_shingles) xor + mix, min over shingles — fully vectorized
-    mixed = _splitmix(sh[None, :] ^ _MINHASH_SEEDS[:n_hashes, None])
+    mixed = sh[None, :] * _MINHASH_A[:n_hashes, None] + _MINHASH_B[:n_hashes, None]
     return mixed.min(axis=1)
 
 
@@ -144,24 +204,21 @@ def minhash_lsh_pairs(
     text_ref = ray.put(text_map)
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        ids, bands, bhashes = [], [], []
-        for did, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            sig = minhash_signature(text, n_hashes)
-            banded = sig.reshape(n_bands, rows_per_band)
-            # one 64-bit hash per band: mix-fold the band values
-            bh = _splitmix(banded[:, 0])
-            for v in range(1, rows_per_band):
-                bh = _splitmix(bh ^ banded[:, v])
-            ids.extend([did] * n_bands)
-            bands.extend(range(n_bands))
-            bhashes.extend(bh.view(np.int64).tolist())
+        sigs = minhash_signatures_batch(batch.column("text"), n_hashes)
+        banded = sigs.reshape(len(sigs), n_bands, rows_per_band)
+        # one 64-bit hash per band: mix-fold the band values (vectorized
+        # over the whole batch)
+        bh = _splitmix(banded[:, :, 0])
+        for v in range(1, rows_per_band):
+            bh = _splitmix(bh ^ banded[:, :, v])
+        ids = batch.column("doc_id").to_numpy()
         return pa.table(
             {
-                "band_id": pa.array(bands, pa.int32()),
-                "band_hash": pa.array(bhashes, pa.int64()),
-                "doc_id": pa.array(ids, pa.int64()),
+                "band_id": pa.array(
+                    np.tile(np.arange(n_bands, dtype=np.int32), len(sigs))
+                ),
+                "band_hash": pa.array(bh.view(np.int64).ravel()),
+                "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
             }
         )
 
@@ -200,23 +257,41 @@ def minhash_lsh_pairs(
 # ------------------------------------------------------------------ SimHash
 
 
+_BIT_SHIFTS = np.arange(64, dtype=_U64)
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """int64 SimHash per doc, batch-vectorized: one Arrow tokenize+hash
+    pass, then a per-bit loop of shift+mask+``np.add.reduceat`` over a
+    reused scratch buffer (the (W, 64) bit matrix would be a fresh
+    ~30 MB temp per batch). Weighting by word count falls out of summing
+    every occurrence (no unique needed). Empty docs hash to 0.
+    ``texts`` is an Arrow string array or a list of str.
+    """
+    flat, offsets = tokenize_word_hashes(texts)
+    n_docs = len(offsets) - 1
+    out = np.zeros(n_docs, dtype=np.int64)
+    if len(flat) == 0:
+        return out
+    lens = np.diff(offsets)
+    # reduceat: empty segments return the element at the (clipped) start
+    # index — those docs are overwritten with 0 below
+    starts = np.minimum(offsets[:-1], len(flat) - 1)
+    b = _SCRATCH.get("sh_bits", len(flat), _U64)
+    vals = np.zeros(n_docs, dtype=_U64)
+    for k in range(64):
+        np.right_shift(flat, _U64(k), out=b)
+        b &= _U64(1)
+        ones = np.add.reduceat(b, starts)
+        vals |= ((2 * ones > lens.view(_U64)).astype(_U64)) << _U64(k)
+    vals[lens == 0] = _U64(0)
+    out[:] = vals.view(np.int64)
+    return out
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over word-unigram features weighted by count."""
-    words = _WORD_RE.findall(text.lower())
-    if not words:
-        return 0
-    uniq, counts = np.unique(np.array(words), return_counts=True)
-    hs = np.empty(len(uniq), dtype=np.uint64)
-    for i, w in enumerate(uniq):
-        hs[i] = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & _U64(1)).astype(
-        np.int64
-    )
-    acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-    val = _U64(0)
-    for b in np.nonzero(acc > 0)[0]:
-        val |= _U64(1) << _U64(int(b))
-    return int(val.astype(np.int64))
+    return int(simhash64_batch([text])[0])
 
 
 def simhash_docs(sf_dir: str, docs: rd.Dataset | None = None) -> rd.Dataset:
@@ -227,7 +302,7 @@ def simhash_docs(sf_dir: str, docs: rd.Dataset | None = None) -> rd.Dataset:
         docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def sh(batch: pa.Table) -> pa.Table:
-        vals = [simhash64(t) for t in batch.column("text").to_pylist()]
+        vals = simhash64_batch(batch.column("text"))
         return pa.table(
             {"doc_id": batch.column("doc_id"), "simhash": pa.array(vals, pa.int64())}
         )
