@@ -107,6 +107,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_docs": D.simhash_docs,
         "simhash_near_dup": lambda sf: D.simhash_near_dup_pairs(sf),
         "embedding_near_dup": lambda sf: D.embedding_near_dup(sf, tau=0.4),
+        # IVF-bucketed approximate near-dup (rows-only: recall vs the
+        # exact operator is asserted in tests)
+        "embedding_near_dup_ivf": lambda sf: D.embedding_near_dup_ivf(sf, tau=0.4),
         # similarity search
         "knn_topk": S.knn_topk,
         "knn_multi": S.knn_multi,

@@ -17,9 +17,10 @@ operators:
 
 Shuffle discipline: content hashes / band keys / simhashes are small
 fixed-width columns — the shuffles ship those, never the full text. The
-Jaccard verify stage uses a broadcast of the candidate docs' shingle sets
-(small side); at corpus scale the documented partitioning assumption is:
-re-join candidates to text hash-partitioned by doc_id.
+MinHash Jaccard verify stage re-joins candidate pairs to document text
+hash-partitioned by doc_id (``Dataset.join``): text moves only for docs
+that appear in candidate pairs, and nothing is ever collected on the
+driver.
 """
 
 from __future__ import annotations
@@ -180,28 +181,27 @@ def minhash_lsh_pairs(
     n_hashes: int = 64,
     n_bands: int = 16,
     docs: rd.Dataset | None = None,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """MinHash+LSH near-dup pairs, verified with exact n-gram Jaccard.
 
-    Stages (each scales independently):
+    Stages (each scales independently; NOTHING materializes on the
+    driver — the 100 TB shape):
       1. map_batches: text -> 64 minhashes -> 16 bands of 4 -> explode to
          (band_id, band_hash, doc_id) rows (small fixed-width, no text)
       2. groupby(band_id, band_hash): emit candidate pairs per bucket
       3. dedupe pairs (groupby pair key)
-      4. verify: exact Jaccard >= threshold via broadcast text lookup
-         (candidate count << corpus; at larger scale re-join text by id)
+      4. verify: explode each pair to its two (doc_id, id_a, id_b)
+         sides, hash-join text back by doc_id (``Dataset.join``,
+         hash-partitioned both sides), then exact Jaccard per pair via
+         groupby(id_a, id_b). Text is shuffled only for docs that appear
+         in candidate pairs (candidates << corpus after banding).
     """
     rows_per_band = n_hashes // n_bands
     if docs is None:
         docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-
-    # broadcast text for the verify stage (small side at sandbox scale)
-    text_map = {}
-    for b in docs.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        text_map.update(
-            zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist())
-        )
-    text_ref = ray.put(text_map)
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
 
     def band_rows(batch: pa.Table) -> pa.Table:
         sigs = minhash_signatures_batch(batch.column("text"), n_hashes)
@@ -241,17 +241,51 @@ def minhash_lsh_pairs(
         lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        from ..functions.joins import _resolve
+    def explode_sides(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy()
+        b = batch.column("id_b").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
+                "id_a": pa.array(np.concatenate([a, a]), pa.int64()),
+                "id_b": pa.array(np.concatenate([b, b]), pa.int64()),
+            }
+        )
 
-        texts = _resolve(text_ref)  # per-worker cache, not per-batch unpickle
-        ja = []
-        for x, y in zip(batch.column("id_a").to_pylist(), batch.column("id_b").to_pylist()):
-            ja.append(round(ngram_jaccard(texts[x], texts[y]), 4))
-        out = batch.append_column("jaccard", pa.array(ja, pa.float64()))
-        return out.filter(pc.greater_equal(out.column("jaccard"), threshold))
+    sides = pairs.map_batches(explode_sides, batch_format="pyarrow")
+    joined = sides.join(
+        docs, join_type="inner", num_partitions=num_partitions, on=("doc_id",)
+    )
 
-    return pairs.map_batches(verify, batch_format="pyarrow")
+    def jaccard_pair(group: pa.Table) -> pa.Table:
+        # one group per candidate pair: its two (doc_id, text) sides
+        ids = group.column("doc_id").to_pylist()
+        texts = group.column("text").to_pylist()
+        id_a = group.column("id_a")[0].as_py()
+        id_b = group.column("id_b")[0].as_py()
+        by_id = dict(zip(ids, texts))
+        if len(by_id) < 2:  # a side's doc vanished from the corpus
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        j = round(ngram_jaccard(by_id[id_a], by_id[id_b]), 4)
+        if j < threshold:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "id_a": pa.array([id_a], pa.int64()),
+                "id_b": pa.array([id_b], pa.int64()),
+                "jaccard": pa.array([j], pa.float64()),
+            }
+        )
+
+    return joined.groupby(["id_a", "id_b"]).map_groups(
+        jaccard_pair, batch_format="pyarrow"
+    )
 
 
 # ------------------------------------------------------------------ SimHash
@@ -374,38 +408,135 @@ def simhash_near_dup_pairs(
 # ----------------------------------------------------------- embedding dups
 
 
-def embedding_near_dup(sf_dir: str, *, tau: float = 0.4) -> rd.Dataset:
-    """Cosine near-dup pairs over the embedding column.
+@ray.remote
+def _block_pair_task(ta: pa.Table, tb: pa.Table, tau: float, same: bool) -> pa.Table:
+    """Emit (id_a < id_b, cos >= tau) pairs between two embedding blocks.
+    Blocks arrive zero-copy from the object store; each task holds only
+    2/B of the corpus."""
+    from .simsearch import _norm, emb_matrix
 
-    Baseline: blocked brute force — each batch is matmul-ed against the
-    broadcast normalized matrix (numpy, zero Python loops over pairs);
-    emits (id_a < id_b) pairs with cos >= tau. The scale path swaps the
-    broadcast for IVF cells (see simsearch.ivf_build) — same pair-emit
-    contract. Matches the DuckDB list_cosine_similarity oracle.
+    if ta.num_rows == 0 or tb.num_rows == 0:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+    ia = ta.column("vec_id").to_numpy()
+    ib = tb.column("vec_id").to_numpy()
+    A = _norm(emb_matrix(ta.column("embedding")))
+    B = _norm(emb_matrix(tb.column("embedding")))
+    sims = A @ B.T
+    rows, cols = np.nonzero(sims >= tau)
+    keep = ia[rows] < ib[cols]  # i<j once, no self pairs
+    if not same:
+        # unordered block pair: also keep pairs where the smaller id is
+        # in block b
+        swap = ia[rows] > ib[cols]
+        return pa.table(
+            {
+                "id_a": pa.array(
+                    np.concatenate([ia[rows[keep]], ib[cols[swap]]]), pa.int64()
+                ),
+                "id_b": pa.array(
+                    np.concatenate([ib[cols[keep]], ia[rows[swap]]]), pa.int64()
+                ),
+            }
+        )
+    return pa.table(
+        {
+            "id_a": pa.array(ia[rows[keep]], pa.int64()),
+            "id_b": pa.array(ib[cols[keep]], pa.int64()),
+        }
+    )
+
+
+def embedding_near_dup(
+    sf_dir: str, *, tau: float = 0.4, n_blocks: int | None = None
+) -> rd.Dataset:
+    """EXACT cosine near-dup pairs over the embedding column, computed as
+    a distributed block-pair comparison.
+
+    Exact all-pairs similarity is inherently O(N^2) compute, but no task
+    ever holds more than two blocks (2/B of the corpus) and NOTHING is
+    broadcast: the table is read into B blocks and one Ray task per
+    (i <= j) block pair emits qualifying (id_a < id_b) pairs. The
+    Dataset API cannot express a self-cross-product, so this is the
+    documented raw-task case; data movement is O(N·B) block reads vs the
+    O(N·W) whole-table broadcast it replaces (W = worker count).
+    Matches the DuckDB list_cosine_similarity oracle exactly. For the
+    sub-quadratic scale path see ``embedding_near_dup_ivf``.
     """
-    import pyarrow.parquet as pq
+    if n_blocks is None:
+        n_blocks = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    ds = rd.read_parquet(
+        _p(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        override_num_blocks=n_blocks,
+    )
+    refs = ds.to_arrow_refs()
+    out = [
+        _block_pair_task.remote(refs[i], refs[j], tau, i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    return rd.from_arrow_refs(out)
 
-    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_numpy()
-    E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-    En = E / np.linalg.norm(E, axis=1, keepdims=True)
-    ref = ray.put((ids, En))
+
+def embedding_near_dup_ivf(
+    sf_dir: str,
+    *,
+    tau: float = 0.4,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> rd.Dataset:
+    """Approximate scale path for embedding near-dup: IVF-cell-bucketed
+    pair generation (reuses ``simsearch.ivf_build``).
+
+    Every vector is assigned to its ``n_probe`` nearest coarse cells
+    (multi-probe catches pairs straddling a cell boundary); pairs are
+    emitted WITHIN cells via ``groupby(cell).map_groups`` and deduped.
+    The shuffle ships each embedding n_probe times — sub-quadratic
+    compute and no whole-table broadcast, the shape that holds when the
+    corpus outgrows any single worker. Recall vs the exact operator is
+    asserted in tests (union over probes; rises with n_probe/n_cells).
+    """
+    from .simsearch import _norm, emb_matrix, ivf_build
+
+    cents = ivf_build(sf_dir, n_cells=n_cells)
+    cents_ref = ray.put(cents)
 
     ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_n = ray.get(ref)
-        bids = batch.column("vec_id").to_numpy()
-        B = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-        sims = Bn @ all_n.T
-        rows, cols = np.nonzero(sims >= tau)
-        keep = bids[rows] < all_ids[cols]  # i<j once, no self pairs
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        E = _norm(emb_matrix(batch.column("embedding")))
+        sims = E @ c.T
+        probes = np.argsort(-sims, axis=1)[:, :n_probe]  # (n, n_probe)
+        n = len(E)
+        rep = np.repeat(np.arange(n), n_probe)
         return pa.table(
             {
-                "id_a": pa.array(bids[rows[keep]], pa.int64()),
-                "id_b": pa.array(all_ids[cols[keep]], pa.int64()),
+                "cell": pa.array(probes.ravel().astype(np.int32)),
+                "vec_id": batch.column("vec_id").take(pa.array(rep)),
+                "embedding": batch.column("embedding").take(pa.array(rep)),
             }
         )
 
-    return ds.map_batches(pairs, batch_format="pyarrow")
+    cells = ds.map_batches(assign, batch_format="pyarrow")
+
+    def cell_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("vec_id").to_numpy()
+        E = _norm(emb_matrix(group.column("embedding")))
+        sims = E @ E.T
+        rows, cols = np.nonzero(sims >= tau)
+        keep = ids[rows] < ids[cols]
+        return pa.table(
+            {
+                "id_a": pa.array(ids[rows[keep]], pa.int64()),
+                "id_b": pa.array(ids[cols[keep]], pa.int64()),
+            }
+        )
+
+    pairs = cells.groupby("cell").map_groups(cell_pairs, batch_format="pyarrow")
+    # a pair can share up to n_probe cells — dedupe
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )

@@ -29,10 +29,27 @@ def _norm(x: np.ndarray) -> np.ndarray:
     return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
 
+def emb_matrix(col) -> np.ndarray:
+    """(n, d) float64 matrix from a ``list<float>`` Arrow column without
+    per-row Python (flatten -> one numpy view -> reshape)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = col.flatten()
+    return flat.to_numpy(zero_copy_only=False).astype(np.float64).reshape(n, -1)
+
+
 def _load_query(sf_dir: str, query_vec_id: int) -> np.ndarray:
-    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    idx = t.column("vec_id").to_pylist().index(query_vec_id)
-    return np.asarray(t.column("embedding")[idx].as_py(), dtype=np.float64)
+    """Filtered read of ONE query vector (row-group predicate pushdown) —
+    never the whole embeddings table on the driver."""
+    t = pq.read_table(
+        _p(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "==", query_vec_id)],
+    )
+    return emb_matrix(t.column("embedding"))[0]
 
 
 def knn_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10) -> pa.Table:
@@ -44,7 +61,7 @@ def knn_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10) -> pa.Table:
     def batch_topk(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
         ids = batch.column("vec_id").to_numpy()
-        E = _norm(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        E = _norm(emb_matrix(batch.column("embedding")))
         sims = E @ qv
         mask = ids != query_vec_id
         ids, sims = ids[mask], sims[mask]
@@ -67,12 +84,19 @@ def knn_multi(
     BROADCAST QUERY MATRIX (one numpy GEMM per batch, all queries at
     once); per-batch top-k per query pruned before the tiny global merge.
     This is the shape that scales: queries ship once, batches stream."""
-    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_numpy()
-    order = np.argsort(ids)
-    q_ids = ids[order[:n_queries]]
-    E = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
-    Q = _norm(E[order[:n_queries]])
+    # driver reads the thin id column to pick the queries, then a
+    # FILTERED read of just those rows — never the whole embedding column
+    ids_only = pq.read_table(_p(sf_dir, "embeddings"), columns=["vec_id"])
+    all_ids = ids_only.column("vec_id").to_numpy()
+    q_ids = np.sort(all_ids)[:n_queries]
+    t = pq.read_table(
+        _p(sf_dir, "embeddings"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", q_ids.tolist())],
+    )
+    order = np.argsort(t.column("vec_id").to_numpy())
+    q_ids = t.column("vec_id").to_numpy()[order]
+    Q = _norm(emb_matrix(t.column("embedding"))[order])
     q_ref = ray.put((q_ids, Q))
 
     ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
@@ -80,7 +104,7 @@ def knn_multi(
     def batch_topk(batch: pa.Table) -> pa.Table:
         qids, qm = ray.get(q_ref)
         bids = batch.column("vec_id").to_numpy()
-        B = _norm(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        B = _norm(emb_matrix(batch.column("embedding")))
         sims = B @ qm.T  # (batch, n_queries) — one GEMM
         out_q, out_v, out_s = [], [], []
         for j, qid in enumerate(qids):
@@ -115,11 +139,35 @@ def knn_multi(
 # ------------------------------------------------------------------ IVF
 
 
-def ivf_build(sf_dir: str, *, n_cells: int = 16, iters: int = 3, seed: int = 42):
-    """Deterministic coarse quantizer: k-means on the (small) sample of
-    embeddings; at scale this trains on ds.random_sample and broadcasts."""
-    t = pq.read_table(_p(sf_dir, "embeddings"), columns=["embedding"])
-    E = _norm(np.array(t.column("embedding").to_pylist(), dtype=np.float64))
+def ivf_build(
+    sf_dir: str,
+    *,
+    n_cells: int = 16,
+    iters: int = 3,
+    seed: int = 42,
+    train_max: int = 8192,
+):
+    """Deterministic coarse quantizer: seeded k-means on a TRAINING
+    SAMPLE drawn distributedly (hash-of-id modulus inside
+    ``map_batches`` — deterministic regardless of block layout, unlike
+    ``random_sample``), so only ~``train_max`` vectors ever reach the
+    driver. The centroid matrix is tiny (n_cells x d) and broadcasts."""
+    from ..functions.hashing import splitmix64
+
+    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    n_rows = ds.count()
+    mod = max(1, n_rows // train_max)
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy().view(np.uint64)
+        keep = (splitmix64(ids + np.uint64(seed)) % np.uint64(mod)) == 0
+        return batch.filter(pa.array(keep))
+
+    rows = ds.map_batches(sample, batch_format="pyarrow").take_all()
+    E = _norm(
+        np.array([r["embedding"] for r in sorted(rows, key=lambda r: r["vec_id"])],
+                 dtype=np.float64)
+    )
     rng = np.random.default_rng(seed)
     cents = E[rng.choice(len(E), size=min(n_cells, len(E)), replace=False)]
     for _ in range(iters):
@@ -147,7 +195,7 @@ def knn_ivf(
     def batch_topk(batch: pa.Table) -> pa.Table:
         c, qv, probes = ray.get(refs)
         ids = batch.column("vec_id").to_numpy()
-        E = _norm(np.array(batch.column("embedding").to_pylist(), dtype=np.float64))
+        E = _norm(emb_matrix(batch.column("embedding")))
         cells = np.argmax(E @ c.T, axis=1)
         mask = np.isin(cells, list(probes)) & (ids != query_vec_id)
         ids, E = ids[mask], E[mask]

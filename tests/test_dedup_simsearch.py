@@ -123,3 +123,73 @@ def test_ivf_deterministic():
     a = simsearch.ivf_build(SF)
     b = simsearch.ivf_build(SF)
     np.testing.assert_array_equal(a, b)
+
+
+def _synth_corpus(path, n=5000, seed=7):
+    """Deterministic corpus with planted near-dups: doc i and doc i+n//2
+    differ by one word for i % 100 == 0 (and are exact dups for
+    i % 500 == 0)."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"w{c:04d}" for c in range(800)]
+    half = n // 2
+    texts = [
+        " ".join(vocab[w] for w in rng.integers(0, 800, 40)) for _ in range(half)
+    ]
+    mirror = []
+    for i in range(half):
+        if i % 500 == 0:
+            mirror.append(texts[i])  # exact dup
+        elif i % 100 == 0:
+            words = texts[i].split()
+            words[5] = "changed"
+            mirror.append(" ".join(words))  # near dup
+        else:
+            mirror.append(" ".join(vocab[w] for w in rng.integers(0, 800, 40)))
+    t = __import__("pyarrow").table(
+        {
+            "doc_id": list(range(n)),
+            "text": texts + mirror,
+        }
+    )
+    pq.write_table(t, path)
+
+
+def test_minhash_verify_is_distributed_at_10x(ray_session, tmp_path):
+    """The Jaccard verify stage must never collect the corpus on the
+    driver (round-1 review finding): driver-side iteration of the docs
+    dataset is banned outright, and the planted dups at 10x the usual
+    test corpus must still be found through the distributed re-join."""
+    path = tmp_path / "documents.parquet"
+    _synth_corpus(path, n=5000)
+    docs = rd.read_parquet(str(path))
+
+    def _forbid(*a, **k):
+        raise AssertionError("driver-side corpus collection is banned")
+
+    docs.iter_batches = _forbid
+    docs.iter_rows = _forbid
+    docs.take_all = _forbid
+    docs.to_pandas = _forbid
+    pairs = dedup.minhash_lsh_pairs(
+        str(tmp_path), threshold=0.5, docs=docs
+    ).take_all()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for i in range(0, 2500, 500):
+        assert (i, i + 2500) in found  # exact dups always survive
+    near_expected = {(i, i + 2500) for i in range(0, 2500, 100)}
+    assert len(found & near_expected) >= 20  # near-dups found
+    for r in pairs:
+        assert r["jaccard"] >= 0.5
+
+
+def test_embedding_near_dup_ivf_recall(ray_session):
+    """Cell-bucketed approximate pairs: no false positives (cos is
+    verified exactly within cells) and recall vs the exact block-pair
+    operator clears the asserted bound."""
+    exact = _brute_pairs(0.4)
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_ivf(SF, tau=0.4).take_all()
+    }
+    assert approx <= exact  # within-cell cosine is exact -> no false pairs
+    assert len(approx & exact) / len(exact) >= 0.5
