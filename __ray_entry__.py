@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": Q.approx_distinct_users,
         # exact order statistics via sort + boundary-row takes
         "value_quantiles": Q.value_quantiles,
+        # mergeable t-digest quantiles (rows-only: approximate; accuracy
+        # vs the exact sort path asserted in tests)
+        "approx_quantiles": Q.approx_quantiles,
         "avg_value_by_type": Q.avg_value_by_type,
         "part_brand_stats": Q.part_brand_stats,
         "orders_by_status": Q.orders_by_status,

@@ -10,6 +10,10 @@ near-optimal cardinality estimation algorithm", AofA 2007), with the
 small-range linear-counting correction. Pure numpy; registers are a
 2^p-byte array, so a sketch per batch costs ~4 KB at p=12
 (±1.04/sqrt(2^p) ≈ 1.6% standard error).
+
+TDigest (Dunning & Ertl 2019) — mergeable quantile sketch; the
+shuffle-free counterpart of the exact sort-based quantile operator
+(pipelines/queries.py value_quantiles vs approx_quantiles).
 """
 
 from __future__ import annotations
@@ -73,4 +77,114 @@ class HyperLogLog:
     def deserialize(cls, data: bytes) -> "HyperLogLog":
         out = cls(data[0])
         out.registers = np.frombuffer(data[1:], dtype=np.uint8).copy()
+        return out
+
+
+class TDigest:
+    """Merging t-digest (Dunning & Ertl, "Computing extremely accurate
+    quantiles using t-digests", arXiv:1902.04023) — the mergeable
+    alternative to the exact sort-based quantile path: a global sort is a
+    full shuffle, while one ~``2*delta``-centroid digest per batch plus a
+    tiny merge gives rank error O(q(1-q)/delta) with a few KB per sketch.
+
+    Vectorized merge-compression: all (mean, weight) pairs are sorted and
+    greedily folded under the k1 scale-function size bound. Buffered adds
+    amortize compression; merge() concatenates + recompresses, so merges
+    are associative up to compression (accuracy, not identity, is the
+    contract — asserted vs the exact path in tests).
+    """
+
+    def __init__(self, delta: int = 200):
+        self.delta = delta
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self._buf: list[np.ndarray] = []
+
+    # -- build ---------------------------------------------------------------
+
+    def add(self, values: np.ndarray) -> None:
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v):
+            self._buf.append(v)
+        if sum(len(b) for b in self._buf) >= 16 * self.delta:
+            self._compress()
+
+    def _compress(self) -> None:
+        if self._buf:
+            bm = np.concatenate(self._buf)
+            self._buf = []
+            means = np.concatenate([self.means, bm])
+            weights = np.concatenate([self.weights, np.ones(len(bm))])
+        else:
+            means, weights = self.means, self.weights
+        if len(means) == 0:
+            return
+        order = np.argsort(means, kind="stable")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        # k1 scale: centroid may absorb while k(q_right) - k(q_left) <= 1
+        k_of = lambda q: self.delta / (2 * np.pi) * np.arcsin(2 * q - 1)  # noqa: E731
+        out_m, out_w = [], []
+        cur_m, cur_w, q_left = means[0], weights[0], 0.0
+        for m, w in zip(means[1:], weights[1:]):
+            q_right = q_left + (cur_w + w) / total
+            if k_of(q_right) - k_of(q_left) <= 1.0:
+                cur_m += (m - cur_m) * (w / (cur_w + w))
+                cur_w += w
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                q_left += cur_w / total
+                cur_m, cur_w = m, w
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.array(out_m)
+        self.weights = np.array(out_w)
+
+    # -- query / merge -------------------------------------------------------
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        out = TDigest(max(self.delta, other.delta))
+        self._compress()
+        other._compress()
+        out.means = np.concatenate([self.means, other.means])
+        out.weights = np.concatenate([self.weights, other.weights])
+        out._compress()
+        return out
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        n = len(self.means)
+        if n == 0:
+            return float("nan")
+        if n == 1:
+            return float(self.means[0])
+        total = self.weights.sum()
+        # centroid "centers" in cumulative-weight space
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        target = q * total
+        return float(np.interp(target, cum, self.means))
+
+    def serialize(self) -> bytes:
+        self._compress()
+        import struct
+
+        return (
+            struct.pack("<ii", self.delta, len(self.means))
+            + self.means.tobytes()
+            + self.weights.tobytes()
+        )
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> "TDigest":
+        import struct
+
+        delta, n = struct.unpack_from("<ii", data)
+        out = cls(delta)
+        base = 8
+        out.means = np.frombuffer(data, dtype=np.float64, count=n, offset=base).copy()
+        out.weights = np.frombuffer(
+            data, dtype=np.float64, count=n, offset=base + 8 * n
+        ).copy()
         return out

@@ -380,6 +380,38 @@ def value_quantiles(sf_dir: str, *, qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)) ->
     )
 
 
+def approx_quantiles(
+    sf_dir: str, *, qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99), delta: int = 200
+) -> pa.Table:
+    """Approximate quantiles via mergeable t-digest sketches: one ~KB
+    digest per batch inside ``map_batches``, merged in a tiny final pass
+    — the 100 TB alternative to ``value_quantiles``'s exact distributed
+    sort (a full shuffle). Rank error O(q(1-q)/delta); asserted against
+    the exact path in tests. Rows-only for the driver (approximate)."""
+    from ..functions.sketches import TDigest
+
+    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["value"])
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        d = TDigest(delta)
+        d.add(batch.column("value").to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([d.serialize()], pa.binary())})
+
+    sketches = ds.map_batches(sketch_batch, batch_size=8192, batch_format="pyarrow")
+    merged = None
+    for b in sketches.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for blob in b.column("sketch").to_pylist():
+            s = TDigest.deserialize(blob)
+            merged = s if merged is None else merged.merge(s)
+    vals = [
+        float(np.round(merged.quantile(q), 4)) if merged is not None else None
+        for q in qs
+    ]
+    return pa.table(
+        {"q": pa.array(list(qs), pa.float64()), "value": pa.array(vals, pa.float64())}
+    )
+
+
 def approx_distinct_users(sf_dir: str, *, p: int = 12) -> pa.Table:
     """Approximate distinct count via mergeable HyperLogLog sketches: one
     ~4 KB sketch per batch inside ``map_batches``, merged in a tiny final
