@@ -123,6 +123,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": T.lang_id,
         "quality_score_docs": T.quality_score,
         "fingerprint_docs": T.fingerprint_docs,
+        # HTML selector-cascade article extraction (SURVEY M6; rows-only:
+        # golden parity vs the generator's ground truth in tests/)
+        "extract_html": _extract_html,
+        # structured video-metadata extraction (SURVEY M9; rows-only:
+        # golden parity + URL-validation negative tests in tests/)
+        "extract_video_metadata": _extract_video_metadata,
         # multimodal stages (over synthetic payload tables)
         "image_features": _image_features,
         "phash_near_dup": _phash_near_dup,
@@ -137,6 +143,27 @@ def _fixture_images():
 
     fx = gen_fixtures(default_fixture_dir(1200), n_urls=1200, seed=42)
     return fx / "images.parquet"
+
+
+def _extract_html(sf_dir: str) -> Any:
+    """Rows-only: selector-cascade extraction over deterministic synthetic
+    HTML pages (sf_dir-independent input by design; golden parity in
+    tests/test_html_extract.py)."""
+    from newscrawler_ray.pipelines.webextract import extract_html_pages
+    from newscrawler_ray.synth_html import gen_html_fixtures
+
+    fx = gen_html_fixtures("/tmp/newscrawler_ray_fixtures/html_500", 500, 42)
+    return extract_html_pages(fx / "html_pages.parquet")
+
+
+def _extract_video_metadata(sf_dir: str) -> Any:
+    """Rows-only: typed metadata cascade over deterministic synthetic
+    video pages (sf_dir-independent input by design)."""
+    from newscrawler_ray.pipelines.webextract import extract_video_metadata_pages
+    from newscrawler_ray.synth_html import gen_video_fixtures
+
+    fx = gen_video_fixtures("/tmp/newscrawler_ray_fixtures/video_300", 300, 42)
+    return extract_video_metadata_pages(fx / "video_pages.parquet")
 
 
 def _image_features(sf_dir: str) -> Any:

@@ -68,5 +68,5 @@ def test_every_query_has_oracle_or_is_marked():
         n for n in qs if n.startswith(("minhash", "simhash", "ngram", "knn",
                                        "embedding", "lang_id", "quality",
                                        "fingerprint", "phash", "image", "crawl",
-                                       "sample", "audio", "approx"))
+                                       "sample", "audio", "approx", "extract"))
     }
