@@ -45,12 +45,16 @@ def ts_us(dt: datetime) -> int:
 
 import pyarrow.parquet as pq
 
-from .functions.urls import canonicalize_url, host_of, is_blocked
+from .functions.retry import penalty_ms, retry_plan
+from .functions.urls import canonicalize_url, host_of, is_blocked, url_hash64
 
 ERROR_MESSAGES = {
     403: "HTTP 403 Forbidden",
     429: "HTTP 429 Too Many Requests",
+    500: "HTTP 500 Internal Server Error",
+    502: "HTTP 502 Bad Gateway",
     503: "HTTP 503 Server Error",
+    504: "HTTP 504 Gateway Timeout",
     -1: "Request timeout",
 }
 
@@ -121,6 +125,8 @@ def run_oracle(fixture_dir: str | Path, min_content_len: int = 1000) -> OracleRe
         "short_content": 0,
         "stored": 0,
         "missing_page": 0,
+        "retries": 0,
+        "penalties": 0,
     }
 
     def try_enqueue(raw_url: str, depth: int) -> None:
@@ -157,6 +163,7 @@ def run_oracle(fixture_dir: str | Path, min_content_len: int = 1000) -> OracleRe
                 "url": canon,
                 "depth": depth,
                 "status": 404,
+                "n_attempts": 1,
                 "extraction_error": "HTTP 404 Not Found",
                 "image_id": None,
                 "priority": None,
@@ -164,11 +171,24 @@ def run_oracle(fixture_dir: str | Path, min_content_len: int = 1000) -> OracleRe
             }
             m["errors"] += 1
             continue
-        status = page["fetch_status"]
+        # retry/backoff on the virtual clock (functions/retry.py — shared
+        # with the fetch stage): transient failures precede the base
+        # status; the penalty window follows a final 403/429
+        status, attempts, backoff = retry_plan(
+            int(page.get("n_transient", 0) or 0),
+            int(page.get("transient_status", 0) or 0),
+            int(page["fetch_status"]),
+        )
+        pen = penalty_ms(url_hash64(canon), status)
+        host_clock[host] += backoff + pen
+        m["retries"] += attempts - 1
+        if pen:
+            m["penalties"] += 1
         rec = {
             "url": canon,
             "depth": depth,
             "status": int(status),
+            "n_attempts": attempts,
             "image_id": page["image_id"],
             "priority": page["priority"],
             "content_len": int(page["content_len"]),

@@ -38,6 +38,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 
+from ..functions.retry import penalty_ms_batch, retry_plan_batch
 from ..functions.urls import url_hash64
 from ..oracle import ERROR_MESSAGES
 
@@ -49,6 +50,8 @@ FETCHED_SCHEMA = pa.schema(
         ("priority", pa.int64()),
         ("depth", pa.int32()),
         ("status", pa.int32()),
+        ("n_attempts", pa.int32()),
+        ("extra_ms", pa.int64()),
         ("image_id", pa.string()),
         ("bytes", pa.binary()),
         ("w", pa.int32()),
@@ -75,6 +78,10 @@ def build_web_index(fixture_dir: str | Path) -> dict:
     bundle = {
         "hash_sorted": hashes[order],
         "status": pages.column("fetch_status").to_numpy()[order].astype(np.int32),
+        "n_transient": pages.column("n_transient").to_numpy()[order].astype(np.int32),
+        "transient_status": pages.column("transient_status")
+        .to_numpy()[order]
+        .astype(np.int32),
         "clen": pages.column("content_len").to_numpy()[order].astype(np.int32),
         "prio": pages.column("priority").cast(pa.int64()).to_numpy()[order],
         # image row index: image_id is 'img-{row:08d}' into the images table
@@ -115,6 +122,8 @@ class WebIndex:
                 bundle,
                 hash_sorted=np.array([self._SENTINEL], np.int64),
                 status=np.zeros(1, np.int32),
+                n_transient=np.zeros(1, np.int32),
+                transient_status=np.zeros(1, np.int32),
                 clen=np.zeros(1, np.int32),
                 prio=np.zeros(1, np.int64),
                 img_row=np.zeros(1, np.int64),
@@ -122,6 +131,8 @@ class WebIndex:
             )
         self.hash_sorted = bundle["hash_sorted"]
         self.status = bundle["status"]
+        self.n_transient = bundle["n_transient"]
+        self.transient_status = bundle["transient_status"]
         self.clen = bundle["clen"]
         self.prio = bundle["prio"]
         self.img_row = bundle["img_row"]
@@ -152,7 +163,15 @@ def fetch_batch(batch: pa.Table, idx: WebIndex) -> pa.Table:
     pos = np.clip(np.searchsorted(idx.hash_sorted, h), 0, idx.n - 1)
     found = idx.hash_sorted[pos] == h
 
-    status = np.where(found, idx.status[pos], 404).astype(np.int32)
+    base_status = np.where(found, idx.status[pos], 404).astype(np.int32)
+    # retry/backoff/penalty on the virtual clock (functions/retry.py —
+    # shared with the oracle): FINAL status after the retry budget; the
+    # per-host extra virtual ms is credited to frontier clocks at route
+    nt = np.where(found, idx.n_transient[pos], 0).astype(np.int32)
+    ts = np.where(found, idx.transient_status[pos], 0).astype(np.int32)
+    status, attempts, backoff = retry_plan_batch(nt, ts, base_status)
+    penalties = penalty_ms_batch(h, status)
+    extra_ms = backoff + penalties
     ok = found & (status == 200)
     clen = np.where(ok, idx.clen[pos], 0).astype(np.int32)
     img_rows = np.where(ok, idx.img_row[pos], 0)
@@ -192,6 +211,8 @@ def fetch_batch(batch: pa.Table, idx: WebIndex) -> pa.Table:
             "priority": batch.column("priority"),
             "depth": batch.column("depth"),
             "status": pa.array(status),
+            "n_attempts": pa.array(attempts),
+            "extra_ms": pa.array(extra_ms),
             "image_id": img.column("image_id"),
             "bytes": img.column("bytes"),
             "w": img.column("w"),

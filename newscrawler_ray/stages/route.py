@@ -144,7 +144,26 @@ def _route_batch(
     route_candidates(
         raw, link_depths, seen, frontier, blocklist, robots, priority_index, metrics
     )
-    return batch.drop_columns(["outlinks"])
+    # credit retry/penalty virtual ms to the owning frontier shard's host
+    # clocks (additive, so wave/batch composition cannot change makespan)
+    extra = batch.column("extra_ms").to_numpy()
+    nz = np.nonzero(extra)[0]
+    if len(nz):
+        hosts = batch.column("host").take(pa.array(nz)).to_pylist()
+        per_host: dict[str, int] = {}
+        for hst, ms in zip(hosts, extra[nz]):
+            per_host[hst] = per_host.get(hst, 0) + int(ms)
+        n_frontier = len(frontier)
+        by_shard: dict[int, list[str]] = {}
+        for hst in per_host:
+            by_shard.setdefault(shard_of_host(hst, n_frontier), []).append(hst)
+        ray.get(
+            [
+                frontier[s].add_clock.remote(hs, [per_host[h] for h in hs])
+                for s, hs in by_shard.items()
+            ]
+        )
+    return batch.drop_columns(["outlinks", "extra_ms"])
 
 
 def make_route_fn(

@@ -118,6 +118,13 @@ class FrontierShard:
             schema=FRONTIER_SCHEMA,
         )
 
+    def add_clock(self, hosts: list[str], ms: list[int]) -> None:
+        """Credit extra virtual ms (retry backoff / 403-429 penalties) to
+        host clocks — additive, so batch composition cannot change the
+        final makespan (identical accounting to the oracle)."""
+        for h, m in zip(hosts, ms):
+            self.host_clock_ms[h] = self.host_clock_ms.get(h, 0) + int(m)
+
     def size(self) -> int:
         return self.pending
 

@@ -84,6 +84,19 @@ class SynthWorld:
         status[u >= 0.96] = 503
         status[u >= 0.98] = -1  # timeout sentinel
         self.fetch_status = status
+        # transient failures before the base status (retry semantics,
+        # functions/retry.py): ~6% recover within the 3-retry budget,
+        # ~1.5% exhaust it (the transient status becomes final)
+        r4 = _rng(seed, 9)
+        u2 = r4.random(n_urls)
+        n_tr = np.zeros(n_urls, dtype=np.int32)
+        light = u2 < 0.06
+        n_tr[light] = r4.integers(1, 4, int(light.sum()))
+        heavy = (u2 >= 0.06) & (u2 < 0.075)
+        n_tr[heavy] = r4.integers(4, 7, int(heavy.sum()))
+        self.n_transient = n_tr
+        tr_choices = np.array([429, 500, 502, 503, 504], dtype=np.int32)
+        self.transient_status = tr_choices[r4.integers(0, 5, n_urls)]
         # content length: 200..5000, ~15% under the 1000-char ingest filter
         clen = r3.integers(1000, 5000, n_urls).astype(np.int32)
         short = r3.random(n_urls) < 0.15
@@ -204,13 +217,21 @@ IMAGES_SCHEMA = pa.schema(
 )
 
 
+# bump when fixture content/schema changes: cached dirs regenerate
+FIXTURE_VERSION = 2  # v2: n_transient / transient_status (retry semantics)
+
+
 def gen_fixtures(out_dir: str | Path, n_urls: int = 2000, seed: int = 42, force: bool = False) -> Path:
     """Write all fixture tables; idempotent (skips if manifest matches)."""
     out = Path(out_dir)
     manifest = out / "config.json"
     if manifest.exists() and not force:
         cfg = json.loads(manifest.read_text())
-        if cfg.get("n_urls") == n_urls and cfg.get("seed") == seed:
+        if (
+            cfg.get("n_urls") == n_urls
+            and cfg.get("seed") == seed
+            and cfg.get("version") == FIXTURE_VERSION
+        ):
             return out
     out.mkdir(parents=True, exist_ok=True)
     world = SynthWorld(n_urls, seed)
@@ -263,6 +284,8 @@ def gen_fixtures(out_dir: str | Path, n_urls: int = 2000, seed: int = 42, force:
                 "content_len": pa.array(world.content_len, pa.int32()),
                 "fetch_status": pa.array(world.fetch_status, pa.int32()),
                 "priority": pa.array(world.priority_us, pa.timestamp("us")),
+                "n_transient": pa.array(world.n_transient, pa.int32()),
+                "transient_status": pa.array(world.transient_status, pa.int32()),
             }
         ),
         out / "pages.parquet",
@@ -292,6 +315,7 @@ def gen_fixtures(out_dir: str | Path, n_urls: int = 2000, seed: int = 42, force:
             {
                 "n_urls": n_urls,
                 "seed": seed,
+                "version": FIXTURE_VERSION,
                 "n_hosts": world.n_hosts,
                 "blocklist": sorted(world.blocked_hosts),
                 "n_seeds": len(sidx),
