@@ -36,6 +36,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Min
 
+from ..functions.io import read_clean
 from ..functions.hashing import (
     _SCRATCH,
     shingle_hashes,
@@ -63,7 +64,7 @@ def exact_dedup_docs(sf_dir: str) -> rd.Dataset:
     """Exact first-wins dedup by content (reference D2/D3 semantics lifted
     from URL to content): hash the text per batch (vector stage), shuffle
     only ``(hash, doc_id)``, keep min doc_id per group."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def hashes(batch: pa.Table) -> pa.Table:
         h = [content_hash64(t) for t in batch.column("text").to_pylist()]
@@ -199,7 +200,7 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_hashes // n_bands
     if docs is None:
-        docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     if num_partitions is None:
         num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
 
@@ -333,7 +334,7 @@ def simhash_docs(sf_dir: str, docs: rd.Dataset | None = None) -> rd.Dataset:
     (hamming-radius search = groupby on rotated hash quarters, same plan
     shape as the band stage above)."""
     if docs is None:
-        docs = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+        docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def sh(batch: pa.Table) -> pa.Table:
         vals = simhash64_batch(batch.column("text"))
@@ -466,7 +467,7 @@ def embedding_near_dup(
     """
     if n_blocks is None:
         n_blocks = max(2, int(ray.cluster_resources().get("CPU", 4)))
-    ds = rd.read_parquet(
+    ds = read_clean(
         _p(sf_dir, "embeddings"),
         columns=["vec_id", "embedding"],
         override_num_blocks=n_blocks,
@@ -503,7 +504,7 @@ def embedding_near_dup_ivf(
     cents = ivf_build(sf_dir, n_cells=n_cells)
     cents_ref = ray.put(cents)
 
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_clean(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cents_ref)

@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from ..functions.io import read_clean
 from ..functions.joins import (
     broadcast_table,
     make_broadcast_map_fn,
@@ -65,7 +66,7 @@ def q1_lineitem_agg(sf_dir: str) -> rd.Dataset:
     Ray Data's hash aggregate pre-combines per block, so the shuffle ships
     one partial row per (returnflag, linestatus) per block.
     """
-    ds = rd.read_parquet(
+    ds = read_clean(
         _p(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -87,12 +88,12 @@ def q1_lineitem_agg(sf_dir: str) -> rd.Dataset:
 
 def count_by_source(sf_dir: str) -> rd.Dataset:
     """Grouped count(*) by source (reference A1, ``db_manage.py:32-36``)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["source"])
+    ds = read_clean(_p(sf_dir, "documents"), columns=["source"])
     return ds.groupby("source").aggregate(Count(alias_name="n"))
 
 
 def count_by_lang(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["lang"])
+    ds = read_clean(_p(sf_dir, "documents"), columns=["lang"])
     return ds.groupby("lang").aggregate(Count(alias_name="n"))
 
 
@@ -102,7 +103,7 @@ def global_counts(sf_dir: str) -> pa.Table:
     One streaming pass: per-batch partial counts, summed — no groupby
     shuffle at all for a global aggregate.
     """
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["n_chars", "lang"])
+    ds = read_clean(_p(sf_dir, "documents"), columns=["n_chars", "lang"])
 
     def partial(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -127,7 +128,7 @@ def global_counts(sf_dir: str) -> pa.Table:
 
 
 def avg_value_by_type(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "value"])
+    ds = read_clean(_p(sf_dir, "events"), columns=["event_type", "value"])
     out = ds.groupby("event_type").aggregate(
         Mean("value", alias_name="avg_value"),
         Min("value", alias_name="min_value"),
@@ -138,7 +139,7 @@ def avg_value_by_type(sf_dir: str) -> rd.Dataset:
 
 
 def part_brand_stats(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(_p(sf_dir, "part"), columns=["p_brand", "p_retailprice"])
+    ds = read_clean(_p(sf_dir, "part"), columns=["p_brand", "p_retailprice"])
     out = ds.groupby("p_brand").aggregate(
         Count(alias_name="n"), Sum("p_retailprice", alias_name="total_price")
     )
@@ -146,7 +147,7 @@ def part_brand_stats(sf_dir: str) -> rd.Dataset:
 
 
 def orders_by_status(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderstatus", "o_totalprice"])
+    ds = read_clean(_p(sf_dir, "orders"), columns=["o_orderstatus", "o_totalprice"])
     out = ds.groupby("o_orderstatus").aggregate(
         Count(alias_name="n"), Sum("o_totalprice", alias_name="total")
     )
@@ -157,7 +158,7 @@ def shipped_before_agg(sf_dir: str) -> rd.Dataset:
     """Filter pushdown at the read + grouped agg (pruned columns only)."""
     import pyarrow.dataset as pads
 
-    ds = rd.read_parquet(
+    ds = read_clean(
         _p(sf_dir, "lineitem"),
         columns=["l_returnflag", "l_quantity", "l_shipdate"],
         filter=pads.field("l_shipdate") < pa.scalar(pa.compute.strptime("1996-01-01", "%Y-%m-%d", "us").as_py()),
@@ -174,7 +175,7 @@ def shipped_before_agg(sf_dir: str) -> rd.Dataset:
 def search_keywords(sf_dir: str) -> rd.Dataset:
     """Whole-word, case-insensitive, multi-keyword AND search (reference
     ``/search``, ``main.py:271-294``) + min-length gate, vectorized RE2."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source", "n_chars", "text"])
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "source", "n_chars", "text"])
 
     def filt(batch: pa.Table) -> pa.Table:
         mask = keyword_search_mask(batch, ["spark", "merge"], ["text"])
@@ -186,7 +187,7 @@ def search_keywords(sf_dir: str) -> rd.Dataset:
 
 def search_substring(sf_dir: str) -> rd.Dataset:
     """Substring ILIKE search (reference ``db_manage.py:149-154``)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "lang", "text"])
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "lang", "text"])
 
     def filt(batch: pa.Table) -> pa.Table:
         mask = pc.match_substring(batch.column("text"), "window", ignore_case=True)
@@ -202,7 +203,7 @@ def excluded_filter(sf_dir: str) -> rd.Dataset:
 
     blockset = {"src0", "src13", "src7"}
     ref = ray.put(blockset)
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "source", "lang"])
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "source", "lang"])
     ds = ds.map_batches(
         make_broadcast_semijoin_fn("source", ref, anti=True), batch_format="pyarrow"
     )
@@ -221,7 +222,7 @@ def salted_returnflag_agg(sf_dir: str) -> rd.Dataset:
     direct groupby (the SQL oracle)."""
     from ..functions.skew import salted_groupby_sum
 
-    ds = rd.read_parquet(
+    ds = read_clean(
         _p(sf_dir, "lineitem"), columns=["l_returnflag", "l_quantity"]
     )
     out = salted_groupby_sum(
@@ -234,7 +235,7 @@ def purge_old_events(sf_dir: str) -> rd.Dataset:
     """Delete-by-age rewrite (reference K5, ``scripts/db_manage.py:62-90``):
     the kept rows of a bulk delete expressed as a streaming anti-filter —
     at scale this rewrites the table partition by partition."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "event_type"])
+    ds = read_clean(_p(sf_dir, "events"), columns=["event_id", "ts", "event_type"])
 
     def keep(batch: pa.Table) -> pa.Table:
         cutoff = pa.scalar(pc.strptime("2024-01-15", "%Y-%m-%d", "us").as_py())
@@ -247,7 +248,7 @@ def sample_events(sf_dir: str) -> rd.Dataset:
     """Seeded record sampling (the one thing the reference's randomness
     never does — SURVEY O4 — but a training-data pipeline needs).
     Deterministic per seed; rows-only check (no SQL sampling oracle)."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "event_type"])
+    ds = read_clean(_p(sf_dir, "events"), columns=["event_id", "event_type"])
     return ds.random_sample(0.1, seed=7)
 
 
@@ -257,7 +258,7 @@ def sample_events(sf_dir: str) -> rd.Dataset:
 def recent_topk(sf_dir: str) -> rd.Dataset:
     """Global top-k by recency with deterministic tiebreak (reference O1,
     ``google_news_crawler.py:518-519`` — the crawl-ordering sort)."""
-    ds = rd.read_parquet(
+    ds = read_clean(
         _p(sf_dir, "events"), columns=["event_id", "ts", "event_type", "value"]
     )
     out = ds.sort(["ts", "event_id"], descending=[True, False]).limit(100)
@@ -266,7 +267,7 @@ def recent_topk(sf_dir: str) -> rd.Dataset:
 
 def page_offset(sf_dir: str) -> pa.Table:
     """ORDER BY ts DESC OFFSET 100 LIMIT 50 (reference O2, ``main.py:296``)."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_id", "ts", "event_type"])
+    ds = read_clean(_p(sf_dir, "events"), columns=["event_id", "ts", "event_type"])
     rows = ds.sort(["ts", "event_id"], descending=[True, False]).limit(150).take_all()
     return pa.Table.from_pylist(rows[100:150])
 
@@ -280,7 +281,7 @@ def top_orders_per_segment(sf_dir: str, *, k: int = 3) -> rd.Dataset:
 
     cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
     ref = broadcast_table(table_to_mapping(cust, "c_custkey", "c_mktsegment"))
-    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    ds = read_clean(_p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey", "o_totalprice"])
     ds = ds.map_batches(
         make_broadcast_map_fn("o_custkey", "c_mktsegment", ref, pa.string()),
         batch_format="pyarrow",
@@ -299,7 +300,7 @@ def top_orders_per_segment(sf_dir: str, *, k: int = 3) -> rd.Dataset:
 def dedup_first_wins(sf_dir: str) -> rd.Dataset:
     """Exact first-wins dedup by key (reference D2/D3 URL dedup semantics):
     hash-partition by key, keep min sequence id per group."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_type", "event_id"])
+    ds = read_clean(_p(sf_dir, "events"), columns=["user_id", "event_type", "event_id"])
     return ds.groupby(["user_id", "event_type"]).aggregate(
         Min("event_id", alias_name="first_event_id")
     )
@@ -315,7 +316,7 @@ def seg_revenue(sf_dir: str) -> rd.Dataset:
 
     cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
     ref = broadcast_table(table_to_mapping(cust, "c_custkey", "c_mktsegment"))
-    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
+    ds = read_clean(_p(sf_dir, "orders"), columns=["o_custkey", "o_totalprice"])
     ds = ds.map_batches(
         make_broadcast_map_fn("o_custkey", "c_mktsegment", ref, pa.string()),
         batch_format="pyarrow",
@@ -334,7 +335,7 @@ def nation_orders(sf_dir: str) -> rd.Dataset:
     nat = pq.read_table(_p(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
     cust_ref = broadcast_table(table_to_mapping(cust, "c_custkey", "c_nationkey"))
     nat_ref = broadcast_table(table_to_mapping(nat, "n_nationkey", "n_name"))
-    ds = rd.read_parquet(_p(sf_dir, "orders"), columns=["o_custkey"])
+    ds = read_clean(_p(sf_dir, "orders"), columns=["o_custkey"])
     ds = ds.map_batches(
         make_broadcast_map_fn("o_custkey", "nationkey", cust_ref, pa.int32()),
         batch_format="pyarrow",
@@ -351,7 +352,7 @@ def value_quantiles(sf_dir: str, *, qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99)) ->
     ``quantile_cont``): one distributed sort, then only the 2 boundary
     rows per quantile leave the cluster (``split_at_indices`` + tiny
     takes) — order statistics without materializing the sorted column."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["value"]).sort("value")
+    ds = read_clean(_p(sf_dir, "events"), columns=["value"]).sort("value")
     n = ds.count()
     if n == 0:
         # no order statistics exist on an empty table (and min(lo+1, n-1)
@@ -390,7 +391,7 @@ def approx_quantiles(
     the exact path in tests. Rows-only for the driver (approximate)."""
     from ..functions.sketches import TDigest
 
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["value"])
+    ds = read_clean(_p(sf_dir, "events"), columns=["value"])
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
         d = TDigest(delta)
@@ -421,7 +422,7 @@ def approx_distinct_users(sf_dir: str, *, p: int = 12) -> pa.Table:
     driver (approximate ≠ SQL-exact)."""
     from ..functions.sketches import HyperLogLog
 
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id"])
+    ds = read_clean(_p(sf_dir, "events"), columns=["user_id"])
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
         h = HyperLogLog(p)
@@ -453,7 +454,7 @@ def purchase_click_asof(sf_dir: str) -> rd.Dataset:
     """
     import pandas as pd
 
-    ds = rd.read_parquet(
+    ds = read_clean(
         _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
     )
 
@@ -495,7 +496,7 @@ def purchase_click_asof(sf_dir: str) -> rd.Dataset:
 def events_daily_window(sf_dir: str) -> rd.Dataset:
     """Tumbling 1-day window per event_type (SURVEY §2.9: the rebuild's
     window analog — event-time bucket computed vectorized, then grouped)."""
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["event_type", "ts", "value"])
+    ds = read_clean(_p(sf_dir, "events"), columns=["event_type", "ts", "value"])
 
     def add_day(batch: pa.Table) -> pa.Table:
         day = pc.floor_temporal(batch.column("ts"), unit="day")
@@ -523,7 +524,7 @@ def events_daily_window(sf_dir: str) -> rd.Dataset:
 
 def token_stats(sf_dir: str) -> rd.Dataset:
     """Whitespace token count per doc, vectorized (split + list_value_length)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def toks(batch: pa.Table) -> pa.Table:
         trimmed = pc.utf8_trim_whitespace(batch.column("text"))

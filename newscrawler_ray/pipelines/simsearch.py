@@ -19,6 +19,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
+from ..functions.io import read_clean
 
 
 def _p(sf_dir: str, table: str) -> str:
@@ -56,7 +57,7 @@ def knn_topk(sf_dir: str, *, query_vec_id: int = 0, k: int = 10) -> pa.Table:
     """Exact cosine top-k vs one query vector (brute-force baseline)."""
     q = _norm(_load_query(sf_dir, query_vec_id))
     q_ref = ray.put(q)
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_clean(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
     def batch_topk(batch: pa.Table) -> pa.Table:
         qv = ray.get(q_ref)
@@ -99,7 +100,7 @@ def knn_multi(
     Q = _norm(emb_matrix(t.column("embedding"))[order])
     q_ref = ray.put((q_ids, Q))
 
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_clean(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
     def batch_topk(batch: pa.Table) -> pa.Table:
         qids, qm = ray.get(q_ref)
@@ -154,7 +155,7 @@ def ivf_build(
     driver. The centroid matrix is tiny (n_cells x d) and broadcasts."""
     from ..functions.hashing import splitmix64
 
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_clean(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     n_rows = ds.count()
     mod = max(1, n_rows // train_max)
 
@@ -190,7 +191,7 @@ def knn_ivf(
     q = _norm(_load_query(sf_dir, query_vec_id))
     probe_cells = set(np.argsort(-(cents @ q))[:nprobe].tolist())
     refs = ray.put((cents, q, probe_cells))
-    ds = rd.read_parquet(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = read_clean(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
     def batch_topk(batch: pa.Table) -> pa.Table:
         c, qv, probes = ray.get(refs)

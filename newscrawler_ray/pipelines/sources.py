@@ -21,6 +21,7 @@ from pathlib import Path
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from ..functions.io import read_clean
 
 
 def _p(sf_dir: str, table: str) -> str:
@@ -32,7 +33,7 @@ def _p(sf_dir: str, table: str) -> str:
 
 
 def _src_alpha(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang", "source"])
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang", "source"])
     return ds.map_batches(
         lambda t: t.filter(pc.equal(t.column("source"), "src0")).rename_columns(
             ["id", "body", "language", "feed"]
@@ -42,7 +43,7 @@ def _src_alpha(sf_dir: str) -> rd.Dataset:
 
 
 def _src_beta(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang", "source"])
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang", "source"])
     return ds.map_batches(
         lambda t: t.filter(pc.equal(t.column("source"), "src1")).rename_columns(
             ["article_id", "content", "locale", "provider"]
@@ -52,7 +53,7 @@ def _src_beta(sf_dir: str) -> rd.Dataset:
 
 
 def _src_gamma(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang", "source"])
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang", "source"])
     return ds.map_batches(
         lambda t: t.filter(
             pc.is_in(t.column("source"), value_set=pa.array(["src2", "src0"]))
@@ -120,7 +121,7 @@ def user_sessions(sf_dir: str, *, gap_minutes: int = 60) -> rd.Dataset:
     order needed, so this scales as a single hash shuffle by user."""
     import pandas as pd
 
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+    ds = read_clean(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
@@ -143,7 +144,7 @@ def user_event_sequence(sf_dir: str) -> rd.Dataset:
     event-type sequence in event_id order — deterministic, hashable."""
     import pandas as pd
 
-    ds = rd.read_parquet(_p(sf_dir, "events"), columns=["user_id", "event_id", "event_type"])
+    ds = read_clean(_p(sf_dir, "events"), columns=["user_id", "event_id", "event_type"])
 
     def seq(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("event_id")

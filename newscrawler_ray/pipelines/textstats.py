@@ -18,6 +18,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from ..functions.io import read_clean
 
 _TOKEN_RE = r"\w+|[^\w\s]"  # BPE-ish pre-tokenizer split (words + punct)
 
@@ -29,7 +30,7 @@ def _p(sf_dir: str, table: str) -> str:
 def bpe_token_stats(sf_dir: str) -> rd.Dataset:
     """Token counts under a BPE-style pre-tokenizer regex; vectorized with
     ``pc.count_substring_regex`` (RE2 — same engine as the DuckDB oracle)."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def toks(batch: pa.Table) -> pa.Table:
         counts = pc.count_substring_regex(batch.column("text"), _TOKEN_RE)
@@ -96,7 +97,7 @@ class LangId:
 
 
 def lang_id(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
 
 
@@ -106,7 +107,7 @@ def lang_id(sf_dir: str) -> rd.Dataset:
 def quality_score(sf_dir: str) -> rd.Dataset:
     """Length / punctuation / stopword-ratio quality features + composite
     score in [0,1] — the usual pre-training corpus filters, vectorized."""
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     stop_en = _LANG_STOPWORDS["en"]
 
     def feats(batch: pa.Table) -> pa.Table:
@@ -173,7 +174,7 @@ def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> np.ndarray:
 
 
 def fingerprint_docs(sf_dir: str) -> rd.Dataset:
-    ds = rd.read_parquet(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
         ns, mins = [], []
