@@ -119,6 +119,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_topk": S.knn_ivf,
         # gap sessionization (SURVEY §2.9 streaming analog)
         "user_sessions": SRC.user_sessions,
+        # headline clustering (SURVEY A4 grouping half: simhash pairs ->
+        # connected components -> grouped title collect; rows-only —
+        # union-find + planted-cluster oracles in tests/)
+        "headline_clusters": _headline_clusters,
         # text analysis (rows-only: heuristics not SQL-expressible)
         "lang_id_docs": T.lang_id,
         "quality_score_docs": T.quality_score,
@@ -136,6 +140,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship crawl (north_rule; rows-only — oracle equality in tests/)
         "crawl_e2e": _crawl_e2e,
     }
+
+
+def _headline_clusters(sf_dir: str) -> Any:
+    """Rows-only: story clusters over near-dup headlines (not
+    SQL-expressible — simhash + connected components; oracles in
+    tests/test_graph_clusters.py)."""
+    from newscrawler_ray.pipelines.graph import headline_clusters
+
+    return headline_clusters(sf_dir)
 
 
 def _fixture_images():

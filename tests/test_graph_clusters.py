@@ -1,0 +1,127 @@
+"""Connected components (large-star/small-star) + headline clustering.
+
+Oracle: a driver-side union-find on the same edge list must produce the
+identical node -> min-id-component labeling; planted headline groups must
+come back as exactly the planted clusters.
+"""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from newscrawler_ray.pipelines.graph import (
+    connected_components,
+    headline_clusters,
+)
+
+
+def _edges_ds(pairs):
+    a = [int(p[0]) for p in pairs]
+    b = [int(p[1]) for p in pairs]
+    return rd.from_arrow(
+        pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+    )
+
+
+def _union_find_labels(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for a, b in pairs:
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        nodes.update((a, b))
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min = {}
+    for x in sorted(nodes):
+        comp_min.setdefault(find(x), x)
+    return {x: comp_min[find(x)] for x in nodes}
+
+
+def _cc_labels(pairs):
+    return {
+        r["node"]: r["component"]
+        for r in connected_components(_edges_ds(pairs)).take_all()
+    }
+
+
+def test_cc_matches_union_find_random(ray_session):
+    rng = np.random.default_rng(7)
+    pairs = rng.integers(0, 300, size=(220, 2)).tolist()
+    assert _cc_labels(pairs) == _union_find_labels(pairs)
+
+
+def test_cc_descending_chain_needs_rounds(ray_session):
+    # worst-ish case for min propagation: a long path given in
+    # max-to-min order, plus a second path interleaved
+    pairs = [(i + 1, i) for i in range(60)] + [(1000 + i, 1002 + i) for i in range(0, 40, 2)]
+    labels = _cc_labels(pairs)
+    assert labels == _union_find_labels(pairs)
+    assert set(labels[i] for i in range(61)) == {0}
+
+
+def test_cc_self_loops_and_empty(ray_session):
+    assert _cc_labels([(5, 5), (9, 9)]) == {}
+    empty = _edges_ds([])
+    assert connected_components(empty).take_all() == []
+
+
+def test_headline_clusters_planted(ray_session, tmp_path):
+    # 30 docs: planted cluster A = {0,1,2}, B = {10, 11}, rest unique salads
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(900)]
+    texts = []
+    for i in range(30):
+        salad = " ".join(rng.choice(vocab, size=40))
+        if i in (0, 1, 2):
+            texts.append("alpha beta gamma delta epsilon zeta eta theta " + salad)
+        elif i in (10, 11):
+            texts.append("one two three four five six seven eight " + salad)
+        else:
+            texts.append(salad)
+    t = pa.table(
+        {"doc_id": pa.array(range(30), pa.int64()), "text": pa.array(texts)}
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = pa.concat_tables(
+        headline_clusters(str(tmp_path)).iter_batches(batch_format="pyarrow")
+    )
+    by_cluster = {
+        r["cluster_id"]: r["doc_ids"] for r in out.to_pylist()
+    }
+    assert by_cluster[0] == "0,1,2"
+    assert by_cluster[10] == "10,11"
+    assert out.num_rows == 30 - 2 - 1  # 27 clusters
+    # representative headline comes from the min doc of the cluster
+    heads = {r["cluster_id"]: r["headline"] for r in out.to_pylist()}
+    assert heads[0] == "alpha beta gamma delta epsilon zeta eta theta"
+    assert heads[10] == "one two three four five six seven eight"
+
+
+def test_headline_clusters_no_pairs_all_singletons(ray_session, tmp_path):
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(4000)]
+    texts = [" ".join(rng.choice(vocab, size=20, replace=False)) for _ in range(12)]
+    t = pa.table(
+        {"doc_id": pa.array(range(12), pa.int64()), "text": pa.array(texts)}
+    )
+    import pyarrow.parquet as pq
+
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = pa.concat_tables(
+        headline_clusters(str(tmp_path)).iter_batches(batch_format="pyarrow")
+    )
+    assert out.num_rows == 12
+    assert out.column("n_docs").to_pylist() == [1] * 12
