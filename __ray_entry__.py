@@ -106,6 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_stats": T.bpe_token_stats,
         # training-data ops: dedup family (SURVEY D2-D5 + graft additions)
         "exact_dedup_docs": D.exact_dedup_docs,
+        # EXACT set-similarity self-join (prefix filtering) — unlike the
+        # LSH families this one is deterministic and SQL-checkable
+        "ngram_jaccard_pairs": lambda sf: D.ngram_jaccard_pairs(sf, threshold=0.5),
         "minhash_near_dup": lambda sf: D.minhash_lsh_pairs(sf, threshold=0.5),
         "simhash_docs": D.simhash_docs,
         "simhash_near_dup": lambda sf: D.simhash_near_dup_pairs(sf),
@@ -309,6 +312,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
             FROM documents""",
         "exact_dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "ngram_jaccard_pairs": r"""
+            -- word-3-gram Jaccard >= 0.5, same tokenization as the engine:
+            -- lowercase, split \W+, drop empties; <3 words = one gram
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) < 3
+                       THEN [list_aggregate(w, 'string_agg', ' ')]
+                       ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             FOR i IN generate_series(1, len(w)-2)]
+                     END) AS grams
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '\W+'),
+                                       x -> x <> '') AS w
+                    FROM documents)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                         / nullif(len(list_distinct(a.grams || b.grams)), 0),
+                         4) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                  / nullif(len(list_distinct(a.grams || b.grams)), 0) >= 0.5""",
         "embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -242,6 +242,23 @@ def minhash_lsh_pairs(
         lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
 
+    return jaccard_verify_pairs(pairs, docs, threshold, num_partitions)
+
+
+def jaccard_verify_pairs(
+    pairs: rd.Dataset,
+    docs: rd.Dataset,
+    threshold: float,
+    num_partitions: int,
+    *,
+    k: int = 3,
+) -> rd.Dataset:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs,
+    fully distributed: explode each pair to its two sides, hash-join
+    text back by doc_id (text moves only for docs in some pair), then
+    one group per pair computes the true n-gram Jaccard and keeps it if
+    >= threshold. Shared by the MinHash-LSH and prefix-filter joins."""
+
     def explode_sides(batch: pa.Table) -> pa.Table:
         a = batch.column("id_a").to_numpy()
         b = batch.column("id_b").to_numpy()
@@ -270,7 +287,7 @@ def minhash_lsh_pairs(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                  "jaccard": pa.array([], pa.float64())}
             )
-        j = round(ngram_jaccard(by_id[id_a], by_id[id_b]), 4)
+        j = round(ngram_jaccard(by_id[id_a], by_id[id_b], k), 4)
         if j < threshold:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
@@ -287,6 +304,100 @@ def minhash_lsh_pairs(
     return joined.groupby(["id_a", "id_b"]).map_groups(
         jaccard_pair, batch_format="pyarrow"
     )
+
+
+# --------------------------------------------- exact set-similarity join
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str,
+    *,
+    threshold: float = 0.5,
+    k: int = 3,
+    docs: rd.Dataset | None = None,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """EXACT n-gram Jaccard similarity self-join via prefix filtering
+    (AllPairs: Bayardo/Ma/Srikant, WWW 2007; the MapReduce formulation
+    follows Vernica/Carey/Li, SIGMOD 2010). Unlike MinHash-LSH this is
+    not probabilistic: every pair with word-k-gram Jaccard >= threshold
+    is returned, so a DuckDB oracle can check it row-for-row.
+
+    Prefix-filter theorem: order each doc's distinct gram set by one
+    global total order (gram hash value here) and keep only the first
+    ``|G| - ceil(t*|G|) + 1`` grams; any pair with J >= t must share a
+    kept gram. Candidate generation is then groupby(gram) over ONLY the
+    prefix rows — the shuffle ships (gram_hash, doc_id, set_size), never
+    text — with the size-ratio filter ``min >= ceil(t*max)`` applied in
+    the bucket. Verification re-joins text by doc_id and computes the
+    true Jaccard per pair (shared ``jaccard_verify_pairs`` stage).
+
+    Scale note: hash order is stateless (no global frequency pass).
+    Rarest-first ordering shrinks candidate buckets further at the cost
+    of a token-frequency broadcast; swap in if bucket skew shows up in
+    ``ds.stats()``.
+    """
+    if docs is None:
+        docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    t = threshold
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        flat, offsets = tokenize_word_hashes(batch.column("text"))
+        lens = np.diff(offsets)
+        # per-doc shingle hashes (same <k convention as _shingles)
+        sh_parts, doc_parts = [], []
+        for d in range(len(ids)):
+            sh = shingle_hashes(flat[offsets[d] : offsets[d + 1]], k)
+            if len(sh):
+                sh_parts.append(np.unique(sh))
+                doc_parts.append(np.full(len(sh_parts[-1]), d, dtype=np.int64))
+        if not sh_parts:
+            return pa.table(
+                {"gram": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "n_grams": pa.array([], pa.int64())}
+            )
+        grams = np.concatenate(sh_parts)  # ascending within each doc
+        doc_of = np.concatenate(doc_parts)
+        sizes = np.bincount(doc_of, minlength=len(ids))
+        starts = np.zeros(len(ids), np.int64)
+        np.cumsum(sizes[:-1], out=starts[1:])
+        # prefix length per doc: |G| - ceil(t|G|) + 1
+        pref = sizes - np.ceil(t * sizes).astype(np.int64) + 1
+        r = np.arange(len(grams), dtype=np.int64) - starts[doc_of]
+        keep = r < pref[doc_of]
+        return pa.table(
+            {
+                "gram": pa.array(grams[keep].view(np.int64), pa.int64()),
+                "doc_id": pa.array(ids[doc_of[keep]], pa.int64()),
+                "n_grams": pa.array(sizes[doc_of[keep]], pa.int64()),
+            }
+        )
+
+    prefixes = docs.map_batches(prefix_rows, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy()
+        sizes = group.column("n_grams").to_numpy()
+        order = np.argsort(ids)
+        ids, sizes = ids[order], sizes[order]
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                lo, hi = sorted((sizes[i], sizes[j]))
+                if lo >= np.ceil(t * hi):  # size-ratio filter
+                    a.append(int(ids[i]))
+                    b.append(int(ids[j]))
+        return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+
+    cand = prefixes.groupby("gram").map_groups(bucket_pairs, batch_format="pyarrow")
+    cand = cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+    return jaccard_verify_pairs(cand, docs, threshold, num_partitions, k=k)
 
 
 # ------------------------------------------------------------------ SimHash

@@ -193,3 +193,41 @@ def test_embedding_near_dup_ivf_recall(ray_session):
     }
     assert approx <= exact  # within-cell cosine is exact -> no false pairs
     assert len(approx & exact) / len(exact) >= 0.5
+
+
+def test_ngram_jaccard_pairs_matches_brute_force(ray_session):
+    # prefix filtering must be EXACT: every pair with J >= t, no extras
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(60)]
+    for i in (40, 45, 50):  # near copies of doc 0 with one word changed
+        base = texts[0].split()
+        base[i % 30] = "zzz"
+        texts[i] = " ".join(base)
+    import pyarrow as pa
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(60), pa.int64()), "text": pa.array(texts)})
+    )
+    for t in (0.3, 0.5, 0.8):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(
+                "unused", threshold=t, docs=docs, num_partitions=4
+            ).take_all()
+        )
+        exp = sorted(
+            (i, j, round(dedup.ngram_jaccard(texts[i], texts[j], 3), 4))
+            for i in range(60)
+            for j in range(i + 1, 60)
+            if dedup.ngram_jaccard(texts[i], texts[j], 3) >= t
+        )
+        assert got == exp
+
+
+def test_ngram_jaccard_pairs_planted(ray_session):
+    pairs = dedup.ngram_jaccard_pairs(SF, threshold=0.5, docs=_planted_docs()).take_all()
+    found = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert found[(1, 4)] == 1.0  # exact dup
+    assert (1, 2) in found and found[(1, 2)] >= 0.5
+    assert not any({a, b} == {1, 3} for (a, b) in found)

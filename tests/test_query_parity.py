@@ -65,8 +65,9 @@ def test_every_query_has_oracle_or_is_marked():
     missing = qs - set(entrymod.oracle_sql())
     # non-SQL-expressible ops only (driver records rows-only checks)
     assert missing <= {"crawl_e2e"} | {
-        n for n in qs if n.startswith(("minhash", "simhash", "ngram", "knn",
+        n for n in qs if n.startswith(("minhash", "simhash", "knn",
                                        "embedding", "lang_id", "quality",
                                        "fingerprint", "phash", "image", "crawl",
-                                       "sample", "audio", "approx", "extract"))
+                                       "sample", "audio", "approx", "extract",
+                                       "headline"))
     }
