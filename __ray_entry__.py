@@ -87,6 +87,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_segment": Q.top_orders_per_segment,
         # as-of join (custom operator: sort-within-group + merge_asof)
         "purchase_click_asof": Q.purchase_click_asof,
+        # range (interval) join: clicks within the preceding hour
+        "purchase_click_window": Q.purchase_click_window,
+        # large-large hash-shuffle join (both sides big; no broadcast)
+        "order_priority_revenue": Q.order_priority_revenue,
         # dedup (SURVEY D2/D3)
         "dedup_first_wins": Q.dedup_first_wins,
         # bulk delete rewrite (SURVEY K5) + sampling (O4 extension)
@@ -97,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_orders": Q.nation_orders,
         # windows (SURVEY §2.9)
         "events_daily_window": Q.events_daily_window,
+        # sliding 7-day calendar window over the daily series
+        "events_rolling_7d": Q.events_rolling_7d,
         # multi-source union + normalize + dedup (SURVEY §3.2, S1-S4/D1/M10)
         "multi_source_union": SRC.multi_source_union,
         # grouped ordered collect (SURVEY A4)
@@ -273,6 +279,32 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY c.ts DESC, c.event_id DESC
                          LIMIT 1) AS DOUBLE) AS click_id
             FROM events p WHERE p.event_type = 'purchase'""",
+        "purchase_click_window": """
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   count(c.event_id) AS n_recent_clicks
+            FROM events p LEFT JOIN events c
+              ON c.user_id = p.user_id AND c.event_type = 'click'
+             AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 60 MINUTE
+            WHERE p.event_type = 'purchase'
+            GROUP BY p.event_id, p.user_id""",
+        "events_rolling_7d": """
+            WITH d AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       count(*) AS n, sum(value) AS v
+                FROM events GROUP BY 1, 2)
+            SELECT event_type, day, n,
+                   CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+                   round(sum(v) OVER w, 4) AS total_7d
+            FROM d
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         RANGE BETWEEN INTERVAL 6 DAY PRECEDING
+                                   AND CURRENT ROW)""",
+        "order_priority_revenue": """
+            SELECT o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority""",
         "dedup_first_wins": """
             SELECT user_id, event_type, min(event_id) AS first_event_id
             FROM events GROUP BY user_id, event_type""",

@@ -534,3 +534,147 @@ def token_stats(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(toks, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- range join / rolling
+
+
+def purchase_click_window(sf_dir: str, *, minutes: int = 60) -> rd.Dataset:
+    """Range (interval) join: per purchase, count same-user clicks in the
+    preceding ``minutes`` window (custom operator — Ray Data has no range
+    join). Same composition as the as-of join: hash-partition by the
+    equi-key, sort within group, then a vectorized two-searchsorted count
+    per purchase. Only (id, key, type, ts) columns ever shuffle."""
+    import pandas as pd
+
+    ds = read_clean(
+        _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
+    )
+
+    def filt(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            batch.column("event_type"), value_set=pa.array(["purchase", "click"])
+        )
+        return batch.filter(keep)
+
+    ds = ds.map_batches(filt, batch_format="pyarrow")
+
+    def windowed(g: "pd.DataFrame") -> "pd.DataFrame":
+        p = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
+        if p.empty:
+            return pd.DataFrame(
+                {"purchase_id": pd.Series(dtype="int64"),
+                 "user_id": pd.Series(dtype="int64"),
+                 "n_recent_clicks": pd.Series(dtype="int64")}
+            )
+        c = g[g["event_type"] == "click"].sort_values("ts")
+        cts = c["ts"].to_numpy()
+        pts = p["ts"].to_numpy()
+        # clicks with ts in (p.ts - minutes, p.ts]
+        hi = np.searchsorted(cts, pts, side="right")
+        lo = np.searchsorted(cts, pts - np.timedelta64(minutes, "m"), side="right")
+        return pd.DataFrame(
+            {
+                "purchase_id": p["event_id"].to_numpy(),
+                "user_id": np.full(len(p), g["user_id"].iloc[0], dtype=np.int64),
+                "n_recent_clicks": (hi - lo).astype(np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(windowed, batch_format="pandas")
+
+
+def events_rolling_7d(sf_dir: str) -> rd.Dataset:
+    """Sliding calendar window (SURVEY §2.9): per event_type and day, the
+    rolling 7-day (current + 6 preceding days) event count and value sum.
+
+    Two-level plan that scales: the big table collapses to one row per
+    (type, day) via a pre-combined hash aggregate; the rolling frame then
+    runs per type over that tiny daily series (searchsorted window
+    bounds) — the expensive pass never sees a window, the window never
+    sees the raw events."""
+    import pandas as pd
+
+    ds = read_clean(_p(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        return batch.append_column("day", day).drop_columns(["ts"])
+
+    daily = ds.map_batches(add_day, batch_format="pyarrow").groupby(
+        ["event_type", "day"]
+    ).aggregate(Count(alias_name="n"), Sum("value", alias_name="v"))
+
+    def roll(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("day")
+        d = g["day"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        n = g["n"].to_numpy()
+        v = g["v"].to_numpy()
+        lo = np.searchsorted(d, d - 6, side="left")
+        n7 = np.array([int(n[l : i + 1].sum()) for i, l in enumerate(lo)], np.int64)
+        v7 = np.array([round(float(v[l : i + 1].sum()), 4) for i, l in enumerate(lo)])
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"].to_numpy(),
+                "day": g["day"].to_numpy(),
+                "n": n.astype(np.int64),
+                "n_7d": n7,
+                "total_7d": v7,
+            }
+        )
+
+    out = daily.groupby("event_type").map_groups(roll, batch_format="pandas")
+
+    def fix_day_unit(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("day")
+        return batch.set_column(
+            i, "day", pc.cast(batch.column("day"), pa.timestamp("us"))
+        )
+
+    return out.map_batches(fix_day_unit, batch_format="pyarrow")
+
+
+# ------------------------------------------------- large-large hash join
+
+
+def order_priority_revenue(sf_dir: str, *, num_partitions: int | None = None) -> rd.Dataset:
+    """Revenue by order priority: lineitem JOIN orders where BOTH sides
+    are large — the hash-shuffle-join path that complements the
+    broadcast joins used when one side is small (seg_revenue etc.).
+
+    lineitem first collapses to one row per order (pre-combined hash
+    aggregate: the shuffle ships (orderkey, rev, n) partials, not line
+    items), then ``Dataset.join`` hash-partitions both sides by
+    orderkey, then a tiny groupby by priority finishes. No driver-side
+    state, no broadcast — the shape that holds when orders outgrows any
+    single worker."""
+    import ray
+
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    li = read_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({"o_orderkey": batch.column("l_orderkey"), "rev": r})
+
+    per_order = li.map_batches(rev, batch_format="pyarrow").groupby(
+        "o_orderkey"
+    ).aggregate(Sum("rev", alias_name="rev"), Count(alias_name="n_items"))
+
+    orders = read_clean(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = per_order.join(
+        orders, join_type="inner", num_partitions=num_partitions, on=("o_orderkey",)
+    )
+    out = joined.groupby("o_orderpriority").aggregate(
+        Sum("rev", alias_name="revenue"), Sum("n_items", alias_name="n_items")
+    )
+    return _round_col(out, {"revenue": 2})
