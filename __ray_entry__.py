@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bulk delete rewrite (SURVEY K5) + sampling (O4 extension)
         "purge_old_events": Q.purge_old_events,
         "sample_events": Q.sample_events,
+        # deterministic (engine-independent) hash sampling — SQL-exact
+        "hash_sample_events": Q.hash_sample_events,
         # joins (SURVEY J1-J3)
         "seg_revenue": Q.seg_revenue,
         "nation_orders": Q.nation_orders,
@@ -308,6 +310,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_first_wins": """
             SELECT user_id, event_type, min(event_id) AS first_event_id
             FROM events GROUP BY user_id, event_type""",
+        "hash_sample_events": """
+            SELECT event_id, event_type, round(value, 4) AS value
+            FROM events
+            WHERE (event_id * 2654435761) % 4294967296 < 429496729""",
         "purge_old_events": """
             SELECT event_id, ts, event_type FROM events
             WHERE ts >= TIMESTAMP '2024-01-15'""",

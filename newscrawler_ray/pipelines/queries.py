@@ -678,3 +678,24 @@ def order_priority_revenue(sf_dir: str, *, num_partitions: int | None = None) ->
         Sum("rev", alias_name="revenue"), Sum("n_items", alias_name="n_items")
     )
     return _round_col(out, {"revenue": 2})
+
+
+def hash_sample_events(sf_dir: str, *, rate_num: int = 429496729) -> rd.Dataset:
+    """Deterministic hash sampling (~10%): keep rows where the Knuth
+    multiplicative hash of the key lands under the rate threshold.
+    Unlike seeded ``random_sample`` this is reproducible across engines,
+    so a SQL oracle checks it exactly — and at scale it is the sampling
+    you can re-run per partition after a retry without changing the
+    sample (pure function of the key, no RNG state)."""
+    ds = read_clean(
+        _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+        out = batch.filter(pa.array(h < np.uint64(rate_num)))
+        return out
+
+    out = ds.map_batches(keep, batch_format="pyarrow")
+    return _round_col(out, {"value": 4})
