@@ -34,7 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data as rd
-from ray.data.aggregate import Min
+from ray.data.aggregate import Count, Min
 
 from ..functions.io import read_clean
 from ..functions.hashing import (
@@ -226,23 +226,55 @@ def minhash_lsh_pairs(
     bands_ds = docs.map_batches(band_rows, batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group.column("doc_id").to_pylist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+        ids = np.sort(group.column("doc_id").to_numpy())
+        i, j = np.triu_indices(len(ids), 1)
+        return pa.table(
+            {"id_a": pa.array(ids[i], pa.int64()), "id_b": pa.array(ids[j], pa.int64())}
+        )
 
     pairs = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pyarrow"
     )
     # dedupe pairs found by multiple bands
-    pairs = pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    pairs = _distinct_pairs(pairs)
 
     return jaccard_verify_pairs(pairs, docs, threshold, num_partitions)
+
+
+def _distinct_pairs(pairs: rd.Dataset) -> rd.Dataset:
+    """Distinct (id_a, id_b) via the vectorized hash aggregate — NOT a
+    per-group ``map_groups`` slice, which costs a Python call per pair
+    and dominates wall time once candidates reach the millions."""
+    out = pairs.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="_c"))
+    return out.drop_columns(["_c"])
+
+
+def _gram_lists(docs: rd.Dataset, k: int = 3) -> rd.Dataset:
+    """(doc_id, grams: list<int64> hash-ascending distinct shingles,
+    n_grams) per doc — the set representation every exact-similarity
+    stage works on. Tokenize/shingle once; everything downstream ships
+    ~8 bytes per distinct gram instead of re-parsing text."""
+
+    def to_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        flat, offsets = tokenize_word_hashes(batch.column("text"))
+        parts = []
+        counts = np.zeros(len(ids), np.int64)
+        for d in range(len(ids)):
+            u = np.unique(shingle_hashes(flat[offsets[d] : offsets[d + 1]], k))
+            parts.append(u)
+            counts[d] = len(u)
+        vals = np.concatenate(parts) if parts else np.empty(0, _U64)
+        offs = np.zeros(len(ids) + 1, np.int32)
+        np.cumsum(counts, out=offs[1:])
+        grams = pa.ListArray.from_arrays(
+            pa.array(offs), pa.array(vals.view(np.int64), pa.int64())
+        )
+        return pa.table(
+            {"doc_id": ids, "grams": grams, "n_grams": pa.array(counts, pa.int64())}
+        )
+
+    return docs.map_batches(to_grams, batch_format="pyarrow")
 
 
 def jaccard_verify_pairs(
@@ -252,58 +284,100 @@ def jaccard_verify_pairs(
     num_partitions: int,
     *,
     k: int = 3,
+    grams: rd.Dataset | None = None,
 ) -> rd.Dataset:
     """Exact-Jaccard verification of candidate (id_a, id_b) pairs,
-    fully distributed: explode each pair to its two sides, hash-join
-    text back by doc_id (text moves only for docs in some pair), then
-    one group per pair computes the true n-gram Jaccard and keeps it if
-    >= threshold. Shared by the MinHash-LSH and prefix-filter joins."""
+    fully distributed: hash-join each side's distinct-gram SET onto the
+    pair rows (grams move only for docs in some pair), then ONE
+    map_batches computes |A∩B| per row by sorted-array intersection —
+    no per-pair groupby, no re-tokenization. Shared by the MinHash-LSH
+    and prefix-filter joins."""
+    g = grams if grams is not None else _gram_lists(docs, k)
 
-    def explode_sides(batch: pa.Table) -> pa.Table:
-        a = batch.column("id_a").to_numpy()
-        b = batch.column("id_b").to_numpy()
+    # hash-shuffle partitions with no groups emit 0-COLUMN blocks, which
+    # the join operator cannot key; map ops skip empty blocks entirely so
+    # a normalizing map never fires — repartition coalesces them away
+    pairs = pairs.repartition(num_partitions)
+
+    def to_bin(batch: pa.Table) -> pa.Table:
+        # acero hash joins reject list payload columns; ship the sorted
+        # gram set as one binary blob per doc (8 bytes per gram) instead
+        batch = batch.combine_chunks()
+        col = batch.column("grams")
+        counts = pc.list_value_length(col).to_numpy().astype(np.int64)
+        vals = np.ascontiguousarray(pc.list_flatten(col).to_numpy())
+        offs = np.zeros(len(counts) + 1, np.int32)
+        np.cumsum(counts * 8, out=offs[1:])
+        bin_arr = pa.Array.from_buffers(
+            pa.binary(),
+            len(counts),
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(vals.tobytes())],
+        )
         return pa.table(
             {
-                "doc_id": pa.array(np.concatenate([a, b]), pa.int64()),
-                "id_a": pa.array(np.concatenate([a, a]), pa.int64()),
-                "id_b": pa.array(np.concatenate([b, b]), pa.int64()),
+                "doc_id": batch.column("doc_id"),
+                "grams": bin_arr,
+                "n_grams": batch.column("n_grams"),
             }
         )
 
-    sides = pairs.map_batches(explode_sides, batch_format="pyarrow")
-    joined = sides.join(
-        docs, join_type="inner", num_partitions=num_partitions, on=("doc_id",)
-    )
+    gbin = g.map_batches(to_bin, batch_format="pyarrow")
 
-    def jaccard_pair(group: pa.Table) -> pa.Table:
-        # one group per candidate pair: its two (doc_id, text) sides
-        ids = group.column("doc_id").to_pylist()
-        texts = group.column("text").to_pylist()
-        id_a = group.column("id_a")[0].as_py()
-        id_b = group.column("id_b")[0].as_py()
-        by_id = dict(zip(ids, texts))
-        if len(by_id) < 2:  # a side's doc vanished from the corpus
+    def side(name: str) -> rd.Dataset:
+        return gbin.rename_columns([f"id_{name}", f"grams_{name}", f"n_{name}"])
+
+    j = pairs.join(side("a"), join_type="inner", num_partitions=num_partitions, on=("id_a",))
+    # the join, too, emits 0-column blocks for empty partitions
+    j = j.repartition(num_partitions)
+    j = j.join(side("b"), join_type="inner", num_partitions=num_partitions, on=("id_b",))
+
+    def _unpack(col) -> tuple[np.ndarray, np.ndarray]:
+        """(flat uint64 values, per-row byte offsets) of a binary column."""
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        n = len(arr)
+        offs = np.frombuffer(arr.buffers()[1], np.int32)[arr.offset : arr.offset + n + 1]
+        data = arr.buffers()[2]
+        raw = np.frombuffer(data, np.uint8) if data is not None else np.empty(0, np.uint8)
+        return raw, offs
+
+    def jac(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                  "jaccard": pa.array([], pa.float64())}
             )
-        j = round(ngram_jaccard(by_id[id_a], by_id[id_b], k), 4)
-        if j < threshold:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "jaccard": pa.array([], pa.float64())}
-            )
+        ra, oa = _unpack(batch.column("grams_a"))
+        rb, ob = _unpack(batch.column("grams_b"))
+        ca = batch.column("n_a").to_numpy()
+        cb = batch.column("n_b").to_numpy()
+        jx = np.empty(len(ca), np.float64)
+        for i in range(len(ca)):
+            a = ra[oa[i] : oa[i + 1]].view(_U64)
+            b = rb[ob[i] : ob[i + 1]].view(_U64)
+            union = ca[i] + cb[i]
+            if union == 0:
+                jx[i] = 1.0  # both empty == identical (ngram_jaccard)
+                continue
+            # both sides sorted ascending: membership via searchsorted
+            if len(a) == 0 or len(b) == 0:
+                jx[i] = 0.0
+                continue
+            if len(a) > len(b):
+                a, b = b, a
+            pos = np.searchsorted(b, a)
+            pos[pos >= len(b)] = len(b) - 1
+            inter = int(np.count_nonzero(b[pos] == a))
+            jx[i] = round(inter / (union - inter), 4)
+        keep = jx >= threshold
         return pa.table(
             {
-                "id_a": pa.array([id_a], pa.int64()),
-                "id_b": pa.array([id_b], pa.int64()),
-                "jaccard": pa.array([j], pa.float64()),
+                "id_a": batch.column("id_a").filter(pa.array(keep)),
+                "id_b": batch.column("id_b").filter(pa.array(keep)),
+                "jaccard": pa.array(jx[keep], pa.float64()),
             }
         )
 
-    return joined.groupby(["id_a", "id_b"]).map_groups(
-        jaccard_pair, batch_format="pyarrow"
-    )
+    return j.map_batches(jac, batch_format="pyarrow")
 
 
 # --------------------------------------------- exact set-similarity join
@@ -324,80 +398,97 @@ def ngram_jaccard_pairs(
     is returned, so a DuckDB oracle can check it row-for-row.
 
     Prefix-filter theorem: order each doc's distinct gram set by one
-    global total order (gram hash value here) and keep only the first
+    global total order and keep only the first
     ``|G| - ceil(t*|G|) + 1`` grams; any pair with J >= t must share a
-    kept gram. Candidate generation is then groupby(gram) over ONLY the
-    prefix rows — the shuffle ships (gram_hash, doc_id, set_size), never
-    text — with the size-ratio filter ``min >= ceil(t*max)`` applied in
-    the bucket. Verification re-joins text by doc_id and computes the
-    true Jaccard per pair (shared ``jaccard_verify_pairs`` stage).
+    kept gram. The order used is RAREST-FIRST — ascending document
+    frequency with gram-hash tiebreak — so prefixes hold the most
+    selective grams and candidate buckets stay tiny (hash order put
+    corpus-common grams in prefixes and produced ~1000x more candidates
+    on the word-salad corpus). Candidate generation is then
+    groupby(gram) over ONLY the prefix rows — the shuffle ships
+    (gram_hash, doc_id, set_size), never text — with the size-ratio
+    filter ``min >= ceil(t*max)`` applied in the bucket. Verification
+    hash-joins each side's gram set and intersects per row (shared
+    ``jaccard_verify_pairs`` stage).
 
-    Scale note: hash order is stateless (no global frequency pass).
-    Rarest-first ordering shrinks candidate buckets further at the cost
-    of a token-frequency broadcast; swap in if bucket skew shows up in
-    ``ds.stats()``.
+    Scale note: the df map here is exact (one groupby over gram rows,
+    vocab-sized result broadcast as sorted numpy arrays). When the gram
+    vocabulary outgrows a broadcast, cap it to the top-K frequent grams
+    and default the rest to df=1 — any consistent total order preserves
+    correctness; frequency accuracy only affects pruning quality.
     """
     if docs is None:
         docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     if num_partitions is None:
         num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
     t = threshold
+    g = _gram_lists(docs, k).materialize()
+
+    # exact document frequency per gram, broadcast as (sorted grams, df)
+    def explode_grams(batch: pa.Table) -> pa.Table:
+        return pa.table({"gram": pc.list_flatten(batch.column("grams"))})
+
+    df_ds = g.map_batches(explode_grams, batch_format="pyarrow").groupby(
+        "gram"
+    ).aggregate(Count(alias_name="df"))
+    df_tbl = pa.concat_tables(df_ds.iter_batches(batch_format="pyarrow"))
+    gv = df_tbl.column("gram").to_numpy().view(_U64)
+    gdf = df_tbl.column("df").to_numpy().astype(np.int64)
+    order = np.argsort(gv)
+    df_ref = ray.put((np.ascontiguousarray(gv[order]), np.ascontiguousarray(gdf[order])))
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
         ids = batch.column("doc_id").to_numpy()
-        flat, offsets = tokenize_word_hashes(batch.column("text"))
-        lens = np.diff(offsets)
-        # per-doc shingle hashes (same <k convention as _shingles)
-        sh_parts, doc_parts = [], []
-        for d in range(len(ids)):
-            sh = shingle_hashes(flat[offsets[d] : offsets[d + 1]], k)
-            if len(sh):
-                sh_parts.append(np.unique(sh))
-                doc_parts.append(np.full(len(sh_parts[-1]), d, dtype=np.int64))
-        if not sh_parts:
+        sizes = pc.list_value_length(batch.column("grams")).to_numpy().astype(np.int64)
+        vals = pc.list_flatten(batch.column("grams")).to_numpy().view(_U64)
+        if len(vals) == 0:
             return pa.table(
                 {"gram": pa.array([], pa.int64()),
                  "doc_id": pa.array([], pa.int64()),
                  "n_grams": pa.array([], pa.int64())}
             )
-        grams = np.concatenate(sh_parts)  # ascending within each doc
-        doc_of = np.concatenate(doc_parts)
-        sizes = np.bincount(doc_of, minlength=len(ids))
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), sizes)
+        sgv, sdf = ray.get(df_ref)
+        df = sdf[np.searchsorted(sgv, vals)]
+        # within-doc rarest-first order: (df asc, gram asc), doc-major
+        order = np.lexsort((vals, df, doc_of))
         starts = np.zeros(len(ids), np.int64)
         np.cumsum(sizes[:-1], out=starts[1:])
         # prefix length per doc: |G| - ceil(t|G|) + 1
         pref = sizes - np.ceil(t * sizes).astype(np.int64) + 1
-        r = np.arange(len(grams), dtype=np.int64) - starts[doc_of]
-        keep = r < pref[doc_of]
+        doc_sorted = doc_of[order]
+        r = np.arange(len(vals), dtype=np.int64) - starts[doc_sorted]
+        keep = r < pref[doc_sorted]
         return pa.table(
             {
-                "gram": pa.array(grams[keep].view(np.int64), pa.int64()),
-                "doc_id": pa.array(ids[doc_of[keep]], pa.int64()),
-                "n_grams": pa.array(sizes[doc_of[keep]], pa.int64()),
+                "gram": pa.array(vals[order][keep].view(np.int64), pa.int64()),
+                "doc_id": pa.array(ids[doc_sorted[keep]], pa.int64()),
+                "n_grams": pa.array(sizes[doc_sorted[keep]], pa.int64()),
             }
         )
 
-    prefixes = docs.map_batches(prefix_rows, batch_format="pyarrow")
+    prefixes = g.map_batches(prefix_rows, batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = group.column("doc_id").to_numpy()
         sizes = group.column("n_grams").to_numpy()
         order = np.argsort(ids)
         ids, sizes = ids[order], sizes[order]
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                lo, hi = sorted((sizes[i], sizes[j]))
-                if lo >= np.ceil(t * hi):  # size-ratio filter
-                    a.append(int(ids[i]))
-                    b.append(int(ids[j]))
-        return pa.table({"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())})
+        i, j = np.triu_indices(len(ids), 1)
+        lo = np.minimum(sizes[i], sizes[j])
+        hi = np.maximum(sizes[i], sizes[j])
+        keep = lo >= np.ceil(t * hi)  # size-ratio filter
+        return pa.table(
+            {
+                "id_a": pa.array(ids[i[keep]], pa.int64()),
+                "id_b": pa.array(ids[j[keep]], pa.int64()),
+            }
+        )
 
     cand = prefixes.groupby("gram").map_groups(bucket_pairs, batch_format="pyarrow")
-    cand = cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
-    return jaccard_verify_pairs(cand, docs, threshold, num_partitions, k=k)
+    cand = _distinct_pairs(cand)
+    return jaccard_verify_pairs(cand, docs, threshold, num_partitions, k=k, grams=g)
 
 
 # ------------------------------------------------------------------ SimHash
@@ -511,9 +602,10 @@ def simhash_near_dup_pairs(
     pairs = bands.groupby(["band", "key"]).map_groups(
         bucket_pairs, batch_format="pyarrow"
     )
-    # a pair can match in several quarters — dedupe
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    # a pair can match in several quarters — dedupe (hamming identical
+    # across duplicates, so Min is a no-op pick; vectorized aggregate)
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
     )
 
 
@@ -649,6 +741,4 @@ def embedding_near_dup_ivf(
 
     pairs = cells.groupby("cell").map_groups(cell_pairs, batch_format="pyarrow")
     # a pair can share up to n_probe cells — dedupe
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    return _distinct_pairs(pairs)

@@ -62,6 +62,8 @@ def _small_star(group: pa.Table) -> pa.Table:
 
 
 def _symmetrize(batch: pa.Table) -> pa.Table:
+    if batch.num_columns == 0:  # empty hash-shuffle partition
+        return _pairs(np.empty(0, np.int64), np.empty(0, np.int64))
     u = batch.column("u").to_numpy()
     v = batch.column("v").to_numpy()
     keep = u != v
@@ -71,6 +73,8 @@ def _symmetrize(batch: pa.Table) -> pa.Table:
 
 def _orient_down(batch: pa.Table) -> pa.Table:
     """(max, min) orientation; self-loops dropped."""
+    if batch.num_columns == 0:  # empty hash-shuffle partition
+        return _pairs(np.empty(0, np.int64), np.empty(0, np.int64))
     u = batch.column("u").to_numpy()
     v = batch.column("v").to_numpy()
     keep = u != v
