@@ -54,6 +54,16 @@ QUERY_NAMES = [
     "salted_returnflag_agg",
     "multi_source_union",
     "user_sessions",
+    # round-2 additions
+    "purchase_click_window",
+    "events_rolling_7d",
+    "order_priority_revenue",
+    "hash_sample_events",
+    "headline_clusters",
+    "minhash_near_dup",
+    "simhash_near_dup",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup_ivf",
 ]
 
 
@@ -90,7 +100,7 @@ def run_bench() -> dict:
     # warmup: spin up the worker pool + OS page cache (untimed)
     payload_replay(fx)
 
-    reps = 3 if SCALING_ONLY else 1  # best-of damps tenant noise
+    reps = 3 if SCALING_ONLY else 2  # best-of damps tenant noise
     payload_secs, n_payload = [], 0
     for _ in range(reps):
         t0 = time.time()

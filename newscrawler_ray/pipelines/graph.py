@@ -106,21 +106,60 @@ def _checksum(edges: rd.Dataset) -> tuple[int, int]:
     return n, x
 
 
+@ray.remote
+def _cc_union_find(*blocks: pa.Table) -> pa.Table:
+    """Single-task union-find over a small edge set (runs on a worker,
+    NOT the driver). The O(n alpha) sequential algorithm beats multiple
+    distributed shuffle rounds until edges reach the hundreds of
+    thousands; above that the star rounds take over."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for t in blocks:
+        if t.num_columns == 0:  # empty hash-shuffle partition
+            continue
+        us = t.column("u").to_numpy()
+        vs = t.column("v").to_numpy()
+        for a, b in zip(us.tolist(), vs.tolist()):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted(parent)
+    comp = [find(x) for x in nodes]  # roots are component minima
+    return pa.table(
+        {"node": pa.array(nodes, _I64), "component": pa.array(comp, _I64)}
+    )
+
+
 def connected_components(
     edges: rd.Dataset,
     *,
     src: str = "id_a",
     dst: str = "id_b",
     max_rounds: int = 30,
+    small_edges: int = 200_000,
 ) -> rd.Dataset:
     """Component label (= min node id in the component) for every node
     that appears in ``edges``. Returns columns (node, component),
     including one (root, root) row per component.
 
-    Alternates large-star / small-star until the canonical edge set is
-    unchanged (checksum compare — two int64s per round on the driver).
-    Each round materializes the shrunken edge list so lineage does not
-    re-run prior rounds.
+    Edge sets under ``small_edges`` run as ONE worker-side union-find
+    task (each distributed round costs two hash shuffles of latency, a
+    bad trade for small graphs). Larger graphs alternate large-star /
+    small-star rounds until the canonical edge set is unchanged
+    (checksum compare — two int64s per round on the driver). Each round
+    materializes the shrunken edge list so lineage does not re-run
+    prior rounds. Roots are component minima in both paths, so the two
+    paths agree exactly (asserted in tests).
     """
     empty_assign = rd.from_arrow(
         pa.table({"node": pa.array([], _I64), "component": pa.array([], _I64)})
@@ -132,6 +171,10 @@ def connected_components(
     prev = _checksum(ds)
     if prev[0] == 0:
         return empty_assign  # only self-loops
+    if prev[0] <= small_edges:
+        return rd.from_arrow_refs(
+            [_cc_union_find.remote(*ds.to_arrow_refs())]
+        )
     for _ in range(max_rounds):
         big = ds.map_batches(_symmetrize, batch_format="pyarrow")
         ds = big.groupby("u").map_groups(_large_star, batch_format="pyarrow")

@@ -657,16 +657,25 @@ def order_priority_revenue(sf_dir: str, *, num_partitions: int | None = None) ->
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
 
-    def rev(batch: pa.Table) -> pa.Table:
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        # arrow C++ group_by per batch: lineitem is orderkey-clustered, so
+        # this is a near-total combine — no global per-order aggregate
+        # needed (sums re-merge associatively after the join)
         r = pc.multiply(
             batch.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
         )
-        return pa.table({"o_orderkey": batch.column("l_orderkey"), "rev": r})
+        t = pa.table({"o_orderkey": batch.column("l_orderkey"), "rev": r})
+        g = t.group_by("o_orderkey").aggregate([("rev", "sum"), ("rev", "count")])
+        return pa.table(
+            {
+                "o_orderkey": g.column("o_orderkey"),
+                "rev": g.column("rev_sum"),
+                "n_items": pc.cast(g.column("rev_count"), pa.int64()),
+            }
+        )
 
-    per_order = li.map_batches(rev, batch_format="pyarrow").groupby(
-        "o_orderkey"
-    ).aggregate(Sum("rev", alias_name="rev"), Count(alias_name="n_items"))
+    per_order = li.map_batches(rev_partial, batch_format="pyarrow")
 
     orders = read_clean(
         _p(sf_dir, "orders"), columns=["o_orderkey", "o_orderpriority"]

@@ -48,24 +48,30 @@ def _union_find_labels(pairs):
     return {x: comp_min[find(x)] for x in nodes}
 
 
-def _cc_labels(pairs):
+def _cc_labels(pairs, small_edges=200_000):
     return {
         r["node"]: r["component"]
-        for r in connected_components(_edges_ds(pairs)).take_all()
+        for r in connected_components(
+            _edges_ds(pairs), small_edges=small_edges
+        ).take_all()
     }
 
 
 def test_cc_matches_union_find_random(ray_session):
     rng = np.random.default_rng(7)
     pairs = rng.integers(0, 300, size=(220, 2)).tolist()
-    assert _cc_labels(pairs) == _union_find_labels(pairs)
+    expect = _union_find_labels(pairs)
+    # both paths: single-task union-find AND distributed star rounds
+    assert _cc_labels(pairs) == expect
+    assert _cc_labels(pairs, small_edges=0) == expect
 
 
 def test_cc_descending_chain_needs_rounds(ray_session):
     # worst-ish case for min propagation: a long path given in
-    # max-to-min order, plus a second path interleaved
+    # max-to-min order, plus a second path interleaved; force the
+    # distributed star path (small_edges=0)
     pairs = [(i + 1, i) for i in range(60)] + [(1000 + i, 1002 + i) for i in range(0, 40, 2)]
-    labels = _cc_labels(pairs)
+    labels = _cc_labels(pairs, small_edges=0)
     assert labels == _union_find_labels(pairs)
     assert set(labels[i] for i in range(61)) == {0}
 
