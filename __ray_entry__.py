@@ -85,6 +85,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recent_topk": Q.recent_topk,
         "page_offset": Q.page_offset,
         "top_orders_per_segment": Q.top_orders_per_segment,
+        # heavy hitters: exact top-k by aggregate + mergeable MG sketch
+        "frequent_users": Q.frequent_users,
+        "approx_frequent_users": Q.approx_frequent_users,
         # as-of join (custom operator: sort-within-group + merge_asof)
         "purchase_click_asof": Q.purchase_click_asof,
         # range (interval) join: clicks within the preceding hour
@@ -281,6 +284,9 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY c.ts DESC, c.event_id DESC
                          LIMIT 1) AS DOUBLE) AS click_id
             FROM events p WHERE p.event_type = 'purchase'""",
+        "frequent_users": """
+            SELECT user_id, count(*) AS n FROM events
+            GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""",
         "purchase_click_window": """
             SELECT p.event_id AS purchase_id, p.user_id,
                    count(c.event_id) AS n_recent_clicks

@@ -188,3 +188,73 @@ class TDigest:
             data, dtype=np.float64, count=n, offset=base + 8 * n
         ).copy()
         return out
+
+
+class MisraGries:
+    """Mergeable heavy-hitters (frequent-items) summary.
+
+    Misra/Gries, "Finding repeated elements", Sci. Comput. Program. 1982;
+    the counter-summing merge with (k+1)-th-largest decrement follows
+    Agarwal et al., "Mergeable summaries", PODS 2012. Holds at most ``k``
+    (key, counter) pairs; every item with true frequency > n/(k+1) is
+    guaranteed present, and each counter underestimates its key's true
+    count by at most n/(k+1). A ~k*16-byte summary per batch replaces a
+    full shuffle of raw keys.
+    """
+
+    def __init__(self, k: int = 64):
+        self.k = k
+        self.counters: dict[int, int] = {}
+
+    def add_ints(self, xs) -> None:
+        import numpy as np
+
+        keys, counts = np.unique(np.asarray(xs, dtype=np.int64), return_counts=True)
+        for key, c in zip(keys.tolist(), counts.tolist()):
+            self.counters[key] = self.counters.get(key, 0) + c
+        self._shrink()
+
+    def _shrink(self) -> None:
+        if len(self.counters) <= self.k:
+            return
+        import numpy as np
+
+        vals = np.fromiter(self.counters.values(), dtype=np.int64)
+        # decrement everything by the (k+1)-th largest and drop <= 0
+        thresh = int(np.partition(vals, -(self.k + 1))[-(self.k + 1)])
+        self.counters = {
+            key: c - thresh for key, c in self.counters.items() if c > thresh
+        }
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        out = MisraGries(self.k)
+        out.counters = dict(self.counters)
+        for key, c in other.counters.items():
+            out.counters[key] = out.counters.get(key, 0) + c
+        out._shrink()
+        return out
+
+    def top(self, n: int) -> list[tuple[int, int]]:
+        """(key, estimated count) sorted by count desc, key asc."""
+        return sorted(self.counters.items(), key=lambda kv: (-kv[1], kv[0]))[:n]
+
+    def serialize(self) -> bytes:
+        import numpy as np
+
+        keys = np.fromiter(self.counters.keys(), dtype=np.int64)
+        vals = np.fromiter(self.counters.values(), dtype=np.int64)
+        return (
+            np.int64(self.k).tobytes() + keys.tobytes() + vals.tobytes()
+        )
+
+    @classmethod
+    def deserialize(cls, blob: bytes) -> "MisraGries":
+        import numpy as np
+
+        arr = np.frombuffer(blob, dtype=np.int64)
+        k = int(arr[0])
+        rest = arr[1:]
+        n = len(rest) // 2
+        out = cls(k)
+        out.counters = dict(zip(rest[:n].tolist(), rest[n : 2 * n].tolist()))
+        return out

@@ -708,3 +708,43 @@ def hash_sample_events(sf_dir: str, *, rate_num: int = 429496729) -> rd.Dataset:
 
     out = ds.map_batches(keep, batch_format="pyarrow")
     return _round_col(out, {"value": 4})
+
+
+def frequent_users(sf_dir: str, *, topn: int = 10) -> rd.Dataset:
+    """EXACT top-n heavy hitters: grouped count (pre-combined hash
+    aggregate) then a tiny sort over one row per user — the pattern for
+    top-k BY AGGREGATE (vs ``recent_topk`` which top-ks raw rows)."""
+    ds = read_clean(_p(sf_dir, "events"), columns=["user_id"])
+    out = ds.groupby("user_id").aggregate(Count(alias_name="n"))
+    return out.sort(["n", "user_id"], descending=[True, False]).limit(topn)
+
+
+def approx_frequent_users(sf_dir: str, *, topn: int = 10, k: int = 256) -> pa.Table:
+    """Approximate heavy hitters via mergeable Misra-Gries summaries:
+    one ~k*16-byte sketch per batch inside ``map_batches``, merged in a
+    tiny final pass — no shuffle of raw keys at any scale. Every key
+    with true count > n/(k+1) is guaranteed surfaced and counter error
+    is bounded by n/(k+1); both bounds asserted vs the exact query in
+    tests. Rows-only for the driver (approximate ≠ SQL-exact)."""
+    from ..functions.sketches import MisraGries
+
+    ds = read_clean(_p(sf_dir, "events"), columns=["user_id"])
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        m = MisraGries(k)
+        m.add_ints(batch.column("user_id").to_numpy())
+        return pa.table({"sketch": pa.array([m.serialize()], pa.binary())})
+
+    sketches = ds.map_batches(sketch_batch, batch_size=8192, batch_format="pyarrow")
+    merged = None
+    for b in sketches.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for blob in b.column("sketch").to_pylist():
+            s = MisraGries.deserialize(blob)
+            merged = s if merged is None else merged.merge(s)
+    top = merged.top(topn) if merged is not None else []
+    return pa.table(
+        {
+            "user_id": pa.array([t[0] for t in top], pa.int64()),
+            "est_count": pa.array([t[1] for t in top], pa.int64()),
+        }
+    )

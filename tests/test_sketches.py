@@ -111,3 +111,87 @@ def test_approx_quantiles_close_to_exact(ray_session):
     for q in exact:
         rank = np.searchsorted(vals, approx[q]) / len(vals)
         assert abs(rank - q) < 0.015, (q, exact[q], approx[q], rank)
+
+
+# ------------------------------------------------------------ Misra-Gries
+
+
+def test_misra_gries_exact_when_under_k():
+    from newscrawler_ray.functions.sketches import MisraGries
+
+    m = MisraGries(16)
+    m.add_ints([1] * 50 + [2] * 30 + [3] * 5)
+    assert dict(m.top(3)) == {1: 50, 2: 30, 3: 5}
+
+
+def test_misra_gries_error_bound_and_guarantee():
+    import numpy as np
+
+    from newscrawler_ray.functions.sketches import MisraGries
+
+    rng = np.random.default_rng(9)
+    # zipf-ish stream: a few heavy keys + long uniform tail
+    heavy = np.repeat(np.arange(5), 3000)          # 5 keys x 3000
+    tail = rng.integers(100, 5000, size=15000)
+    stream = np.concatenate([heavy, tail])
+    rng.shuffle(stream)
+    k = 64
+    n = len(stream)
+    # split into chunks, sketch each, merge (the distributed shape)
+    parts = np.array_split(stream, 13)
+    sketches = []
+    for p in parts:
+        m = MisraGries(k)
+        m.add_ints(p)
+        sketches.append(MisraGries.deserialize(m.serialize()))
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.merge(s)
+    exact = {}
+    for x in stream.tolist():
+        exact[x] = exact.get(x, 0) + 1
+    bound = n / (k + 1)
+    # every key with true count > n/(k+1) must be present
+    for key, c in exact.items():
+        if c > bound:
+            assert key in merged.counters, f"heavy key {key} (count {c}) missing"
+    # counters never overestimate and underestimate by at most n/(k+1)
+    for key, est in merged.counters.items():
+        assert est <= exact[key]
+        assert exact[key] - est <= bound
+
+
+def test_frequent_users_sketch_vs_exact(ray_session):
+    import pyarrow as pa
+
+    from newscrawler_ray.pipelines.queries import (
+        approx_frequent_users,
+        frequent_users,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r["user_id"]: r["n"] for r in frequent_users(sf, topn=10).take_all()
+    }
+    approx = approx_frequent_users(sf, topn=10, k=512)
+    n_events = 10000
+    bound = n_events / 513
+    est = dict(
+        zip(
+            approx.column("user_id").to_pylist(),
+            approx.column("est_count").to_pylist(),
+        )
+    )
+    # estimated counts of surfaced keys within the MG bound of truth
+    from collections import Counter
+
+    import duckdb
+
+    truth = dict(
+        duckdb.sql(
+            f"SELECT user_id, count(*) FROM read_parquet('{sf}/events.parquet') GROUP BY user_id"
+        ).fetchall()
+    )
+    for key, e in est.items():
+        assert truth[key] - e <= bound
+        assert e <= truth[key]
