@@ -3,13 +3,20 @@
 The reference's only joins are point-lookup upserts and small-side
 anti-joins (SURVEY.md §2.4: J1-J4) — at Ray scale these are
 broadcast-small-side patterns: ``ray.put`` the lookup once on the driver,
-resolve it once per worker (module cache), and map keys per batch with a
-vectorized pandas ``Series.map``. No shuffle; the big side streams.
+resolve it once per worker (module cache), and map keys per batch.
+
+The broadcast payload is a pair of aligned numpy arrays (sorted keys +
+values; fixed-width unicode for strings) resolved near-zero-copy from
+the object store — NOT a Python dict, which would deserialize one
+PyObject per key in every worker (repo perf rule; the same bundle shape
+as ``stages/fetch.build_web_index``). Lookups are ``np.searchsorted``
+(binary search, vectorized) and membership is ``pc.is_in`` — no Python
+per row.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+import numpy as np
 import pyarrow as pa
 import ray
 
@@ -31,42 +38,60 @@ def make_broadcast_map_fn(
 ):
     """map_batches fn: adds ``out_col = mapping[key_col]``.
 
-    ``inner=True`` (default) drops rows with no match — INNER JOIN
-    semantics, matching the SQL oracles; ``inner=False`` keeps them with
-    a null value (LEFT JOIN)."""
+    ``mapping_ref`` is a ``ray.put`` of ``table_to_mapping``'s
+    (sorted_keys, values) bundle. ``inner=True`` (default) drops rows
+    with no match — INNER JOIN semantics, matching the SQL oracles;
+    ``inner=False`` keeps them with a null value (LEFT JOIN)."""
 
     def add_mapped(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mapping: dict = _resolve(mapping_ref)
-        keys = batch.column(key_col).to_pandas()
-        vals = keys.map(mapping)
-        arr = pa.Array.from_pandas(vals, type=out_type)
+        skeys, svals = _resolve(mapping_ref)
+        k = batch.column(key_col).to_numpy()
+        pos = np.minimum(np.searchsorted(skeys, k), len(skeys) - 1)
+        hit = skeys[pos] == k
+        arr = pa.array(svals[pos], mask=~hit)
+        if out_type is not None and arr.type != out_type:
+            arr = arr.cast(out_type)
         out = batch.append_column(out_col, arr)
         if inner:
-            out = out.filter(pc.is_valid(out.column(out_col)))
+            out = out.filter(pa.array(hit))
         return out
 
     return add_mapped
 
 
 def make_broadcast_semijoin_fn(key_col: str, keys_ref, anti: bool = False):
-    """map_batches fn: keep rows whose key is (not, if anti) in the set."""
+    """map_batches fn: keep rows whose key is (not, if anti) in the set.
+    ``keys_ref`` holds an arrow array (or any iterable, converted once
+    per worker); membership is ``pc.is_in`` — vectorized, no Python."""
 
     def filt(batch: pa.Table) -> pa.Table:
-        keyset = _resolve(keys_ref)
-        keys = batch.column(key_col).to_pandas()
-        mask = keys.isin(keyset).to_numpy()
+        import pyarrow.compute as pc
+
+        vs = _resolve(keys_ref)
+        if not isinstance(vs, pa.Array):
+            vs = pa.array(sorted(vs))
+            _LOOKUP_CACHE[keys_ref] = vs  # memoize the converted form
+        mask = pc.is_in(batch.column(key_col), value_set=vs)
         if anti:
-            mask = ~mask
-        return batch.filter(pa.array(mask))
+            mask = pc.invert(mask)
+        return batch.filter(pc.fill_null(mask, anti))
 
     return filt
 
 
-def table_to_mapping(t: pa.Table, key_col: str, val_col: str) -> dict:
-    return dict(zip(t.column(key_col).to_pylist(), t.column(val_col).to_pylist()))
+def table_to_mapping(
+    t: pa.Table, key_col: str, val_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted keys, aligned values) numpy bundle for broadcast lookup.
+    String values become fixed-width unicode (contiguous buffer, no
+    per-key Python objects on the wire)."""
+    keys = t.column(key_col).to_numpy()
+    order = np.argsort(keys)
+    vals = t.column(val_col).to_numpy(zero_copy_only=False)[order]
+    if vals.dtype == object:
+        vals = vals.astype(str)
+    return np.ascontiguousarray(keys[order]), np.ascontiguousarray(vals)
 
 
-def broadcast_table(t: pa.Table | pd.DataFrame):
+def broadcast_table(t):
     return ray.put(t)
