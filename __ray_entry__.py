@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vs the exact sort path asserted in tests)
         "approx_quantiles": Q.approx_quantiles,
         "avg_value_by_type": Q.avg_value_by_type,
+        # grouped exact order statistics (bounded-key path; t-digest is
+        # the unbounded-key scale path)
+        "value_quantiles_by_type": Q.value_quantiles_by_type,
         "part_brand_stats": Q.part_brand_stats,
         "orders_by_status": Q.orders_by_status,
         "shipped_before_agg": Q.shipped_before_agg,
@@ -94,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_click_window": Q.purchase_click_window,
         # large-large hash-shuffle join (both sides big; no broadcast)
         "order_priority_revenue": Q.order_priority_revenue,
+        # TPC-H Q3 shape: semi-join + filters + hash join + agg + top-k
+        "urgent_top_revenue": Q.urgent_top_revenue,
         # dedup (SURVEY D2/D3)
         "dedup_first_wins": Q.dedup_first_wins,
         # bulk delete rewrite (SURVEY K5) + sampling (O4 extension)
@@ -236,6 +241,22 @@ def oracle_sql() -> dict[str, str]:
                    round(min(value), 4) AS min_value,
                    round(max(value), 4) AS max_value, count(*) AS n
             FROM events GROUP BY event_type""",
+        "value_quantiles_by_type": """
+            SELECT event_type, unnest([0.5, 0.9]) AS q,
+                   round(unnest(quantile_cont(value, [0.5, 0.9])), 4) AS value
+            FROM events GROUP BY event_type""",
+        "urgent_top_revenue": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   o_orderdate
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         "part_brand_stats": """
             SELECT p_brand, count(*) AS n,
                    round(sum(p_retailprice), 2) AS total_price

@@ -748,3 +748,93 @@ def approx_frequent_users(sf_dir: str, *, topn: int = 10, k: int = 256) -> pa.Ta
             "est_count": pa.array([t[1] for t in top], pa.int64()),
         }
     )
+
+
+def value_quantiles_by_type(
+    sf_dir: str, *, qs: tuple = (0.5, 0.9)
+) -> rd.Dataset:
+    """GROUPED exact order statistics: per event_type, the q-quantiles of
+    value (linear interpolation — numpy's default matches DuckDB's
+    ``quantile_cont``). Partitioning assumption: one group's values fit
+    in a worker (event-type cardinality is bounded); for unbounded keys
+    the mergeable t-digest (``approx_quantiles``) is the scale path."""
+    import pandas as pd
+
+    ds = read_clean(_p(sf_dir, "events"), columns=["event_type", "value"])
+
+    def quants(g: "pd.DataFrame") -> "pd.DataFrame":
+        v = np.quantile(g["value"].to_numpy(), list(qs))
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]] * len(qs),
+                "q": np.asarray(qs, dtype=np.float64),
+                "value": np.round(v, 4),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(quants, batch_format="pandas")
+
+
+def urgent_top_revenue(sf_dir: str, *, k: int = 10) -> rd.Dataset:
+    """TPC-H Q3 shape — the composition end-cap: broadcast semi-join
+    (customer segment filter) + pushed-down date filters at both reads +
+    per-batch arrow pre-combine + large-large hash join + grouped sum +
+    global top-k. Every stage is the scale form: only (orderkey, rev)
+    partials and the filtered orders ever shuffle."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    cutoff = pa.compute.strptime("1998-06-01", "%Y-%m-%d", "us").as_py()
+    cust = pq.read_table(
+        _p(sf_dir, "customer"),
+        columns=["c_custkey", "c_mktsegment"],
+        filters=[("c_mktsegment", "=", "BUILDING")],
+    )
+    keys_ref = broadcast_table(pa.array(sorted(cust.column("c_custkey").to_pylist())))
+
+    orders = read_clean(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=pads.field("o_orderdate") < pa.scalar(cutoff),
+    )
+    orders = orders.map_batches(
+        make_broadcast_semijoin_fn("o_custkey", keys_ref), batch_format="pyarrow"
+    ).drop_columns(["o_custkey"])
+
+    li = read_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pads.field("l_shipdate") > pa.scalar(cutoff),
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        t = pa.table({"o_orderkey": batch.column("l_orderkey"), "rev": r})
+        g = t.group_by("o_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["o_orderkey", "rev"])
+
+    li = li.map_batches(rev_partial, batch_format="pyarrow")
+    num_partitions = max(2, int(__import__("ray").cluster_resources().get("CPU", 4)) // 2)
+    joined = li.join(
+        orders, join_type="inner", num_partitions=num_partitions, on=("o_orderkey",)
+    )
+    out = joined.groupby(["o_orderkey", "o_orderdate"]).aggregate(
+        Sum("rev", alias_name="revenue")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": batch.column("o_orderkey"),
+                "revenue": pa.array(
+                    np.round(batch.column("revenue").to_numpy(zero_copy_only=False), 2)
+                ),
+                "o_orderdate": pc.cast(batch.column("o_orderdate"), pa.timestamp("us")),
+            }
+        )
+
+    out = out.map_batches(finish, batch_format="pyarrow")
+    return out.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
