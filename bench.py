@@ -59,6 +59,9 @@ QUERY_NAMES = [
     "events_rolling_7d",
     "order_priority_revenue",
     "hash_sample_events",
+    "frequent_users",
+    "value_quantiles_by_type",
+    "urgent_top_revenue",
     "headline_clusters",
     "minhash_near_dup",
     "simhash_near_dup",

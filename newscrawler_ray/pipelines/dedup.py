@@ -296,8 +296,18 @@ def jaccard_verify_pairs(
 
     # hash-shuffle partitions with no groups emit 0-COLUMN blocks, which
     # the join operator cannot key; map ops skip empty blocks entirely so
-    # a normalizing map never fires — repartition coalesces them away
-    pairs = pairs.repartition(num_partitions)
+    # a normalizing map never fires — repartition coalesces them away.
+    # A fully-empty candidate set stays 0-column even after repartition,
+    # so short-circuit it (materializing costs nothing: the join would
+    # have to execute the candidates anyway, and they are id pairs only)
+    pairs = pairs.repartition(num_partitions).materialize()
+    if pairs.count() == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        )
 
     def to_bin(batch: pa.Table) -> pa.Table:
         # acero hash joins reject list payload columns; ship the sorted
@@ -416,6 +426,11 @@ def ngram_jaccard_pairs(
     vocabulary outgrows a broadcast, cap it to the top-K frequent grams
     and default the rest to df=1 — any consistent total order preserves
     correctness; frequency accuracy only affects pruning quality.
+
+    Empty-doc semantics follow the SQL oracle: a doc whose text
+    tokenizes to zero words has no gram set and pairs with nothing
+    (``ngram_jaccard``'s empty-vs-empty == 1.0 convention does NOT
+    apply here — the division-by-zero row is excluded, as in SQL).
     """
     if docs is None:
         docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -431,7 +446,12 @@ def ngram_jaccard_pairs(
     df_ds = g.map_batches(explode_grams, batch_format="pyarrow").groupby(
         "gram"
     ).aggregate(Count(alias_name="df"))
-    df_tbl = pa.concat_tables(df_ds.iter_batches(batch_format="pyarrow"))
+    df_batches = list(df_ds.iter_batches(batch_format="pyarrow"))
+    df_tbl = (
+        pa.concat_tables(df_batches)
+        if df_batches
+        else pa.table({"gram": pa.array([], pa.int64()), "df": pa.array([], pa.int64())})
+    )
     gv = df_tbl.column("gram").to_numpy().view(_U64)
     gdf = df_tbl.column("df").to_numpy().astype(np.int64)
     order = np.argsort(gv)
@@ -455,8 +475,11 @@ def ngram_jaccard_pairs(
         order = np.lexsort((vals, df, doc_of))
         starts = np.zeros(len(ids), np.int64)
         np.cumsum(sizes[:-1], out=starts[1:])
-        # prefix length per doc: |G| - ceil(t|G|) + 1
-        pref = sizes - np.ceil(t * sizes).astype(np.int64) + 1
+        # prefix length per doc: |G| - ceil(t|G|) + 1. The epsilon guards
+        # float ceil: 0.85*20 evaluates to 17.000000000000004, whose ceil
+        # (18) would shorten the prefix and silently DROP pairs sitting
+        # exactly at the threshold (found by the hypothesis test).
+        pref = sizes - np.ceil(t * sizes - 1e-9).astype(np.int64) + 1
         doc_sorted = doc_of[order]
         r = np.arange(len(vals), dtype=np.int64) - starts[doc_sorted]
         keep = r < pref[doc_sorted]
@@ -478,7 +501,7 @@ def ngram_jaccard_pairs(
         i, j = np.triu_indices(len(ids), 1)
         lo = np.minimum(sizes[i], sizes[j])
         hi = np.maximum(sizes[i], sizes[j])
-        keep = lo >= np.ceil(t * hi)  # size-ratio filter
+        keep = lo >= np.ceil(t * hi - 1e-9)  # size-ratio filter (eps: see prefix_rows)
         return pa.table(
             {
                 "id_a": pa.array(ids[i[keep]], pa.int64()),

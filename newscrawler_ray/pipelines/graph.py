@@ -164,7 +164,8 @@ def connected_components(
     empty_assign = rd.from_arrow(
         pa.table({"node": pa.array([], _I64), "component": pa.array([], _I64)})
     )
-    if edges.schema(fetch_if_missing=True) is None:
+    sch = edges.schema(fetch_if_missing=True)
+    if sch is None or len(sch.names) == 0:
         return empty_assign  # no candidate pairs at all
     ds = edges.select_columns([src, dst]).rename_columns(["u", "v"])
     ds = ds.map_batches(_orient_down, batch_format="pyarrow").materialize()

@@ -66,3 +66,52 @@ def test_clean_text_properties(s):
     assert out == out.strip()
     # idempotent
     assert clean_text(out) == out
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 12), min_size=0, max_size=25),
+        min_size=2,
+        max_size=14,
+    ),
+    st.sampled_from([0.31, 0.6, 0.85]),
+)
+@settings(max_examples=12, deadline=None)
+def test_prefix_filter_join_equals_brute_force(docs_words, threshold):
+    """The prefix-filter set-similarity join is EXACT: on arbitrary small
+    corpora it returns precisely the pairs brute-force Jaccard accepts."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from newscrawler_ray.pipelines.dedup import ngram_jaccard_pairs, ngram_jaccard
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=4, include_dashboard=False,
+            ignore_reinit_error=True, logging_level="ERROR",
+        )
+    texts = [" ".join(f"w{w}" for w in words) for words in docs_words]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts)}
+        )
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            "unused", threshold=threshold, docs=ds, num_partitions=2
+        ).take_all()
+    )
+    nonempty = [bool(t.split()) for t in texts]
+    # SQL semantics: zero-gram docs pair with nothing (the operator
+    # matches the oracle, not ngram_jaccard's empty==empty convention)
+    exp = sorted(
+        (i, j, round(ngram_jaccard(texts[i], texts[j], 3), 4))
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if nonempty[i] and nonempty[j]
+        and round(ngram_jaccard(texts[i], texts[j], 3), 4) >= threshold
+    )
+    assert got == exp
