@@ -126,6 +126,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LSH families this one is deterministic and SQL-checkable
         "ngram_jaccard_pairs": lambda sf: D.ngram_jaccard_pairs(sf, threshold=0.5),
         "minhash_near_dup": lambda sf: D.minhash_lsh_pairs(sf, threshold=0.5),
+        # corpus-level dedup (pairs -> connected components -> keep the
+        # cluster min): exact variant is SQL-checkable via recursive CTE
+        "jaccard_dedup_docs": lambda sf: D.jaccard_dedup_docs(sf, threshold=0.5),
+        "minhash_dedup_docs": lambda sf: D.minhash_dedup_docs(sf, threshold=0.5),
         "simhash_docs": D.simhash_docs,
         "simhash_near_dup": lambda sf: D.simhash_near_dup_pairs(sf),
         "embedding_near_dup": lambda sf: D.embedding_near_dup(sf, tau=0.4),
@@ -399,6 +403,37 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
                   / nullif(len(list_distinct(a.grams || b.grams)), 0) >= 0.5""",
+        "jaccard_dedup_docs": r"""
+            -- corpus dedup with TRANSITIVE closure: clusters connected by
+            -- word-3-gram Jaccard >= 0.5 keep only their min doc_id
+            WITH RECURSIVE g AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) < 3
+                       THEN [list_aggregate(w, 'string_agg', ' ')]
+                       ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             FOR i IN generate_series(1, len(w)-2)]
+                     END) AS grams
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '\W+'),
+                                       x -> x <> '') AS w
+                    FROM documents)
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                    / nullif(len(list_distinct(a.grams || b.grams)), 0) >= 0.5
+            ), e AS (
+              SELECT id_a AS u, id_b AS v FROM p
+              UNION SELECT id_b, id_a FROM p
+            ), reach(n, x) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM e)
+              UNION
+              SELECT r.n, e.v FROM reach r JOIN e ON e.u = r.x
+            ), lbl AS (
+              SELECT n AS node, min(x) AS comp FROM reach GROUP BY n
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM lbl WHERE comp < node)""",
         "embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

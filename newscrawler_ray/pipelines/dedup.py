@@ -765,3 +765,65 @@ def embedding_near_dup_ivf(
     pairs = cells.groupby("cell").map_groups(cell_pairs, batch_format="pyarrow")
     # a pair can share up to n_probe cells — dedupe
     return _distinct_pairs(pairs)
+
+
+# ------------------------------------------------ corpus-level dedup
+
+
+def _survivors(docs: rd.Dataset, pairs: rd.Dataset, num_partitions: int) -> rd.Dataset:
+    """Keep one doc per near-dup cluster (the min doc_id) plus every
+    unpaired doc: pairs -> connected components -> anti-join the
+    non-root members out of the corpus. The drop set ships as (doc_id)
+    rows through a hash anti-join — nothing broadcasts, so a corpus
+    that is 30% duplicates at 100 TB still streams."""
+    from .graph import connected_components
+
+    assign = connected_components(pairs)
+
+    def non_roots(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch.column("node"), batch.column("component"))
+        return pa.table({"doc_id": batch.filter(keep).column("node")})
+
+    drop = assign.map_batches(non_roots, batch_format="pyarrow")
+    drop = drop.repartition(num_partitions).materialize()
+    ids = docs.select_columns(["doc_id"])
+    if drop.count() == 0:
+        return ids
+    return ids.join(
+        drop.rename_columns(["doc_id"]),
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+
+
+def jaccard_dedup_docs(
+    sf_dir: str, *, threshold: float = 0.5, k: int = 3
+) -> rd.Dataset:
+    """EXACT corpus dedup with transitive closure: every cluster of docs
+    connected by word-k-gram Jaccard >= threshold keeps only its min
+    doc_id. Deterministic end to end (prefix-filter join + connected
+    components), so a DuckDB recursive-CTE oracle checks it row-for-row
+    — the full LLM-corpus dedup pipeline, not just pair mining."""
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    pairs = ngram_jaccard_pairs(
+        sf_dir, threshold=threshold, k=k, docs=docs, num_partitions=num_partitions
+    )
+    return _survivors(docs, pairs, num_partitions)
+
+
+def minhash_dedup_docs(
+    sf_dir: str, *, threshold: float = 0.5, docs: rd.Dataset | None = None
+) -> rd.Dataset:
+    """Corpus dedup via MinHash-LSH pairs + connected components — the
+    probabilistic (sub-quadratic candidate generation) variant of
+    ``jaccard_dedup_docs``; rows-only for the driver, planted-cluster
+    oracle in tests."""
+    if docs is None:
+        docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    pairs = minhash_lsh_pairs(
+        sf_dir, threshold=threshold, docs=docs, num_partitions=num_partitions
+    )
+    return _survivors(docs, pairs.select_columns(["id_a", "id_b"]), num_partitions)

@@ -231,3 +231,37 @@ def test_ngram_jaccard_pairs_planted(ray_session):
     assert found[(1, 4)] == 1.0  # exact dup
     assert (1, 2) in found and found[(1, 2)] >= 0.5
     assert not any({a, b} == {1, 3} for (a, b) in found)
+
+
+def test_corpus_dedup_keeps_cluster_min(ray_session):
+    # planted: docs 1,2,4 form one near-dup cluster (1 survives); 3 distinct
+    out = dedup.minhash_dedup_docs(SF, docs=_planted_docs()).take_all()
+    assert sorted(r["doc_id"] for r in out) == [1, 3]
+
+
+def test_jaccard_dedup_transitive_chain(ray_session):
+    # a ~ b and b ~ c but a !~ c: transitivity must still collapse all
+    # three into one cluster (survivor = min id)
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    words = base.split()
+    mid = words[:9] + ["xray", "yankee", "zulu", "whiskey", "victor",
+                       "uniform", "tango", "sierra", "shift"]
+    far = mid[9:] + ["one", "two", "three", "four", "five", "six",
+                     "seven", "eight", "nine"]
+    import pyarrow as pa
+
+    texts = [" ".join(words), " ".join(mid), " ".join(far)]
+    j01 = dedup.ngram_jaccard(texts[0], texts[1])
+    j12 = dedup.ngram_jaccard(texts[1], texts[2])
+    j02 = dedup.ngram_jaccard(texts[0], texts[2])
+    t = 0.9 * min(j01, j12)
+    assert j02 < t  # genuinely non-adjacent endpoints
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([10, 20, 30], pa.int64()),
+                  "text": pa.array(texts)})
+    )
+    pairs = dedup.ngram_jaccard_pairs("unused", threshold=t, docs=docs,
+                                      num_partitions=2)
+    out = dedup._survivors(docs, pairs, 2).take_all()
+    assert sorted(r["doc_id"] for r in out) == [10]
