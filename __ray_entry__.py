@@ -159,6 +159,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal stages (over synthetic payload tables)
         "image_features": _image_features,
         "phash_near_dup": _phash_near_dup,
+        # image-text pair curation (vision.py; deterministic stand-in
+        # towers, real actor-pool plumbing — in-test oracles)
+        "clip_score_filter": _clip_score_filter,
+        "image_quality_filter": _image_quality_filter,
+        "image_near_dup_emb": _image_near_dup_emb,
         "audio_features": _audio_features,
         # flagship crawl (north_rule; rows-only — oracle equality in tests/)
         "crawl_e2e": _crawl_e2e,
@@ -214,6 +219,29 @@ def _phash_near_dup(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.multimodal import phash_near_dup_groups
 
     return phash_near_dup_groups(_fixture_images())
+
+
+def _clip_score_filter(sf_dir: str) -> Any:
+    """Rows-only: LAION-style image/text alignment filter (stand-in
+    towers; driver-recompute oracle in tests/test_vision.py)."""
+    from newscrawler_ray.pipelines.vision import clip_score_filter
+
+    return clip_score_filter(_fixture_images(), tau=0.05)
+
+
+def _image_quality_filter(sf_dir: str) -> Any:
+    """Rows-only: size/aspect/flatness tagging over decoded image stats."""
+    from newscrawler_ray.pipelines.vision import image_quality_filter
+
+    return image_quality_filter(_fixture_images()).drop_columns(["pixel_std"])
+
+
+def _image_near_dup_emb(sf_dir: str) -> Any:
+    """Rows-only: embedding-cosine image near-dup via shared IVF pair
+    mining (planted pixel-identical dups asserted in tests)."""
+    from newscrawler_ray.pipelines.vision import image_near_dup_emb
+
+    return image_near_dup_emb(_fixture_images())
 
 
 def _audio_features(sf_dir: str) -> Any:

@@ -67,6 +67,7 @@ QUERY_NAMES = [
     "simhash_near_dup",
     "ngram_jaccard_pairs",
     "embedding_near_dup_ivf",
+    "minhash_dedup_docs",
 ]
 
 

@@ -725,12 +725,29 @@ def embedding_near_dup_ivf(
     corpus outgrows any single worker. Recall vs the exact operator is
     asserted in tests (union over probes; rises with n_probe/n_cells).
     """
-    from .simsearch import _norm, emb_matrix, ivf_build
+    from .simsearch import ivf_build
 
     cents = ivf_build(sf_dir, n_cells=n_cells)
-    cents_ref = ray.put(cents)
-
     ds = read_clean(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    return ivf_pair_mine(ds, cents, tau=tau, n_probe=n_probe)
+
+
+def ivf_pair_mine(
+    ds: rd.Dataset,
+    cents: np.ndarray,
+    *,
+    tau: float,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """IVF-cell-bucketed cosine pair mining over ANY (int64 id,
+    list<float> embedding) dataset — shared by document/embedding and
+    image near-dup. Each vector is multi-probe-assigned to its
+    ``n_probe`` nearest coarse cells; pairs are emitted within cells and
+    deduped. The shuffle ships each embedding n_probe times."""
+    from .simsearch import _norm, emb_matrix
+
+    cents_ref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cents_ref)
@@ -742,7 +759,7 @@ def embedding_near_dup_ivf(
         return pa.table(
             {
                 "cell": pa.array(probes.ravel().astype(np.int32)),
-                "vec_id": batch.column("vec_id").take(pa.array(rep)),
+                id_col: batch.column(id_col).take(pa.array(rep)),
                 "embedding": batch.column("embedding").take(pa.array(rep)),
             }
         )
@@ -750,7 +767,7 @@ def embedding_near_dup_ivf(
     cells = ds.map_batches(assign, batch_format="pyarrow")
 
     def cell_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("vec_id").to_numpy()
+        ids = group.column(id_col).to_numpy()
         E = _norm(emb_matrix(group.column("embedding")))
         sims = E @ E.T
         rows, cols = np.nonzero(sims >= tau)

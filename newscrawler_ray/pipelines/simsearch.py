@@ -147,26 +147,31 @@ def ivf_build(
     iters: int = 3,
     seed: int = 42,
     train_max: int = 8192,
+    ds: rd.Dataset | None = None,
+    id_col: str = "vec_id",
 ):
     """Deterministic coarse quantizer: seeded k-means on a TRAINING
     SAMPLE drawn distributedly (hash-of-id modulus inside
     ``map_batches`` — deterministic regardless of block layout, unlike
     ``random_sample``), so only ~``train_max`` vectors ever reach the
-    driver. The centroid matrix is tiny (n_cells x d) and broadcasts."""
+    driver. The centroid matrix is tiny (n_cells x d) and broadcasts.
+    Pass ``ds`` (int64 ``id_col`` + ``embedding``) to train over any
+    vector source, e.g. image embeddings, instead of the sf_dir table."""
     from ..functions.hashing import splitmix64
 
-    ds = read_clean(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    if ds is None:
+        ds = read_clean(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     n_rows = ds.count()
     mod = max(1, n_rows // train_max)
 
     def sample(batch: pa.Table) -> pa.Table:
-        ids = batch.column("vec_id").to_numpy().view(np.uint64)
+        ids = batch.column(id_col).to_numpy().view(np.uint64)
         keep = (splitmix64(ids + np.uint64(seed)) % np.uint64(mod)) == 0
         return batch.filter(pa.array(keep))
 
     rows = ds.map_batches(sample, batch_format="pyarrow").take_all()
     E = _norm(
-        np.array([r["embedding"] for r in sorted(rows, key=lambda r: r["vec_id"])],
+        np.array([r["embedding"] for r in sorted(rows, key=lambda r: r[id_col])],
                  dtype=np.float64)
     )
     rng = np.random.default_rng(seed)

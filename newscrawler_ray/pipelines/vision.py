@@ -1,0 +1,241 @@
+"""Image-text pair curation operators (LAION-style training-data path).
+
+The reference crawler stores article top-image URLs and captions but has
+no pair-curation machinery (SURVEY.md D5 notes it has no near-dedup at
+all); a 100 TB image-text pipeline needs exactly these stages, so they
+are built here as first-class Ray Data operators:
+
+  pair_embeddings      — two-tower encoder over (bytes, caption) rows
+  clip_score_filter    — keep pairs whose image/text cosine >= tau
+  image_quality_filter — tag rows against size / aspect / flatness gates
+  image_near_dup_emb   — embedding-cosine image near-dup via IVF cells
+
+MODEL STUB, REAL PLUMBING: the sandbox has no torch/CLIP, so the two
+encoder towers are deterministic stand-ins — seeded random-projection
+matrices built once per actor in ``__init__`` (the model-load slot; a
+real deployment loads CLIP vision/text towers there). Everything around
+the stub is production-shaped: actor-pool ``map_batches`` with small
+batches for payload-heavy rows, unit-norm ``list<float>`` embedding
+columns that feed the shared IVF pair-mining and kNN machinery
+(``dedup.ivf_pair_mine``, ``simsearch.ivf_build``), error-as-record
+decode failures, and shuffles that ship only (cell, id, embedding).
+
+Determinism contract (tested): embeddings are pure functions of
+(bytes, fmt, caption, seed) — identical rows embed identically on any
+actor, so planted pixel-identical near-dups score cosine 1.0.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .multimodal import block_mean_resize, decode_any
+
+_TXT_BUCKETS = 1024
+
+
+def _image_id_to_int(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """``img-%08d`` -> int64 (fixture id format, FIXTURES.md §1). A
+    syntactic inverse exists (``_int_to_image_id``) so nothing needs a
+    join to recover the string id downstream."""
+    return pc.cast(pc.utf8_slice_codeunits(col, 4, 99), pa.int64())
+
+
+def _int_to_image_id(ids: np.ndarray) -> list[str]:
+    return [f"img-{i:08d}" for i in ids.tolist()]
+
+
+class PairEncoder:
+    """Actor-pool two-tower encoder: image bytes -> d-dim unit vector,
+    caption text -> d-dim unit vector, plus their cosine (clip_score).
+
+    ``__init__`` builds the "model" once per actor: a seeded random
+    projection for each tower (image: flattened 8x8x3 block-mean
+    thumbnail; text: hashed char-3-gram counts). Stand-in for CLIP's
+    vision/text towers — swap the two matmuls for model forward passes
+    and every downstream operator keeps working unchanged.
+    """
+
+    def __init__(self, dim: int = 64, thumb: int = 8, seed: int = 7):
+        self.dim, self.thumb = dim, thumb
+        rng = np.random.default_rng(seed)
+        self.w_img = rng.standard_normal((thumb * thumb * 3, dim)) / np.sqrt(dim)
+        self.w_txt = rng.standard_normal((_TXT_BUCKETS, dim)) / np.sqrt(dim)
+
+    def _embed_image(self, data: bytes, fmt: str) -> np.ndarray:
+        img = decode_any(data, fmt)
+        x = block_mean_resize(img, self.thumb, self.thumb).ravel() / 255.0 - 0.5
+        v = x @ self.w_img
+        return v / max(float(np.linalg.norm(v)), 1e-12)
+
+    def _embed_text(self, caption: str) -> np.ndarray:
+        b = np.frombuffer(caption.encode("utf-8"), dtype=np.uint8)
+        if len(b) < 3:
+            counts = np.zeros(_TXT_BUCKETS)
+            counts[len(b)] = 1.0  # degenerate-caption bucket, still unit-norm
+        else:
+            grams = (
+                b[:-2].astype(np.int64) * 131 * 131
+                + b[1:-1].astype(np.int64) * 131
+                + b[2:].astype(np.int64)
+            )
+            counts = np.bincount(grams % _TXT_BUCKETS, minlength=_TXT_BUCKETS)
+        v = counts @ self.w_txt
+        return v / max(float(np.linalg.norm(v)), 1e-12)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages import pin_worker_threads
+
+        pin_worker_threads()
+        n = batch.num_rows
+        img_emb = np.zeros((n, self.dim))
+        txt_emb = np.zeros((n, self.dim))
+        errs: list = [None] * n
+        raw = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        caps = batch.column("caption").to_pylist()
+        for i in range(n):
+            try:
+                img_emb[i] = self._embed_image(raw[i], fmts[i])
+                txt_emb[i] = self._embed_text(caps[i])
+            except Exception as e:  # noqa: BLE001 — error-as-record
+                errs[i] = str(e)
+        score = np.einsum("ij,ij->i", img_emb, txt_emb)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "img_emb": pa.array(list(img_emb), pa.list_(pa.float64())),
+                "txt_emb": pa.array(list(txt_emb), pa.list_(pa.float64())),
+                "clip_score": pa.array(np.round(score, 6)),
+                "encode_error": pa.array(errs, pa.string()),
+            }
+        )
+
+
+def pair_embeddings(
+    images_path: str | Path, *, concurrency: int = 2, batch_size: int = 64
+) -> rd.Dataset:
+    """Two-tower embeddings + alignment score per (image, caption) row.
+    Payload-heavy input -> small batches; towers load once per actor."""
+    ds = rd.read_parquet(
+        str(images_path), columns=["image_id", "bytes", "fmt", "caption"]
+    )
+    return ds.map_batches(
+        PairEncoder,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def clip_score_filter(images_path: str | Path, *, tau: float = 0.0) -> rd.Dataset:
+    """LAION-style pair curation: keep rows whose image/text cosine
+    clears ``tau`` (LAION-400M used CLIP cosine 0.3; the stand-in towers
+    make the absolute scale arbitrary, the operator shape identical).
+    Output ships only (image_id, clip_score) — embeddings and payload
+    bytes are dropped before any exchange."""
+    emb = pair_embeddings(images_path)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(
+            pc.is_null(batch.column("encode_error")),
+            pc.greater_equal(batch.column("clip_score"), pa.scalar(tau)),
+        )
+        return batch.filter(ok).select(["image_id", "clip_score"])
+
+    return emb.map_batches(keep, batch_format="pyarrow")
+
+
+def image_quality_filter(
+    images_path: str | Path,
+    *,
+    min_w: int = 32,
+    min_h: int = 32,
+    max_aspect: float = 3.0,
+    min_std: float = 1.0,
+) -> rd.Dataset:
+    """Size / aspect-ratio / flatness gates over decoded image stats —
+    the standard pre-training image curation pass. TAGGING stage: every
+    row is kept and labeled (keep: bool, reject_reason: first failing
+    gate) so downstream consumers choose filter vs audit; vectorized
+    numpy over the feature columns, no per-row Python."""
+    from .multimodal import image_features
+
+    feats = image_features(images_path)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_numpy().astype(np.float64)
+        h = batch.column("h").to_numpy().astype(np.float64)
+        std = batch.column("pixel_std").to_numpy()
+        err = batch.column("feature_error").to_numpy(zero_copy_only=False)
+        aspect = np.maximum(w, h) / np.maximum(np.minimum(w, h), 1.0)
+        reason = np.full(batch.num_rows, None, dtype=object)
+        # later assignments win -> order reasons from weakest to strongest
+        reason[std < min_std] = "flat_image"
+        reason[aspect > max_aspect] = "extreme_aspect"
+        reason[(w < min_w) | (h < min_h)] = "too_small"
+        reason[err != None] = "decode_error"  # noqa: E711 — numpy elementwise
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "w": batch.column("w"),
+                "h": batch.column("h"),
+                "pixel_std": batch.column("pixel_std"),
+                "keep": pa.array(reason == None),  # noqa: E711
+                "reject_reason": pa.array(reason, pa.string()),
+            }
+        )
+
+    return feats.map_batches(tag, batch_format="pyarrow")
+
+
+def image_embeddings(images_path: str | Path) -> rd.Dataset:
+    """(int64 id, embedding) view of the image tower — the adapter that
+    lets image vectors flow through the shared vector machinery
+    (``simsearch.ivf_build``, ``dedup.ivf_pair_mine``, kNN)."""
+    emb = pair_embeddings(images_path)
+
+    def project(batch: pa.Table) -> pa.Table:
+        ok = batch.filter(pc.is_null(batch.column("encode_error")))
+        return pa.table(
+            {
+                "vec_id": _image_id_to_int(ok.column("image_id")),
+                "embedding": ok.column("img_emb"),
+            }
+        )
+
+    return emb.map_batches(project, batch_format="pyarrow")
+
+
+def image_near_dup_emb(
+    images_path: str | Path,
+    *,
+    tau: float = 0.999,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> rd.Dataset:
+    """Embedding-cosine image near-dup via IVF-bucketed pair mining —
+    same sub-quadratic shape as ``dedup.embedding_near_dup_ivf``, over
+    the image tower. Catches the fixture's planted pixel-identical dups
+    (cosine exactly 1.0) without any whole-corpus broadcast."""
+    from .dedup import ivf_pair_mine
+    from .simsearch import ivf_build
+
+    vecs = image_embeddings(images_path).materialize()
+    cents = ivf_build("", ds=vecs, n_cells=n_cells)
+    pairs = ivf_pair_mine(vecs, cents, tau=tau, n_probe=n_probe)
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "image_a": pa.array(_int_to_image_id(batch.column("id_a").to_numpy())),
+                "image_b": pa.array(_int_to_image_id(batch.column("id_b").to_numpy())),
+            }
+        )
+
+    return pairs.map_batches(fmt, batch_format="pyarrow")

@@ -1,0 +1,108 @@
+"""Image-text pair curation (vision.py): determinism, filter semantics,
+planted near-dup recall. The encoder towers are deterministic stand-ins
+(see vision.py module docstring) — these tests pin the contract that
+makes them safe to swap for a real model."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from newscrawler_ray import codecs
+from newscrawler_ray.pipelines import vision
+
+
+def _read_images(fixture_dir, n=None):
+    t = pq.read_table(fixture_dir / "images.parquet")
+    return t.slice(0, n) if n else t
+
+
+def test_pair_encoder_deterministic(fixture_dir):
+    t = _read_images(fixture_dir, 32)
+    a, b = vision.PairEncoder()(t), vision.PairEncoder()(t)
+    assert a.equals(b)
+    E = np.array(a.column("img_emb").to_pylist())
+    T = np.array(a.column("txt_emb").to_pylist())
+    np.testing.assert_allclose(np.linalg.norm(E, axis=1), 1.0, atol=1e-9)
+    np.testing.assert_allclose(np.linalg.norm(T, axis=1), 1.0, atol=1e-9)
+    assert np.all(np.abs(a.column("clip_score").to_numpy()) <= 1.0 + 1e-9)
+
+
+def test_clip_score_filter_matches_driver_recompute(ray_session, fixture_dir):
+    path = fixture_dir / "images.parquet"
+    tau = 0.05
+    got = {
+        r["image_id"]: r["clip_score"]
+        for r in vision.clip_score_filter(path, tau=tau).take_all()
+    }
+    ref = vision.PairEncoder()(_read_images(fixture_dir))
+    scores = ref.column("clip_score").to_numpy()
+    ids = ref.column("image_id").to_pylist()
+    want = {i: s for i, s in zip(ids, scores) if s >= tau}
+    assert got == pytest.approx(want)
+    assert 0 < len(got) < len(ids)  # tau actually separates the corpus
+
+
+def test_image_quality_filter_gates(ray_session, fixture_dir):
+    path = fixture_dir / "images.parquet"
+    rows = vision.image_quality_filter(path, min_w=32, min_h=32).take_all()
+    assert len(rows) == _read_images(fixture_dir).num_rows  # tagging keeps all
+    for r in rows:
+        small = r["w"] < 32 or r["h"] < 32
+        if r["keep"]:
+            assert not small and r["reject_reason"] is None
+        elif r["reject_reason"] == "too_small":
+            assert small
+    # fixture dims are {16,32,64}x{16,32,48} -> both outcomes occur
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows)
+
+
+def test_image_quality_filter_flat_image(ray_session, tmp_path):
+    flat = np.full((16, 16, 3), 128, dtype=np.uint8)
+    rng = np.random.default_rng(0)
+    noisy = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8).astype(np.uint8)
+    t = pa.table(
+        {
+            "image_id": ["img-00000000", "img-00000001"],
+            "bytes": [codecs.encode_ppm(flat), codecs.encode_ppm(noisy)],
+            "w": pa.array([16, 16], pa.int32()),
+            "h": pa.array([16, 16], pa.int32()),
+            "fmt": ["ppm", "ppm"],
+            "phash": pa.array(
+                [codecs.phash64(flat), codecs.phash64(noisy)], pa.int64()
+            ),
+        }
+    )
+    path = tmp_path / "flat.parquet"
+    pq.write_table(t, path)
+    rows = {
+        r["image_id"]: r
+        for r in vision.image_quality_filter(path, min_w=16, min_h=16).take_all()
+    }
+    assert rows["img-00000000"]["reject_reason"] == "flat_image"
+    assert rows["img-00000001"]["keep"]
+
+
+def test_image_near_dup_finds_planted(ray_session, fixture_dir):
+    path = fixture_dir / "images.parquet"
+    n = _read_images(fixture_dir).num_rows
+    planted = {
+        (f"img-{i - 1:08d}", f"img-{i:08d}") for i in range(1, n) if i % 97 == 0
+    }
+    assert planted  # fixture really plants pixel-identical dups
+    found = {
+        (r["image_a"], r["image_b"])
+        for r in vision.image_near_dup_emb(path, tau=0.999).take_all()
+    }
+    assert planted <= found  # identical pixels -> cosine 1.0 -> always found
+    # precision: every reported pair really clears tau under the encoder
+    ref = vision.PairEncoder()(_read_images(fixture_dir))
+    emb = {
+        i: np.array(e)
+        for i, e in zip(
+            ref.column("image_id").to_pylist(), ref.column("img_emb").to_pylist()
+        )
+    }
+    for a, b in found:
+        assert float(emb[a] @ emb[b]) >= 0.999 - 1e-9
