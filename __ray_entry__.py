@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clip_score_filter": _clip_score_filter,
         "image_quality_filter": _image_quality_filter,
         "image_near_dup_emb": _image_near_dup_emb,
+        "curate_image_corpus": _curate_image_corpus,
         "audio_features": _audio_features,
         # flagship crawl (north_rule; rows-only — oracle equality in tests/)
         "crawl_e2e": _crawl_e2e,
@@ -242,6 +243,15 @@ def _image_near_dup_emb(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.vision import image_near_dup_emb
 
     return image_near_dup_emb(_fixture_images())
+
+
+def _curate_image_corpus(sf_dir: str) -> Any:
+    """Rows-only: flagship LAION-style curation composition — quality
+    gates AND clip filter AND dedup-after-filter; exact survivor-set
+    equality vs a brute-force driver oracle in tests/test_vision.py."""
+    from newscrawler_ray.pipelines.vision import curate_image_corpus
+
+    return curate_image_corpus(_fixture_images())
 
 
 def _audio_features(sf_dir: str) -> Any:

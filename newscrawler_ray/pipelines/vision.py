@@ -239,3 +239,121 @@ def image_near_dup_emb(
         )
 
     return pairs.map_batches(fmt, batch_format="pyarrow")
+
+
+def curate_image_corpus(
+    images_path: str | Path,
+    *,
+    min_w: int = 32,
+    min_h: int = 32,
+    tau_clip: float = 0.05,
+    tau_dup: float = 0.999,
+    n_cells: int = 8,
+    n_probe: int = 2,
+) -> rd.Dataset:
+    """Flagship image-corpus curation composition — the full LAION-style
+    pre-training pass in one pipeline:
+
+      quality gates AND clip filter  ->  the "good" id set
+      IVF pair mining (whole corpus) ->  near-dup pairs among good rows
+      connected components           ->  keep each cluster's min id
+
+    Dedup applies AFTER filtering (pairs are semi-joined to the good set
+    first), so a cluster whose cheapest-id member failed a gate still
+    keeps its best surviving member — the semantics a real curation run
+    wants. Every exchange ships only int64 ids or (cell, id, embedding);
+    payload bytes never leave the decode stage. Shuffle-fed pair sets
+    are repartitioned before each join and the empty case short-circuits
+    (Ray Data emits zero-column empty blocks from hash shuffles that
+    acero joins reject).
+
+    Scheduling note: the two decode stages (encoder towers, pixel
+    stats) each hold an actor pool, so they materialize SEQUENTIALLY —
+    two concurrent pools can occupy every CPU of a small cluster and
+    starve the downstream join tasks. Sequencing also reuses one
+    encoder pass for both the clip filter and the dedup embeddings."""
+    import ray
+
+    from .dedup import ivf_pair_mine
+    from .graph import connected_components
+    from .simsearch import ivf_build
+
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+
+    # one encoder pass: scores + image embeddings (txt tower dropped —
+    # only the alignment score survives the decode stage)
+    enc = (
+        pair_embeddings(images_path)
+        .drop_columns(["txt_emb"])
+        .materialize()
+    )
+
+    def clip_ids(batch: pa.Table) -> pa.Table:
+        ok = batch.filter(
+            pc.and_(
+                pc.is_null(batch.column("encode_error")),
+                pc.greater_equal(batch.column("clip_score"), pa.scalar(tau_clip)),
+            )
+        )
+        return pa.table({"vec_id": _image_id_to_int(ok.column("image_id"))})
+
+    def qual_ids(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(batch.column("keep"))
+        return pa.table({"vec_id": _image_id_to_int(kept.column("image_id"))})
+
+    clip = enc.map_batches(clip_ids, batch_format="pyarrow")
+    qual = image_quality_filter(images_path, min_w=min_w, min_h=min_h).map_batches(
+        qual_ids, batch_format="pyarrow"
+    ).materialize()
+    good = (
+        qual.repartition(nparts)
+        .join(clip.repartition(nparts), join_type="left_semi",
+              num_partitions=nparts, on=("vec_id",))
+        .materialize()
+    )
+
+    def to_vecs(batch: pa.Table) -> pa.Table:
+        ok = batch.filter(pc.is_null(batch.column("encode_error")))
+        return pa.table(
+            {
+                "vec_id": _image_id_to_int(ok.column("image_id")),
+                "embedding": ok.column("img_emb"),
+            }
+        )
+
+    vecs = enc.map_batches(to_vecs, batch_format="pyarrow").materialize()
+    cents = ivf_build("", ds=vecs, n_cells=n_cells)
+    pairs = ivf_pair_mine(vecs, cents, tau=tau_dup, n_probe=n_probe)
+    pairs = pairs.repartition(nparts).materialize()
+
+    out = good
+    if pairs.count():
+        for side in ("id_a", "id_b"):  # dedup only among surviving rows
+            pairs = pairs.join(
+                good.rename_columns([side]),
+                join_type="left_semi", num_partitions=nparts, on=(side,),
+            )
+        # select (not rename): join output column order is not guaranteed
+        pairs = pairs.select_columns(["id_a", "id_b"]).repartition(nparts).materialize()
+        if pairs.count():
+            assign = connected_components(pairs)
+
+            def non_roots(batch: pa.Table) -> pa.Table:
+                drop = batch.filter(
+                    pc.not_equal(batch.column("node"), batch.column("component"))
+                )
+                return pa.table({"vec_id": drop.column("node")})
+
+            drops = assign.map_batches(non_roots, batch_format="pyarrow")
+            drops = drops.repartition(nparts).materialize()
+            if drops.count():
+                out = good.join(
+                    drops, join_type="left_anti",
+                    num_partitions=nparts, on=("vec_id",),
+                )
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        return pa.table({"image_id": pa.array(_int_to_image_id(ids))})
+
+    return out.map_batches(fmt, batch_format="pyarrow")

@@ -106,3 +106,66 @@ def test_image_near_dup_finds_planted(ray_session, fixture_dir):
     }
     for a, b in found:
         assert float(emb[a] @ emb[b]) >= 0.999 - 1e-9
+
+
+def test_curate_image_corpus_matches_driver_oracle(ray_session, fixture_dir):
+    """Full-composition oracle: recompute quality AND clip AND
+    dedup-after-filter on the driver (brute-force cosine + union-find)
+    and require exact survivor-set equality. Brute force sees strictly
+    more pairs than IVF, so oracle survivors <= pipeline survivors would
+    signal missed dups; equality here also pins IVF recall at tau=0.999
+    (pixel-identical dups land in the same cell by construction)."""
+    path = fixture_dir / "images.parquet"
+    min_w = min_h = 32
+    tau_clip, tau_dup = 0.05, 0.999
+
+    got = sorted(
+        r["image_id"]
+        for r in vision.curate_image_corpus(
+            path, min_w=min_w, min_h=min_h, tau_clip=tau_clip, tau_dup=tau_dup
+        ).take_all()
+    )
+
+    t = _read_images(fixture_dir)
+    enc = vision.PairEncoder()(t)
+    feats = {}
+    for i in range(t.num_rows):
+        img = codecs_decode(t.column("bytes")[i].as_py(), t.column("fmt")[i].as_py())
+        feats[t.column("image_id")[i].as_py()] = float(img.std())
+    ids = enc.column("image_id").to_pylist()
+    scores = enc.column("clip_score").to_numpy()
+    E = np.array(enc.column("img_emb").to_pylist())
+    w = t.column("w").to_numpy()
+    h = t.column("h").to_numpy()
+    aspect = np.maximum(w, h) / np.minimum(w, h)
+    good = [
+        i
+        for i in range(len(ids))
+        if w[i] >= min_w and h[i] >= min_h and aspect[i] <= 3.0
+        and feats[ids[i]] >= 1.0 and scores[i] >= tau_clip
+    ]
+    # union-find over brute-force pairs among good rows only
+    parent = {i: i for i in good}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    G = E[good]
+    sims = G @ G.T
+    for a in range(len(good)):
+        for b in range(a + 1, len(good)):
+            if sims[a, b] >= tau_dup:
+                ra, rb = find(good[a]), find(good[b])
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = sorted(ids[i] for i in good if find(i) == i)
+    assert got == want
+
+
+def codecs_decode(data, fmt):
+    from newscrawler_ray.pipelines.multimodal import decode_any
+
+    return decode_any(data, fmt)
