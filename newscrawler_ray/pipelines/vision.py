@@ -301,16 +301,24 @@ def curate_image_corpus(
         kept = batch.filter(batch.column("keep"))
         return pa.table({"vec_id": _image_id_to_int(kept.column("image_id"))})
 
-    clip = enc.map_batches(clip_ids, batch_format="pyarrow")
+    empty = pa.table({"image_id": pa.array([], pa.string())})
+    clip = enc.map_batches(clip_ids, batch_format="pyarrow").repartition(
+        nparts
+    ).materialize()
     qual = image_quality_filter(images_path, min_w=min_w, min_h=min_h).map_batches(
         qual_ids, batch_format="pyarrow"
-    ).materialize()
+    ).repartition(nparts).materialize()
+    # extreme thresholds: an ALL-empty side stays zero-column even after
+    # repartition and acero rejects the join — short-circuit first
+    if clip.count() == 0 or qual.count() == 0:
+        return rd.from_arrow(empty)
     good = (
-        qual.repartition(nparts)
-        .join(clip.repartition(nparts), join_type="left_semi",
-              num_partitions=nparts, on=("vec_id",))
+        qual.join(clip, join_type="left_semi",
+                  num_partitions=nparts, on=("vec_id",))
         .materialize()
     )
+    if good.count() == 0:
+        return rd.from_arrow(empty)
 
     def to_vecs(batch: pa.Table) -> pa.Table:
         ok = batch.filter(pc.is_null(batch.column("encode_error")))

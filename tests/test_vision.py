@@ -169,3 +169,11 @@ def codecs_decode(data, fmt):
     from newscrawler_ray.pipelines.multimodal import decode_any
 
     return decode_any(data, fmt)
+
+
+def test_curate_image_corpus_empty_gate(ray_session, fixture_dir):
+    # cosine can never exceed 1 -> nothing survives; the empty side must
+    # short-circuit (all-empty datasets are zero-column and break joins)
+    out = vision.curate_image_corpus(fixture_dir / "images.parquet", tau_clip=1.1)
+    assert out.count() == 0
+    assert out.schema().names == ["image_id"]
