@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_quality_filter": _image_quality_filter,
         "image_near_dup_emb": _image_near_dup_emb,
         "curate_image_corpus": _curate_image_corpus,
+        "image_knn": _image_knn,
         "audio_features": _audio_features,
         # flagship crawl (north_rule; rows-only — oracle equality in tests/)
         "crawl_e2e": _crawl_e2e,
@@ -243,6 +244,14 @@ def _image_near_dup_emb(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.vision import image_near_dup_emb
 
     return image_near_dup_emb(_fixture_images())
+
+
+def _image_knn(sf_dir: str) -> Any:
+    """Rows-only: visual similarity search (exact cosine top-k over the
+    image tower; planted-twin + brute-force parity in tests)."""
+    from newscrawler_ray.pipelines.vision import image_knn
+
+    return image_knn(_fixture_images(), query_image_id="img-00000097")
 
 
 def _curate_image_corpus(sf_dir: str) -> Any:

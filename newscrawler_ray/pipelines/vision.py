@@ -241,6 +241,63 @@ def image_near_dup_emb(
     return pairs.map_batches(fmt, batch_format="pyarrow")
 
 
+def image_knn(
+    images_path: str | Path, *, query_image_id: str = "img-00000000", k: int = 10
+) -> pa.Table:
+    """Visual similarity search: exact cosine top-k over the image tower
+    vs one query image (the brute-force baseline of the multimodal
+    search story; the IVF scale path reuses ``simsearch`` unchanged via
+    ``image_embeddings``). The query row comes from a FILTERED parquet
+    read (one row, row-group pushdown) and encodes on the driver; the
+    corpus streams through the encoder pool and each batch prunes to a
+    local top-k before the tiny global merge — only k rows per batch
+    reach the sort."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .simsearch import emb_matrix
+
+    t = pq.read_table(
+        str(images_path),
+        columns=["image_id", "bytes", "fmt"],
+        filters=[("image_id", "==", query_image_id)],
+    )
+    if t.num_rows != 1:
+        raise KeyError(f"query image {query_image_id!r} not found")
+    q = PairEncoder()._embed_image(
+        t.column("bytes")[0].as_py(), t.column("fmt")[0].as_py()
+    )
+    q_ref = ray.put(q)
+    qid = int(query_image_id[4:])
+
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        ids = batch.column("vec_id").to_numpy()
+        E = emb_matrix(batch.column("embedding"))  # towers emit unit-norm
+        sims = E @ qv
+        mask = ids != qid
+        ids, sims = ids[mask], sims[mask]
+        # tie-break by id ASC within equal sims so ties never prune a
+        # true top-k row (same rule as simsearch.knn_topk)
+        top = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {"vec_id": pa.array(ids[top], pa.int64()), "sim": pa.array(sims[top])}
+        )
+
+    parts = image_embeddings(images_path).map_batches(
+        batch_topk, batch_format="pyarrow"
+    )
+    rows = parts.sort(["sim", "vec_id"], descending=[True, False]).limit(k).take_all()
+    return pa.table(
+        {
+            "image_id": pa.array(
+                _int_to_image_id(np.array([r["vec_id"] for r in rows], np.int64))
+            ),
+            "sim": pa.array([round(r["sim"], 6) for r in rows]),
+        }
+    )
+
+
 def curate_image_corpus(
     images_path: str | Path,
     *,

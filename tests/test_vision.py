@@ -171,6 +171,25 @@ def codecs_decode(data, fmt):
     return decode_any(data, fmt)
 
 
+def test_image_knn_planted_twin_and_brute_parity(ray_session, fixture_dir):
+    # img-00000097 is pixel-identical to img-00000096 (i%97==0 planting)
+    path = fixture_dir / "images.parquet"
+    out = vision.image_knn(path, query_image_id="img-00000097", k=5)
+    got = out.column("image_id").to_pylist()
+    assert got[0] == "img-00000096"
+    assert out.column("sim")[0].as_py() == pytest.approx(1.0)
+    # full parity vs brute-force driver recompute
+    t = _read_images(fixture_dir)
+    enc = vision.PairEncoder()(t)
+    ids = np.array(enc.column("image_id").to_pylist())
+    E = np.array(enc.column("img_emb").to_pylist())
+    qi = int(np.nonzero(ids == "img-00000097")[0][0])
+    sims = E @ E[qi]
+    mask = ids != "img-00000097"
+    order = np.lexsort((ids[mask], -sims[mask]))[:5]
+    assert got == ids[mask][order].tolist()
+
+
 def test_curate_image_corpus_empty_gate(ray_session, fixture_dir):
     # cosine can never exceed 1 -> nothing survives; the empty side must
     # short-circuit (all-empty datasets are zero-column and break joins)
