@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup_emb": _image_near_dup_emb,
         "curate_image_corpus": _curate_image_corpus,
         "image_knn": _image_knn,
+        "curate_crawl_output": _curate_crawl_output,
         "audio_features": _audio_features,
         # flagship crawl (north_rule; rows-only — oracle equality in tests/)
         "crawl_e2e": _crawl_e2e,
@@ -244,6 +245,21 @@ def _image_near_dup_emb(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.vision import image_near_dup_emb
 
     return image_near_dup_emb(_fixture_images())
+
+
+def _curate_crawl_output(sf_dir: str) -> Any:
+    """Rows-only: the tier composition — crawl the synthetic web, then
+    run the full image-curation pass over the stored payload (first-wins
+    image dedup without shuffling bytes; manual-dedup equality in
+    tests/test_vision.py)."""
+    from newscrawler_ray.pipelines.crawl import run_crawl
+    from newscrawler_ray.pipelines.vision import curate_crawl_output
+    from newscrawler_ray.synth import default_fixture_dir, gen_fixtures
+
+    fx = gen_fixtures(default_fixture_dir(600), n_urls=600, seed=42)
+    out = Path("/tmp/newscrawler_ray_curate_crawl_out")
+    run_crawl(fx, out, n_seen_shards=2, n_frontier_shards=2, checkpoint=False)
+    return curate_crawl_output(out, min_w=16, min_h=16)
 
 
 def _image_knn(sf_dir: str) -> Any:

@@ -111,10 +111,14 @@ class ImageFeatures:
         return out
 
 
-def image_features(images_path: str | Path, *, concurrency: int = 2, batch_size: int = 64) -> rd.Dataset:
+def image_features(
+    images_path: "str | Path | rd.Dataset", *, concurrency: int = 2, batch_size: int = 64
+) -> rd.Dataset:
     """Feature-extraction pipeline over an image table (parquet/lance dir
-    or file). Small batch_size: payload-heavy rows (see module docstring)."""
-    ds = rd.read_parquet(str(images_path))
+    or file, or an already-built Dataset of the same schema — e.g. the
+    crawl's stored wave output). Small batch_size: payload-heavy rows
+    (see module docstring)."""
+    ds = images_path if isinstance(images_path, rd.Dataset) else rd.read_parquet(str(images_path))
     return ds.map_batches(
         ImageFeatures,
         batch_format="pyarrow",

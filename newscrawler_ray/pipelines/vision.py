@@ -117,14 +117,20 @@ class PairEncoder:
         )
 
 
+def _images_source(src: "str | Path | rd.Dataset", columns: list[str]) -> rd.Dataset:
+    """Pruned view of an image table: parquet path (column-pruned read)
+    or an already-built Dataset (e.g. the crawl's stored wave output)."""
+    if isinstance(src, rd.Dataset):
+        return src.select_columns(columns)
+    return rd.read_parquet(str(src), columns=columns)
+
+
 def pair_embeddings(
-    images_path: str | Path, *, concurrency: int = 2, batch_size: int = 64
+    images_path: "str | Path | rd.Dataset", *, concurrency: int = 2, batch_size: int = 64
 ) -> rd.Dataset:
     """Two-tower embeddings + alignment score per (image, caption) row.
     Payload-heavy input -> small batches; towers load once per actor."""
-    ds = rd.read_parquet(
-        str(images_path), columns=["image_id", "bytes", "fmt", "caption"]
-    )
+    ds = _images_source(images_path, ["image_id", "bytes", "fmt", "caption"])
     return ds.map_batches(
         PairEncoder,
         batch_format="pyarrow",
@@ -152,7 +158,7 @@ def clip_score_filter(images_path: str | Path, *, tau: float = 0.0) -> rd.Datase
 
 
 def image_quality_filter(
-    images_path: str | Path,
+    images_path: "str | Path | rd.Dataset",
     *,
     min_w: int = 32,
     min_h: int = 32,
@@ -299,7 +305,7 @@ def image_knn(
 
 
 def curate_image_corpus(
-    images_path: str | Path,
+    images_path: "str | Path | rd.Dataset",
     *,
     min_w: int = 32,
     min_h: int = 32,
@@ -422,3 +428,46 @@ def curate_image_corpus(
         return pa.table({"image_id": pa.array(_int_to_image_id(ids))})
 
     return out.map_batches(fmt, batch_format="pyarrow")
+
+
+def curate_crawl_output(
+    crawl_out_dir: str | Path, **curate_kwargs
+) -> rd.Dataset:
+    """End-to-end tier composition: CRAWL output -> image curation.
+
+    Reads the crawl's stored wave parquet (``run_crawl`` out_dir),
+    first-wins-dedupes by image_id (distinct URLs can map to the same
+    payload image), then runs the full ``curate_image_corpus`` pass over
+    the surviving rows. The dedup never shuffles payload bytes: winners
+    are chosen by a groupby over the thin (image_id, url_hash) columns,
+    and the payload read is semi-joined to the winner keys (bytes ride
+    as a non-key column on the probe side only).
+    """
+    import ray
+    from ray.data.aggregate import Min
+
+    waves = str(Path(crawl_out_dir) / "waves")
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+
+    def stored_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("stored")).drop_columns(["stored"])
+
+    keys = rd.read_parquet(
+        waves, columns=["image_id", "url_hash", "stored"]
+    ).map_batches(stored_only, batch_format="pyarrow")
+    winners = keys.groupby("image_id").aggregate(
+        Min("url_hash", alias_name="url_hash")
+    )
+
+    payload = rd.read_parquet(
+        waves,
+        columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                 "url_hash", "stored"],
+    ).map_batches(stored_only, batch_format="pyarrow")
+    uniq = payload.repartition(nparts).join(
+        winners.repartition(nparts),
+        join_type="left_semi",
+        num_partitions=nparts,
+        on=("image_id", "url_hash"),
+    ).drop_columns(["url_hash"])
+    return curate_image_corpus(uniq, **curate_kwargs)

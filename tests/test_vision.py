@@ -190,6 +190,38 @@ def test_image_knn_planted_twin_and_brute_parity(ray_session, fixture_dir):
     assert got == ids[mask][order].tolist()
 
 
+def test_curate_crawl_output_matches_manual_dedup(ray_session, fixture_dir, tmp_path):
+    """Crawl -> curate composition: equal to curating a manually
+    first-wins-deduped parquet of the same stored rows."""
+    import glob
+
+    from newscrawler_ray.pipelines.crawl import run_crawl
+
+    out = tmp_path / "crawl"
+    run_crawl(fixture_dir, out, n_seen_shards=2, n_frontier_shards=2,
+              checkpoint=False)
+    got = sorted(
+        r["image_id"]
+        for r in vision.curate_crawl_output(out, min_w=16, min_h=16).take_all()
+    )
+    # oracle: pandas first-wins dedup by (image_id, min url_hash)
+    import pandas as pd
+
+    parts = [pq.read_table(p) for p in sorted(glob.glob(str(out / "waves" / "*" / "*.parquet")))]
+    df = pa.concat_tables(parts, promote_options="default").to_pandas()
+    df = df[df["stored"]]
+    df = df.sort_values(["image_id", "url_hash"]).groupby("image_id", as_index=False).first()
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    manual = tmp_path / "manual.parquet"
+    pq.write_table(pa.Table.from_pandas(df[cols], preserve_index=False), manual)
+    want = sorted(
+        r["image_id"]
+        for r in vision.curate_image_corpus(manual, min_w=16, min_h=16).take_all()
+    )
+    assert got == want
+    assert len(got) == len(set(got))  # survivors are unique image_ids
+
+
 def test_curate_image_corpus_empty_gate(ray_session, fixture_dir):
     # cosine can never exceed 1 -> nothing survives; the empty side must
     # short-circuit (all-empty datasets are zero-column and break joins)
