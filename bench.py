@@ -68,6 +68,7 @@ QUERY_NAMES = [
     "ngram_jaccard_pairs",
     "embedding_near_dup_ivf",
     "minhash_dedup_docs",
+    "curate_image_corpus",
 ]
 
 
