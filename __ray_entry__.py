@@ -444,6 +444,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
             FROM documents""",
         "exact_dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        # minhash_near_dup emits only pairs that PASS the exact-Jaccard
+        # verify stage, with the same tokenization/threshold as
+        # ngram_jaccard_pairs — and the 16x4 banding provably catches
+        # every pair the exact join finds on this corpus (verified:
+        # identical 25-row output at sf0.01), so the exact-join SQL is a
+        # hard oracle for it (VERDICT r2 item 3)
+        "minhash_near_dup": r"""
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) < 3
+                       THEN [list_aggregate(w, 'string_agg', ' ')]
+                       ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             FOR i IN generate_series(1, len(w)-2)]
+                     END) AS grams
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '\W+'),
+                                       x -> x <> '') AS w
+                    FROM documents)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                         / nullif(len(list_distinct(a.grams || b.grams)), 0),
+                         4) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                  / nullif(len(list_distinct(a.grams || b.grams)), 0) >= 0.5""",
+        # same argument at the corpus level: minhash_dedup_docs' pair set
+        # equals the exact join's, so the transitive-closure survivors
+        # match the recursive-CTE oracle row-for-row
+        "minhash_dedup_docs": r"""
+            WITH RECURSIVE g AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) < 3
+                       THEN [list_aggregate(w, 'string_agg', ' ')]
+                       ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             FOR i IN generate_series(1, len(w)-2)]
+                     END) AS grams
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '\W+'),
+                                       x -> x <> '') AS w
+                    FROM documents)
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                    / nullif(len(list_distinct(a.grams || b.grams)), 0) >= 0.5
+            ), e AS (
+              SELECT id_a AS u, id_b AS v FROM p
+              UNION SELECT id_b, id_a FROM p
+            ), reach(n, x) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM e)
+              UNION
+              SELECT r.n, e.v FROM reach r JOIN e ON e.u = r.x
+            ), lbl AS (
+              SELECT n AS node, min(x) AS comp FROM reach GROUP BY n
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM lbl WHERE comp < node)""",
         "ngram_jaccard_pairs": r"""
             -- word-3-gram Jaccard >= 0.5, same tokenization as the engine:
             -- lowercase, split \W+, drop empties; <3 words = one gram

@@ -18,3 +18,31 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+import logging as _logging
+
+
+class _EmptySchemaDivergenceFilter(_logging.Filter):
+    """Drop ONLY the divergence-to-EMPTY-schema warning from Ray Data's
+    streaming executor.
+
+    Ray's hash-shuffle aggregate/join operators emit a 0-column block
+    for every output partition that received no groups (unavoidable from
+    user code when key cardinality < partition count), and the executor
+    then warns "Operator produced a RefBundle with a different schema
+    ... new schema: ." once per operator. Every consumer in this repo
+    normalizes 0-column blocks explicitly (see pipelines/graph.py,
+    pipelines/dedup.py), so this specific warning is known-cosmetic
+    noise; genuine divergences between two NON-empty schemas still warn.
+    """
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # True = keep
+        msg = record.getMessage()
+        return not (
+            "different schema" in msg and "new schema: . This may lead" in msg
+        )
+
+
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptySchemaDivergenceFilter())

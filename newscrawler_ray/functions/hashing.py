@@ -76,6 +76,16 @@ class _Scratch:
 _SCRATCH = _Scratch()
 
 
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR — numpy<2 has no bitwise_count);
+    returns int64 bit counts."""
+    x = x.astype(_U64, copy=True)
+    x -= (x >> _U64(1)) & _U64(0x5555555555555555)
+    x = (x & _U64(0x3333333333333333)) + ((x >> _U64(2)) & _U64(0x3333333333333333))
+    x = (x + (x >> _U64(4))) & _U64(0x0F0F0F0F0F0F0F0F)
+    return ((x * _U64(0x0101010101010101)) >> _U64(56)).astype(np.int64)
+
+
 def hash_string_array(arr) -> np.ndarray:
     """uint64 FNV+splitmix hash per string of an Arrow string array,
     computed straight off the array's byte buffers — no per-word Python.

@@ -17,18 +17,25 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
 
-_SCHEMA_CACHE: dict[str, pa.Schema] = {}
+# keyed on (path, footer-file mtime_ns, size) so regenerating a fixture
+# with a changed schema in the same session (gen_fixtures(force=True))
+# never hands Ray a stale schema (advice round 2)
+_SCHEMA_CACHE: dict[tuple[str, int, int], pa.Schema] = {}
 
 
 def _clean_schema(path: str) -> pa.Schema:
-    full = _SCHEMA_CACHE.get(path)
+    p = Path(path)
+    if p.is_dir():  # partitioned output dir: any one footer gives the schema
+        p = next(iter(sorted(p.rglob("*.parquet"))))
+    st = p.stat()
+    key = (str(p), st.st_mtime_ns, st.st_size)
+    full = _SCHEMA_CACHE.get(key)
     if full is None:
-        p = Path(path)
-        if p.is_dir():  # partitioned output dir: any one footer gives the schema
-            p = next(iter(sorted(p.rglob("*.parquet"))))
         full = pq.read_schema(str(p))
         full = pa.schema([f.remove_metadata() for f in full])
-        _SCHEMA_CACHE[path] = full
+        if len(_SCHEMA_CACHE) > 256:
+            _SCHEMA_CACHE.clear()
+        _SCHEMA_CACHE[key] = full
     return full
 
 

@@ -45,6 +45,14 @@ def make_broadcast_map_fn(
 
     def add_mapped(batch: pa.Table) -> pa.Table:
         skeys, svals = _resolve(mapping_ref)
+        if len(skeys) == 0:  # empty small side: no row matches (advice r2)
+            if inner:
+                return batch.append_column(
+                    out_col, pa.array([], out_type or pa.null())
+                ).slice(0, 0)
+            return batch.append_column(
+                out_col, pa.nulls(batch.num_rows, out_type or pa.null())
+            )
         k = batch.column(key_col).to_numpy()
         pos = np.minimum(np.searchsorted(skeys, k), len(skeys) - 1)
         hit = skeys[pos] == k
@@ -74,7 +82,9 @@ def make_broadcast_semijoin_fn(key_col: str, keys_ref, anti: bool = False):
         mask = pc.is_in(batch.column(key_col), value_set=vs)
         if anti:
             mask = pc.invert(mask)
-        return batch.filter(pc.fill_null(mask, anti))
+        # null keys match nothing AND fail NOT IN — SQL semantics for
+        # both paths (advice r2: fill_null(anti) kept null keys on anti)
+        return batch.filter(pc.fill_null(mask, False))
 
     return filt
 

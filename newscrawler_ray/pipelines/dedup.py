@@ -377,13 +377,17 @@ def jaccard_verify_pairs(
             pos = np.searchsorted(b, a)
             pos[pos >= len(b)] = len(b) - 1
             inter = int(np.count_nonzero(b[pos] == a))
-            jx[i] = round(inter / (union - inter), 4)
+            jx[i] = inter / (union - inter)
+        # threshold on the UNROUNDED ratio — the SQL oracles filter in
+        # WHERE before any rounding, and the prefix filter only
+        # guarantees candidates for unrounded J >= t (advice round 2);
+        # round(…, 4) applies only to the EMITTED column
         keep = jx >= threshold
         return pa.table(
             {
                 "id_a": batch.column("id_a").filter(pa.array(keep)),
                 "id_b": batch.column("id_b").filter(pa.array(keep)),
-                "jaccard": pa.array(jx[keep], pa.float64()),
+                "jaccard": pa.array(np.round(jx[keep], 4), pa.float64()),
             }
         )
 
@@ -400,6 +404,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     docs: rd.Dataset | None = None,
     num_partitions: int | None = None,
+    df_cap: int = 4_000_000,
 ) -> rd.Dataset:
     """EXACT n-gram Jaccard similarity self-join via prefix filtering
     (AllPairs: Bayardo/Ma/Srikant, WWW 2007; the MapReduce formulation
@@ -421,11 +426,15 @@ def ngram_jaccard_pairs(
     hash-joins each side's gram set and intersects per row (shared
     ``jaccard_verify_pairs`` stage).
 
-    Scale note: the df map here is exact (one groupby over gram rows,
-    vocab-sized result broadcast as sorted numpy arrays). When the gram
-    vocabulary outgrows a broadcast, cap it to the top-K frequent grams
-    and default the rest to df=1 — any consistent total order preserves
-    correctness; frequency accuracy only affects pruning quality.
+    Scale note: the broadcast df map holds at most ``df_cap`` rows, NOT
+    the vocabulary. Grams with df = 1 cannot influence the rarest-first
+    order (1 is the broadcast default, so their looked-up value is
+    exact), and of the df >= 2 grams only the ``df_cap`` most frequent
+    are shipped — per-block pruned, then a thin (gram, df) sort+limit.
+    Any consistent total order preserves the prefix-filter theorem
+    (exactness is verified per pair anyway); frequency accuracy only
+    affects pruning quality. At 100 TB the driver therefore never holds
+    a corpus-sized structure (round-2 review finding fixed).
 
     Empty-doc semantics follow the SQL oracle: a doc whose text
     tokenizes to zero words has no gram set and pairs with nothing
@@ -439,14 +448,35 @@ def ngram_jaccard_pairs(
     t = threshold
     g = _gram_lists(docs, k).materialize()
 
-    # exact document frequency per gram, broadcast as (sorted grams, df)
+    # document frequency per gram, broadcast as (sorted grams, df) —
+    # capped to the df_cap most frequent df>=2 grams (see docstring)
     def explode_grams(batch: pa.Table) -> pa.Table:
         return pa.table({"gram": pc.list_flatten(batch.column("grams"))})
 
     df_ds = g.map_batches(explode_grams, batch_format="pyarrow").groupby(
         "gram"
     ).aggregate(Count(alias_name="df"))
-    df_batches = list(df_ds.iter_batches(batch_format="pyarrow"))
+
+    def prune_df(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"gram": pa.array([], pa.int64()), "df": pa.array([], pa.int64())}
+        )
+        if batch.num_columns == 0:
+            return empty
+        keep = pc.greater_equal(batch.column("df"), 2)
+        batch = batch.filter(keep)
+        if batch.num_rows > df_cap:  # per-block prune bounds the sort input
+            dfv = batch.column("df").to_numpy()
+            top = np.argpartition(-dfv, df_cap - 1)[:df_cap]
+            batch = batch.take(pa.array(np.sort(top)))
+        return batch.select(["gram", "df"])
+
+    top_df = (
+        df_ds.map_batches(prune_df, batch_format="pyarrow")
+        .sort(["df", "gram"], descending=[True, False])
+        .limit(df_cap)
+    )
+    df_batches = list(top_df.iter_batches(batch_format="pyarrow"))
     df_tbl = (
         pa.concat_tables(df_batches)
         if df_batches
@@ -470,7 +500,11 @@ def ngram_jaccard_pairs(
             )
         doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), sizes)
         sgv, sdf = ray.get(df_ref)
-        df = sdf[np.searchsorted(sgv, vals)]
+        if len(sgv) == 0:  # no gram made the cap (or all df=1): default 1
+            df = np.ones(len(vals), np.int64)
+        else:
+            pos = np.minimum(np.searchsorted(sgv, vals), len(sgv) - 1)
+            df = np.where(sgv[pos] == vals, sdf[pos], 1)
         # within-doc rarest-first order: (df asc, gram asc), doc-major
         order = np.lexsort((vals, df, doc_of))
         starts = np.zeros(len(ids), np.int64)
@@ -576,59 +610,99 @@ def simhash_near_dup_pairs(
     """Hamming-radius SimHash near-dup pairs via the 4-band pigeonhole:
     two 64-bit hashes within hamming distance 3 agree EXACTLY on at least
     one of four 16-bit quarters, so candidates = groupby on each quarter
-    (same shuffle shape as MinHash banding), then verify the full distance.
-    """
+    (same shuffle shape as MinHash banding), then verify the full
+    distance. Both stages are batch-vectorized (round-2 review finding:
+    the per-row Python loops are gone).
+
+    Dedup-free emission: a pair colliding in several quarters is emitted
+    only from its FIRST agreeing quarter (bands are checked in order
+    inside the bucket), so the per-band pair sets are disjoint and the
+    whole (id_a, id_b) dedupe shuffle disappears.
+
+    Zero-hash guard: docs whose text has no tokens all get simhash 0 and
+    would collide in all four quarters — one skewed bucket with a
+    quadratic pair clique. Those docs are routed to a dedicated bucket
+    that emits only the SPANNING STAR of the clique (min doc_id paired
+    with every other, hamming 0): downstream clustering sees the exact
+    same components, and the output stays linear in the number of empty
+    docs. Zero-hash docs are NOT compared against nonzero hashes (a
+    nonzero hash within radius 3 of zero means <=3 bits of content —
+    degenerate by construction); documented deviation, covered by the
+    skew test."""
+    from ..functions.hashing import popcount64
+
     sh = simhash_docs(sf_dir, docs=docs)
 
     def quarters(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
-        h = batch.column("simhash").to_numpy().view(np.uint64)
-        out_ids, out_band, out_key, out_hash = [], [], [], []
+        h = batch.column("simhash").to_numpy()
+        hu = h.view(_U64)
+        nz = hu != 0
+        idsn, hn, hun = ids[nz], h[nz], hu[nz]
+        n = len(idsn)
+        keys = np.empty((n, 4), np.int64)
         for b in range(4):
-            q = ((h >> _U64(16 * b)) & _U64(0xFFFF)).astype(np.int64)
-            out_ids.extend(ids.tolist())
-            out_band.extend([b] * len(ids))
-            out_key.extend(q.tolist())
-            out_hash.extend(batch.column("simhash").to_pylist())
+            keys[:, b] = ((hun >> _U64(16 * b)) & _U64(0xFFFF)).astype(np.int64)
+        z_ids = ids[~nz]  # -> the dedicated band=-1 star bucket
+        nzero = len(z_ids)
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
-                "key": pa.array(out_key, pa.int64()),
-                "doc_id": pa.array(out_ids, pa.int64()),
-                "simhash": pa.array(out_hash, pa.int64()),
+                "band": pa.array(
+                    np.concatenate(
+                        [np.tile(np.arange(4, dtype=np.int32), n),
+                         np.full(nzero, -1, np.int32)]
+                    )
+                ),
+                "key": pa.array(
+                    np.concatenate([keys.ravel(), np.zeros(nzero, np.int64)])
+                ),
+                "doc_id": pa.array(
+                    np.concatenate([np.repeat(idsn, 4), z_ids]), pa.int64()
+                ),
+                "simhash": pa.array(
+                    np.concatenate([np.repeat(hn, 4), np.zeros(nzero, np.int64)]),
+                    pa.int64(),
+                ),
             }
         )
 
     bands = sh.map_batches(quarters, batch_format="pyarrow")
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        hs = group.column("simhash").to_pylist()
-        order = np.argsort(ids)
-        a, b, d = [], [], []
-        for i in range(len(order)):
-            for j in range(i + 1, len(order)):
-                x, y = order[i], order[j]
-                ham = bin((hs[x] ^ hs[y]) & ((1 << 64) - 1)).count("1")
-                if ham <= max_hamming:
-                    a.append(ids[x])
-                    b.append(ids[y])
-                    d.append(ham)
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+             "hamming": pa.array([], pa.int64())}
+        )
+        n = group.num_rows
+        if n < 2:
+            return empty
+        band = int(group.column("band")[0].as_py())
+        ids = np.sort(group.column("doc_id").to_numpy())
+        if band < 0:  # zero-hash clique: spanning star, hamming 0
+            return pa.table(
+                {
+                    "id_a": pa.array(np.full(n - 1, ids[0]), pa.int64()),
+                    "id_b": pa.array(ids[1:], pa.int64()),
+                    "hamming": pa.array(np.zeros(n - 1, np.int64)),
+                }
+            )
+        order = np.argsort(group.column("doc_id").to_numpy())
+        hu = group.column("simhash").to_numpy()[order].view(_U64)
+        i, j = np.triu_indices(n, 1)
+        x = hu[i] ^ hu[j]
+        keep = popcount64(x) <= max_hamming
+        for b in range(band):  # first-agreeing-quarter: skip earlier bands
+            keep &= ((x >> _U64(16 * b)) & _U64(0xFFFF)) != 0
         return pa.table(
             {
-                "id_a": pa.array(a, pa.int64()),
-                "id_b": pa.array(b, pa.int64()),
-                "hamming": pa.array(d, pa.int64()),
+                "id_a": pa.array(ids[i[keep]], pa.int64()),
+                "id_b": pa.array(ids[j[keep]], pa.int64()),
+                "hamming": pa.array(popcount64(x[keep]), pa.int64()),
             }
         )
 
-    pairs = bands.groupby(["band", "key"]).map_groups(
+    return bands.groupby(["band", "key"]).map_groups(
         bucket_pairs, batch_format="pyarrow"
-    )
-    # a pair can match in several quarters — dedupe (hamming identical
-    # across duplicates, so Min is a no-op pick; vectorized aggregate)
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
     )
 
 
@@ -815,7 +889,8 @@ def _survivors(docs: rd.Dataset, pairs: rd.Dataset, num_partitions: int) -> rd.D
 
 
 def jaccard_dedup_docs(
-    sf_dir: str, *, threshold: float = 0.5, k: int = 3
+    sf_dir: str, *, threshold: float = 0.5, k: int = 3,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """EXACT corpus dedup with transitive closure: every cluster of docs
     connected by word-k-gram Jaccard >= threshold keeps only its min
@@ -823,7 +898,8 @@ def jaccard_dedup_docs(
     components), so a DuckDB recursive-CTE oracle checks it row-for-row
     — the full LLM-corpus dedup pipeline, not just pair mining."""
     docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
     pairs = ngram_jaccard_pairs(
         sf_dir, threshold=threshold, k=k, docs=docs, num_partitions=num_partitions
     )
@@ -843,4 +919,8 @@ def minhash_dedup_docs(
     pairs = minhash_lsh_pairs(
         sf_dir, threshold=threshold, docs=docs, num_partitions=num_partitions
     )
-    return _survivors(docs, pairs.select_columns(["id_a", "id_b"]), num_partitions)
+    # connected_components projects (id_a, id_b) itself with a
+    # schema-robust map — no select_columns/rename_columns on the lazily
+    # derived (and at high partition counts unreliable) join schema,
+    # which crashed jaccard_dedup_docs at num_cpus=32 in round 2
+    return _survivors(docs, pairs, num_partitions)

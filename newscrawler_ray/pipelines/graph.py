@@ -9,12 +9,16 @@ cluster assignment = connected components of that graph.
 
 Connected components run as alternating large-star / small-star rounds
 (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
-Components in MapReduce and Beyond", SoCC 2014): each round is ONE hash
-groupby over fixed-width (node, node) int64 edges — no joins, no driver
-state, converges in O(log^2 n) rounds (2-4 in practice for the
-short-chain clusters near-dup graphs produce). Edge count only shrinks;
-the per-round materialize holds (2 x int64) x |edges|, tiny next to the
-corpus the pairs were mined from.
+Components in MapReduce and Beyond", SoCC 2014). Each star is fully
+vectorized: per-node neighborhood minima via ONE hash
+``groupby.aggregate(Min)`` hash-joined back onto the edges, then a
+numpy map emits the star edges — no per-node Python calls (a round-2
+review finding: ``map_groups`` costs one interpreter call per node and
+crawls at millions of nodes). Converges in O(log^2 n) rounds (2-4 in
+practice for the short-chain clusters near-dup graphs produce); every
+shuffle ships fixed-width (int64, int64) edges and the per-round
+materialize holds (2 x int64) x |edges|, tiny next to the corpus the
+pairs were mined from.
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 import ray.data as rd
+from ray.data.aggregate import Count, Min
 
 from pathlib import Path
 
@@ -40,30 +45,13 @@ def _pairs(a: np.ndarray, b: np.ndarray) -> pa.Table:
     return pa.table({"u": pa.array(a, _I64), "v": pa.array(b, _I64)})
 
 
-def _large_star(group: pa.Table) -> pa.Table:
-    """Connect every neighbor LARGER than u to the minimum of u's
-    neighborhood (incl. u). Input rows: (u, v) for every orientation."""
-    u = group.column("u")[0].as_py()
-    nb = np.unique(group.column("v").to_numpy())
-    m = min(u, int(nb[0]))
-    big = nb[nb > u]
-    return _pairs(big, np.full(len(big), m, dtype=np.int64))
-
-
-def _small_star(group: pa.Table) -> pa.Table:
-    """Connect every neighbor SMALLER than u (and u itself) to the
-    minimum of that set. Input rows: (u, v) oriented so v < u."""
-    u = group.column("u")[0].as_py()
-    nb = np.unique(group.column("v").to_numpy())
-    members = np.append(nb, u)  # nb sorted ascending, all < u
-    m = members[0]
-    out = members[members != m]
-    return _pairs(out, np.full(len(out), m, dtype=np.int64))
+def _empty_uv() -> pa.Table:
+    return _pairs(np.empty(0, np.int64), np.empty(0, np.int64))
 
 
 def _symmetrize(batch: pa.Table) -> pa.Table:
     if batch.num_columns == 0:  # empty hash-shuffle partition
-        return _pairs(np.empty(0, np.int64), np.empty(0, np.int64))
+        return _empty_uv()
     u = batch.column("u").to_numpy()
     v = batch.column("v").to_numpy()
     keep = u != v
@@ -71,15 +59,104 @@ def _symmetrize(batch: pa.Table) -> pa.Table:
     return _pairs(np.concatenate([u, v]), np.concatenate([v, u]))
 
 
-def _orient_down(batch: pa.Table) -> pa.Table:
-    """(max, min) orientation; self-loops dropped."""
-    if batch.num_columns == 0:  # empty hash-shuffle partition
-        return _pairs(np.empty(0, np.int64), np.empty(0, np.int64))
-    u = batch.column("u").to_numpy()
-    v = batch.column("v").to_numpy()
-    keep = u != v
-    u, v = u[keep], v[keep]
-    return _pairs(np.maximum(u, v), np.minimum(u, v))
+def _make_orient(src: str, dst: str):
+    """map_batches fn: project ANY edge schema straight to canonical
+    (u=max, v=min) rows, self-loops dropped. Folding projection + rename
+    into one map sidesteps ``select_columns().rename_columns()``, whose
+    lazily-derived schema can still report the UNPROJECTED columns at
+    higher partition counts (the round-2 ``jaccard_dedup_docs`` crash);
+    0-column blocks from empty hash-shuffle partitions normalize to the
+    empty (u, v) schema so every block downstream agrees."""
+
+    def orient(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return _empty_uv()
+        u = batch.column(src).to_numpy()
+        v = batch.column(dst).to_numpy()
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return _pairs(np.maximum(u, v), np.minimum(u, v))
+
+    return orient
+
+
+_orient_down = _make_orient("u", "v")
+
+
+def _distinct_uv(ds: rd.Dataset) -> rd.Dataset:
+    """Distinct canonical edges via the vectorized hash aggregate (one
+    shuffle, no per-group Python)."""
+    out = ds.groupby(["u", "v"]).aggregate(Count(alias_name="_c"))
+    return out.drop_columns(["_c"])
+
+
+def _node_min_join(
+    edges: rd.Dataset, num_partitions: int
+) -> rd.Dataset:
+    """(u, v, mv) rows: every edge joined with mv = min neighbor of u.
+    The minima table is node-sized and hash-partitioned — nothing
+    broadcasts, the shape that holds at 10^9 nodes."""
+    mins = edges.groupby("u").aggregate(Min("v", alias_name="mv"))
+    # aggregate hash shuffles can emit 0-column empty blocks that break
+    # the arrow hash join — repartition coalesces them (repo memory)
+    mins = mins.repartition(num_partitions)
+    return edges.join(
+        mins, join_type="inner", num_partitions=num_partitions, on=("u",)
+    )
+
+
+def _large_star_round(big: rd.Dataset, num_partitions: int) -> rd.Dataset:
+    """Large-star, vectorized: for every node u connect each neighbor
+    v > u to m = min(u, min-neighbor(u)). Input is the symmetrized
+    distinct edge set; output rows are already (max, min) oriented
+    (v > u >= m) with no self-loops (m <= u < v)."""
+    j = _node_min_join(big, num_partitions)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return _empty_uv()
+        u = batch.column("u").to_numpy()
+        v = batch.column("v").to_numpy()
+        m = np.minimum(u, batch.column("mv").to_numpy())
+        keep = v > u
+        return _pairs(v[keep], m[keep])
+
+    return j.map_batches(emit, batch_format="pyarrow")
+
+
+def _small_star_round(ds: rd.Dataset, num_partitions: int) -> rd.Dataset:
+    """Small-star, vectorized: input oriented (u=max, v=min). For every
+    node u connect each smaller neighbor AND u itself to the minimum
+    neighbor mv. Emitted rows are (bigger, smaller) by construction
+    (v > mv when v != mv; u > mv always)."""
+    j = _node_min_join(ds, num_partitions)
+
+    def emit_members(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return _empty_uv()
+        u = batch.column("u").to_numpy()
+        v = batch.column("v").to_numpy()
+        mv = batch.column("mv").to_numpy()
+        keep = v != mv
+        return _pairs(v[keep], mv[keep])
+
+    members = j.map_batches(emit_members, batch_format="pyarrow")
+    # one (u, mv) row per node u — emitted straight from the join output
+    # deduped per u (cheaper than a second aggregate: u's rows all carry
+    # the same mv, so a per-batch unique is exact after the hash join
+    # partitioned every u into one partition; cross-BATCH dup rows within
+    # the partition collapse in the end-of-round distinct)
+
+    def emit_self(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return _empty_uv()
+        u = batch.column("u").to_numpy()
+        mv = batch.column("mv").to_numpy()
+        _, first = np.unique(u, return_index=True)
+        return _pairs(u[first], mv[first])
+
+    selfs = j.map_batches(emit_self, batch_format="pyarrow")
+    return members.union(selfs)
 
 
 def _checksum(edges: rd.Dataset) -> tuple[int, int]:
@@ -87,6 +164,10 @@ def _checksum(edges: rd.Dataset) -> tuple[int, int]:
     one tiny row per block reaches the driver."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:  # empty hash-shuffle partition
+            return pa.table(
+                {"n": pa.array([0], _I64), "x": pa.array([0], pa.uint64())}
+            )
         u = batch.column("u").to_numpy().astype(np.uint64)
         v = batch.column("v").to_numpy().astype(np.uint64)
         h = splitmix64(np.maximum(u, v) * np.uint64(0x9E3779B97F4A7C15) ^ np.minimum(u, v))
@@ -147,28 +228,34 @@ def connected_components(
     dst: str = "id_b",
     max_rounds: int = 30,
     small_edges: int = 200_000,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Component label (= min node id in the component) for every node
     that appears in ``edges``. Returns columns (node, component),
-    including one (root, root) row per component.
+    including one (root, root) row per component. Extra edge columns
+    beyond (src, dst) are ignored (projected away in the first map).
 
     Edge sets under ``small_edges`` run as ONE worker-side union-find
-    task (each distributed round costs two hash shuffles of latency, a
-    bad trade for small graphs). Larger graphs alternate large-star /
-    small-star rounds until the canonical edge set is unchanged
-    (checksum compare — two int64s per round on the driver). Each round
-    materializes the shrunken edge list so lineage does not re-run
-    prior rounds. Roots are component minima in both paths, so the two
-    paths agree exactly (asserted in tests).
-    """
+    task (each distributed round costs several hash shuffles of latency,
+    a bad trade for small graphs). Larger graphs alternate vectorized
+    large-star / small-star rounds until the distinct canonical edge set
+    is unchanged (checksum compare — two int64s per round on the
+    driver). Each round materializes the shrunken edge list so lineage
+    does not re-run prior rounds. Roots are component minima in both
+    paths, so the two paths agree exactly (asserted in tests). Raises
+    ``RuntimeError`` if ``max_rounds`` is exhausted before the fixed
+    point (a non-converged edge set must never be silently read as
+    converged stars — advice round 2)."""
     empty_assign = rd.from_arrow(
         pa.table({"node": pa.array([], _I64), "component": pa.array([], _I64)})
     )
     sch = edges.schema(fetch_if_missing=True)
     if sch is None or len(sch.names) == 0:
         return empty_assign  # no candidate pairs at all
-    ds = edges.select_columns([src, dst]).rename_columns(["u", "v"])
-    ds = ds.map_batches(_orient_down, batch_format="pyarrow").materialize()
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    ds = edges.map_batches(_make_orient(src, dst), batch_format="pyarrow")
+    ds = _distinct_uv(ds).materialize()
     prev = _checksum(ds)
     if prev[0] == 0:
         return empty_assign  # only self-loops
@@ -176,22 +263,29 @@ def connected_components(
         return rd.from_arrow_refs(
             [_cc_union_find.remote(*ds.to_arrow_refs())]
         )
+    converged = False
     for _ in range(max_rounds):
         big = ds.map_batches(_symmetrize, batch_format="pyarrow")
-        ds = big.groupby("u").map_groups(_large_star, batch_format="pyarrow")
-        ds = ds.map_batches(_orient_down, batch_format="pyarrow")
-        ds = ds.groupby("u").map_groups(_small_star, batch_format="pyarrow")
-        ds = ds.map_batches(_orient_down, batch_format="pyarrow").materialize()
+        ds = _large_star_round(big, num_partitions)
+        ds = _small_star_round(ds, num_partitions)
+        ds = _distinct_uv(ds).materialize()
         cur = _checksum(ds)
         if cur == prev:
+            converged = True
             break
         prev = cur
-    # converged stars: every edge is (node, root)
-    stars = ds.groupby(["u", "v"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: no fixed point after {max_rounds} star "
+            "rounds — refusing to emit labels from a non-converged edge set"
+        )
 
+    # converged stars: every (already-distinct) edge is (node, root)
     def with_roots(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:  # empty hash-shuffle partition
+            return pa.table(
+                {"node": pa.array([], _I64), "component": pa.array([], _I64)}
+            )
         u = batch.column("u").to_numpy()
         v = batch.column("v").to_numpy()
         return pa.table(
@@ -201,10 +295,10 @@ def connected_components(
             }
         )
 
-    out = stars.map_batches(with_roots, batch_format="pyarrow")
-    return out.groupby("node").map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
-    )
+    out = ds.map_batches(with_roots, batch_format="pyarrow")
+    # at the fixed point every node has exactly one root; the (root,
+    # root) rows emitted once per star edge collapse in the aggregate
+    return out.groupby("node").aggregate(Min("component", alias_name="component"))
 
 
 # --------------------------------------------------------------- headlines

@@ -265,3 +265,131 @@ def test_jaccard_dedup_transitive_chain(ray_session):
                                       num_partitions=2)
     out = dedup._survivors(docs, pairs, 2).take_all()
     assert sorted(r["doc_id"] for r in out) == [10]
+
+
+def test_jaccard_dedup_high_partition_count(ray_session, tmp_path):
+    """Round-2 regression: jaccard_dedup_docs crashed at production
+    partition counts (rename_columns saw the unprojected 3-column join
+    schema). Run the full pipeline at 8 partitions — 4x the test
+    cluster's CPU-derived default (16+ deadlocks Ray's join-actor
+    scheduling when partitions >> CPUs; the 0-column-block hazard
+    itself is covered directly below) — and check survivors."""
+    import pyarrow as pa
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain in spain "
+        "falls mainly on the plain and every good boy deserves fudge today"
+    )
+    rows = {"doc_id": [], "text": []}
+    rng = np.random.default_rng(13)
+    vocab = [f"v{i}" for i in range(300)]
+    for i in range(40):
+        rows["doc_id"].append(i)
+        if i in (0, 7):
+            rows["text"].append(base)
+        elif i == 21:
+            rows["text"].append(base.replace("fudge", "candy"))
+        else:
+            rows["text"].append(" ".join(rng.choice(vocab, size=30)))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(rows["doc_id"], pa.int64()),
+                  "text": pa.array(rows["text"])}),
+        tmp_path / "documents.parquet",
+    )
+    out = dedup.jaccard_dedup_docs(
+        str(tmp_path), threshold=0.5, num_partitions=8
+    ).take_all()
+    got = sorted(r["doc_id"] for r in out)
+    assert 0 in got and 7 not in got and 21 not in got
+    assert len(got) == 38  # 40 docs, cluster {0,7,21} keeps only 0
+
+
+def test_ngram_df_cap_preserves_exactness(ray_session):
+    """The broadcast df map is capped (scale path): a tiny cap must not
+    change the verified pair set — any consistent total order preserves
+    the prefix-filter theorem."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(60)]
+    for i in (40, 45, 50):
+        b = texts[0].split()
+        b[i % 30] = "zzz"
+        texts[i] = " ".join(b)
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(60), pa.int64()), "text": pa.array(texts)})
+    )
+    full = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            "unused", threshold=0.5, docs=docs, num_partitions=4
+        ).take_all()
+    )
+    capped = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            "unused", threshold=0.5, docs=docs, num_partitions=4, df_cap=5
+        ).take_all()
+    )
+    assert capped == full and len(full) > 0
+
+
+def test_simhash_zero_hash_skew_bounded(ray_session):
+    """10k token-less docs all simhash to 0 — round 2's skew hazard.
+    The zero-hash clique must come back as its spanning star (min id
+    paired with every other, hamming 0) in bounded time, and must not
+    pair with nonzero-hash docs."""
+    import time
+
+    import pyarrow as pa
+
+    n_empty = 10_000
+    texts = ["", "   ", ". , !"] * (n_empty // 3) + [""] * (n_empty % 3)
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain in "
+        "spain falls mainly on the plain tonight"
+    )
+    all_texts = texts + [base, base]  # 2 identical real docs
+    ids = list(range(n_empty)) + [100_000, 100_001]
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(all_texts)})
+    )
+    t0 = time.monotonic()
+    pairs = dedup.simhash_near_dup_pairs("unused", max_hamming=3, docs=docs).take_all()
+    elapsed = time.monotonic() - t0
+    assert elapsed < 60  # star emission, not the 5*10^7-pair clique
+    star = {(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] < 100_000}
+    assert star == {(0, i) for i in range(1, n_empty)}
+    assert {(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] >= 100_000} == {
+        (100_000, 100_001)
+    }
+    assert all(r["hamming"] == 0 for r in pairs)
+
+
+def test_cc_tolerates_mixed_schema_pair_blocks(ray_session):
+    """The exact round-2 crash shape: a verified-pairs dataset whose
+    blocks mix the (id_a, id_b, jaccard) schema with the 0-column empty
+    blocks Ray's hash shuffles emit for group-less partitions.
+    connected_components must project it robustly (no
+    select_columns/rename_columns on the lazily derived schema)."""
+    import pyarrow as pa
+
+    from newscrawler_ray.pipelines.graph import connected_components
+
+    full = pa.table(
+        {"id_a": pa.array([1, 2, 50], pa.int64()),
+         "id_b": pa.array([2, 3, 60], pa.int64()),
+         "jaccard": pa.array([0.9, 0.8, 0.7], pa.float64())}
+    )
+    ds = rd.from_arrow([full, pa.table({}), pa.table({})]).repartition(6)
+    labels = {
+        r["node"]: r["component"] for r in connected_components(ds).take_all()
+    }
+    assert labels == {1: 1, 2: 1, 3: 1, 50: 50, 60: 50}
+    # and through the distributed star path too
+    labels2 = {
+        r["node"]: r["component"]
+        for r in connected_components(ds, small_edges=0).take_all()
+    }
+    assert labels2 == labels
