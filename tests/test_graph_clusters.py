@@ -131,3 +131,25 @@ def test_headline_clusters_no_pairs_all_singletons(ray_session, tmp_path):
     )
     assert out.num_rows == 12
     assert out.column("n_docs").to_pylist() == [1] * 12
+
+
+def test_cc_star_path_moderate_graph_bounded(ray_session):
+    """The distributed star path must stay vectorized: ~25k edges with
+    chains + a random giant component converge in bounded time (round 2:
+    per-node map_groups made this path minutes at these sizes) and match
+    the driver union-find exactly."""
+    import time
+
+    rng = np.random.default_rng(9)
+    pairs = [(i * 6 + o + 1, i * 6 + o) for i in range(2000) for o in range(4)]
+    pairs += list(
+        zip(
+            rng.integers(100_000, 112_000, size=17_000).tolist(),
+            rng.integers(100_000, 112_000, size=17_000).tolist(),
+        )
+    )
+    t0 = time.monotonic()
+    labels = _cc_labels(pairs, small_edges=0)
+    elapsed = time.monotonic() - t0
+    assert labels == _union_find_labels(pairs)
+    assert elapsed < 240
