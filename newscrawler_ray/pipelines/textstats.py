@@ -18,6 +18,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+from ..functions.hashing import _SCRATCH, tokenize_word_hashes, word_hashes
 from ..functions.io import read_clean
 
 _TOKEN_RE = r"\w+|[^\w\s]"  # BPE-ish pre-tokenizer split (words + punct)
@@ -54,18 +55,50 @@ _LANG_STOPWORDS: dict[str, set[str]] = {
     "fr": {"le", "la", "les", "de", "et", "un", "une", "est", "que", "pour", "dans"},
     "zh": set(),  # CJK detected by codepoint range, not stopwords
 }
-_WORD = re.compile(r"\w+")
+# ASCII tokenization to match the shared Arrow tokenizer (RE2 \W+ is
+# ASCII): every text stage in the engine agrees on one token definition
+_WORD = re.compile(r"\w+", re.ASCII)
 _CJK = re.compile(r"[一-鿿]")
+_CJK_RE2 = r"[\x{4E00}-\x{9FFF}]"  # same range, RE2 spelling for Arrow
+
+
+def _stopword_hash_profiles() -> tuple[list[str], list[np.ndarray]]:
+    """(langs-in-tiebreak-order, sorted uint64 hashes of each stopword
+    set) — membership against the shared word-hash kernel, so scoring
+    needs no Python strings at all."""
+    langs = [lang for lang, sw in _LANG_STOPWORDS.items() if sw]
+    return langs, [
+        np.sort(word_hashes(sorted(_LANG_STOPWORDS[lang]))) for lang in langs
+    ]
+
+
+def _stopword_hits(
+    flat: np.ndarray, starts: np.ndarray, lens: np.ndarray, sw_sorted: np.ndarray
+) -> np.ndarray:
+    """Per-doc count of words whose hash is in ``sw_sorted`` (every
+    occurrence counts), via searchsorted membership + ``add.reduceat``."""
+    n = len(lens)
+    if len(flat) == 0 or len(sw_sorted) == 0:
+        return np.zeros(n, np.int64)
+    pos = np.minimum(np.searchsorted(sw_sorted, flat), len(sw_sorted) - 1)
+    hit = (sw_sorted[pos] == flat).astype(np.int64)
+    sums = np.add.reduceat(hit, starts)
+    sums[lens == 0] = 0  # reduceat echoes the next element for empty segments
+    return sums
 
 
 class LangId:
     """Callable class for ``map_batches(LangId, concurrency=N)`` — the
-    stateful-stage shape: profiles compiled once per actor."""
+    stateful-stage shape: profiles hashed once per actor. The batch path
+    is fully vectorized (Arrow tokenize -> hashed-stopword membership ->
+    segment sums); ``guess`` keeps the readable per-doc reference
+    implementation the batch kernel is tested against."""
 
     def __init__(self):
         self.profiles = _LANG_STOPWORDS
         self.word = _WORD
         self.cjk = _CJK
+        self.langs, self.sw_hashes = _stopword_hash_profiles()
 
     def guess(self, text: str) -> tuple[str, float]:
         if self.cjk.search(text):
@@ -82,11 +115,27 @@ class LangId:
         return (best, round(scores[best], 4)) if scores[best] > 0 else ("unknown", 0.0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds, confs = [], []
-        for t in batch.column("text").to_pylist():
-            p, c = self.guess(t)
-            preds.append(p)
-            confs.append(c)
+        texts = batch.column("text")
+        cjk = pc.greater(
+            pc.count_substring_regex(texts, _CJK_RE2), 0
+        ).to_numpy(zero_copy_only=False)
+        flat, offsets = tokenize_word_hashes(texts)
+        n = len(offsets) - 1
+        lens = np.diff(offsets)
+        starts = np.minimum(offsets[:-1], max(len(flat) - 1, 0))
+        score = np.zeros((n, len(self.langs)), np.float64)
+        denom = np.maximum(lens, 1).astype(np.float64)
+        for li, sw in enumerate(self.sw_hashes):
+            score[:, li] = _stopword_hits(flat, starts, lens, sw) / denom
+        best = np.argmax(score, axis=1)  # first max = profile tie-break order
+        best_score = score[np.arange(n), best]
+        preds = np.array(self.langs, dtype=object)[best]
+        confs = np.round(best_score, 4)
+        none = best_score <= 0
+        preds[none] = "unknown"
+        confs[none] = 0.0
+        preds[cjk] = "zh"
+        confs[cjk] = 1.0
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -108,7 +157,7 @@ def quality_score(sf_dir: str) -> rd.Dataset:
     """Length / punctuation / stopword-ratio quality features + composite
     score in [0,1] — the usual pre-training corpus filters, vectorized."""
     ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    stop_en = _LANG_STOPWORDS["en"]
+    stop_en = np.sort(word_hashes(sorted(_LANG_STOPWORDS["en"])))
 
     def feats(batch: pa.Table) -> pa.Table:
         texts = batch.column("text")
@@ -120,16 +169,18 @@ def quality_score(sf_dir: str) -> rd.Dataset:
             pa.int64(),
         )
         n_punct = pc.cast(pc.count_substring_regex(texts, r"[^\w\s]"), pa.int64())
-        stop_ratio = []
-        for t in texts.to_pylist():
-            ws = _WORD.findall(t.lower())
-            stop_ratio.append(
-                round(sum(w in stop_en for w in ws) / len(ws), 4) if ws else 0.0
-            )
+        # stopword ratio via the hashed-membership kernel (round-2 review
+        # finding: this was a per-doc Python loop on the hottest column)
+        flat, offsets = tokenize_word_hashes(texts)
+        lens = np.diff(offsets)
+        starts = np.minimum(offsets[:-1], max(len(flat) - 1, 0))
+        hits = _stopword_hits(flat, starts, lens, stop_en)
+        stop_ratio = np.round(hits / np.maximum(lens, 1), 4)
+        stop_ratio[lens == 0] = 0.0
         nc = n_chars.to_numpy().astype(np.float64)
         nt = np.maximum(n_tokens.to_numpy().astype(np.float64), 1)
         npu = n_punct.to_numpy().astype(np.float64)
-        sr = np.array(stop_ratio)
+        sr = stop_ratio
         length_score = np.clip(nc / 500.0, 0, 1)
         punct_score = 1.0 - np.clip(npu / nc, 0, 1)
         word_len_score = np.clip((nc / nt) / 8.0, 0, 1)
@@ -173,20 +224,140 @@ def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> np.ndarray:
     return np.unique(wins.min(axis=1))
 
 
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... concatenated (vectorized arange-per-group)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    return np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+
+
+def winnow_stats_batch(
+    texts, k: int = 8, window: int = 4
+) -> tuple[np.ndarray, np.ndarray]:
+    """(n_fingerprints, min_fingerprint-as-uint64) per doc for a whole
+    Arrow string batch — bit-identical to per-doc
+    ``winnow_fingerprints`` (asserted in tests) with zero Python per
+    doc: one lowered byte buffer, docs zero-padded to >= k in place (the
+    per-doc convention), one rolling-hash chain with windows crossing
+    doc boundaries masked out by gather, sliding-window minima as a
+    k-way ``np.minimum``, then per-doc distinct counting via lexsort +
+    transition flags (round-2 review finding: the per-doc loop was the
+    hottest fingerprint stage)."""
+    if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        texts = pa.array(list(texts), pa.string())
+    low = pc.utf8_lower(texts)
+    if isinstance(low, pa.ChunkedArray):
+        low = low.combine_chunks()
+    n_docs = len(low)
+    if n_docs == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    offs = np.frombuffer(low.buffers()[1], np.int32)[
+        low.offset : low.offset + n_docs + 1
+    ].astype(np.int64)
+    dbuf = low.buffers()[2]
+    data = np.frombuffer(dbuf, np.uint8) if dbuf is not None else np.zeros(0, np.uint8)
+    lens = np.diff(offs)
+    if len(lens) and int(lens.min()) >= k:
+        # fast path: no doc needs zero-padding, so the Arrow value
+        # buffer IS the padded buffer — zero copies
+        newlens = lens
+        noffs = offs - offs[0]
+        buf = data[offs[0] : offs[-1]]
+        total = int(noffs[-1])
+    else:
+        # scatter doc bytes into a buffer where every doc occupies
+        # max(len, k) slots — short docs end up zero-padded exactly like
+        # winnow_fingerprints' data + b"\x00" * (k - len)
+        newlens = np.maximum(lens, k)
+        noffs = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(newlens, out=noffs[1:])
+        total = int(noffs[-1])
+        # scratch-buffer reuse throughout: fresh MB-scale temporaries
+        # are mmap-backed and re-fault per call on this box (perf rule)
+        buf = _SCRATCH.get("wn_buf", total, np.uint8)
+        buf[:] = 0
+        src = np.repeat(offs[:-1], lens) + _ranges(lens)
+        dst = np.repeat(noffs[:-1], lens) + _ranges(lens)
+        buf[dst] = data[src]
+    # rolling polynomial hash over the padded buffer (uint64 wraparound)
+    base = np.uint64(1099511628211)
+    powers = base ** np.arange(k, dtype=np.uint64)[::-1]
+    m = total - k + 1
+    h = _SCRATCH.get("wn_h", m, np.uint64)
+    h[:] = 0
+    tmp = _SCRATCH.get("wn_tmp", m, np.uint64)
+    for j in range(k):
+        np.copyto(tmp, buf[j : j + m], casting="unsafe")
+        tmp *= powers[j]
+        h += tmp
+    # valid k-gram hashes per doc: [noffs[d], noffs[d] + newlens[d]-k]
+    nh = newlens - k + 1
+    gidx = np.repeat(noffs[:-1], nh) + _ranges(nh)
+    hv = np.take(h, gidx, out=_SCRATCH.get("wn_hv", len(gidx), np.uint64))
+    starts = np.zeros(n_docs, np.int64)
+    np.cumsum(nh[:-1], out=starts[1:])
+    n_fp = np.empty(n_docs, np.int64)
+    min_fp = np.empty(n_docs, np.uint64)
+    # docs with nh <= window: ONE fingerprint (the global min)
+    small = nh <= window
+    if small.any():
+        gmins = np.minimum.reduceat(hv, starts)
+        n_fp[small] = 1
+        min_fp[small] = gmins[small]
+    big = ~small
+    if big.any():
+        # sliding-window minima within each doc: a `window`-way minimum
+        # over shifted views; positions whose window would cross into the
+        # next doc are excluded by gathering only nw per doc
+        nw_all = np.maximum(nh - window + 1, 0)
+        nw = np.where(big, nw_all, 0)
+        span = len(hv) - window + 1
+        wm_all = _SCRATCH.get("wn_wm", span, np.uint64)
+        np.copyto(wm_all, hv[:span])
+        for j in range(1, window):
+            np.minimum(wm_all, hv[j : j + span], out=wm_all)
+        widx = np.repeat(starts, nw) + _ranges(nw)
+        wm = np.take(wm_all, widx, out=_SCRATCH.get("wn_wmv", len(widx), np.uint64))
+        # run-compress before sorting: window minima persist ~`window`
+        # positions, and distinct(values) == distinct(run heads), so the
+        # lexsort (the dominant cost) runs on ~1/window of the rows.
+        # Doc ids are derived only AT the head positions (searchsorted on
+        # the per-doc boundaries) — no full-length doc_of materializes.
+        gstarts = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(nw, out=gstarts[1:])
+        head = np.empty(len(wm), bool)
+        head[0] = True
+        np.not_equal(wm[1:], wm[:-1], out=head[1:])
+        head[gstarts[:-1][nw > 0]] = True  # every doc's first window
+        hpos = np.nonzero(head)[0]
+        wmh = wm[hpos]
+        doch = np.searchsorted(gstarts[1:], hpos, side="right")
+        order = np.lexsort((wmh, doch))
+        dvals, wvals = doch[order], wmh[order]
+        first = np.ones(len(wvals), bool)
+        first[1:] = (dvals[1:] != dvals[:-1]) | (wvals[1:] != wvals[:-1])
+        n_fp[big] = np.bincount(dvals[first], minlength=n_docs)[big]
+        doc_start = np.ones(len(wvals), bool)
+        doc_start[1:] = dvals[1:] != dvals[:-1]
+        min_fp[dvals[doc_start]] = wvals[doc_start]
+    return n_fp, min_fp
+
+
 def fingerprint_docs(sf_dir: str) -> rd.Dataset:
     ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
-        ns, mins = [], []
-        for t in batch.column("text").to_pylist():
-            f = winnow_fingerprints(t)
-            ns.append(len(f))
-            mins.append(int(f.min()) - (1 << 63))  # to signed int64 range
+        ns, mins = winnow_stats_batch(batch.column("text"))
+        # same signed-int64 mapping as `int(f.min()) - (1 << 63)`
+        signed = (mins ^ np.uint64(1 << 63)).view(np.int64)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "n_fingerprints": pa.array(ns, pa.int64()),
-                "min_fingerprint": pa.array(mins, pa.int64()),
+                "min_fingerprint": pa.array(signed, pa.int64()),
             }
         )
 

@@ -105,3 +105,48 @@ def test_phash_near_dup_groups(ray_session, fixture_dir):
 def test_video_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.sample_video_frames(b"abc")
+
+
+def test_lang_id_batch_matches_guess_loop(ray_session):
+    """The vectorized batch path (hashed-stopword membership + segment
+    sums) must reproduce the per-doc reference `guess` exactly —
+    including empty docs, CJK, ties, and rounding."""
+    import pyarrow.parquet as pq
+
+    texts = (
+        pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()[:300]
+    )
+    texts += ["", "   ", "the of and", "der die und das ist", "这是中文",
+              "one two three", "el la de que y en un"]
+    lid = textstats.LangId()
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    out = lid(batch)
+    preds = out.column("lang_pred").to_pylist()
+    confs = out.column("confidence").to_pylist()
+    for i, t in enumerate(texts):
+        p, c = lid.guess(t)
+        assert (p, round(c, 4)) == (preds[i], round(confs[i], 4)), repr(t)
+
+
+def test_winnow_batch_matches_per_doc():
+    """winnow_stats_batch must be bit-identical to per-doc
+    winnow_fingerprints — short docs (zero-padding path), empty docs,
+    repeated k-grams, and the n<=window single-fingerprint branch."""
+    import pyarrow.parquet as pq
+
+    texts = (
+        pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()[:200]
+    )
+    texts += ["", "a", "ab", "x" * 7, "x" * 8, "x" * 9, "abcd" * 4,
+              "the the the the", "word " * 100]
+    ns, mins = textstats.winnow_stats_batch(texts)
+    for i, t in enumerate(texts):
+        f = textstats.winnow_fingerprints(t)
+        assert len(f) == ns[i] and int(f.min()) == int(mins[i]), repr(t)
