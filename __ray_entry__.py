@@ -58,6 +58,33 @@ def _crawl_e2e(sf_dir: str) -> Any:
     )
 
 
+def _extract_crawl_output(sf_dir: str) -> Any:
+    """Rows-only: crawl output -> per-URL article fetch -> selector-cascade
+    extraction with the parquet extraction cache (sf_dir-independent input
+    by design — runs over the same synthetic web as ``crawl_e2e``)."""
+    import shutil
+
+    import pyarrow as pa
+
+    from newscrawler_ray.pipelines.crawl import run_crawl
+    from newscrawler_ray.pipelines.webextract import (
+        extract_crawl_output,
+        extracted_articles_dataset,
+    )
+    from newscrawler_ray.synth import default_fixture_dir, gen_fixtures
+
+    fx = gen_fixtures(default_fixture_dir(1200), n_urls=1200, seed=42)
+    out = Path("/tmp/newscrawler_ray_q_xcrawl")
+    cache = out / "extract_cache"
+    run_crawl(fx, out, checkpoint=False, collect_seen=False)
+    shutil.rmtree(cache, ignore_errors=True)
+    extract_crawl_output(out, cache)
+    t = pa.Table.from_pylist(
+        sorted(extracted_articles_dataset(cache).take_all(), key=lambda r: r["url"])
+    )
+    return t.select(["url", "title", "author", "summary", "extraction_error"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # aggregations (SURVEY A1-A6)
@@ -170,6 +197,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": _audio_features,
         # flagship crawl (north_rule; rows-only — oracle equality in tests/)
         "crawl_e2e": _crawl_e2e,
+        # crawl -> article-extraction composition (reference inline
+        # /news?extract=true path; rows-only — golden parity + cache-hit
+        # semantics in tests/test_extract_composition.py)
+        "extract_crawl_output": _extract_crawl_output,
     }
 
 
