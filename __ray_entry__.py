@@ -157,6 +157,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cluster min): exact variant is SQL-checkable via recursive CTE
         "jaccard_dedup_docs": lambda sf: D.jaccard_dedup_docs(sf, threshold=0.5),
         "minhash_dedup_docs": lambda sf: D.minhash_dedup_docs(sf, threshold=0.5),
+        # cross-modal corpus dedup: clusters closed under (embedding
+        # cosine >= 0.4 OR word-3-gram jaccard >= 0.5) keep min doc_id;
+        # both pair sources exact -> recursive-CTE hard oracle
+        "crossmodal_dedup_docs": lambda sf: D.crossmodal_dedup_docs(
+            sf, tau=0.4, threshold=0.5
+        ),
         "simhash_docs": D.simhash_docs,
         "simhash_near_dup": lambda sf: D.simhash_near_dup_pairs(sf),
         "embedding_near_dup": lambda sf: D.embedding_near_dup(sf, tau=0.4),
@@ -489,6 +495,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
             FROM documents""",
         "exact_dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        # stopword-profile language id is pure arithmetic over regex
+        # token counts -> SQL-expressible (the +1e-9 before round
+        # mirrors the engine and keeps rounding away from exact .5
+        # ties, where numpy half-even and DuckDB's vectorized round
+        # disagree; argmax tie-break follows profile order en,de,es,fr
+        # exactly as the CASE chain does)
+        "lang_id_docs": r"""
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '\W+'),
+                                 x -> x <> '') AS words
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                regexp_matches(text, '[\x{4E00}-\x{9FFF}]') AS cjk,
+                greatest(len(words), 1)::DOUBLE AS nw,
+                len(list_filter(words, x -> x IN ('the','and','of','to','a',
+                  'in','is','that','it','for','was','on')))::DOUBLE AS h_en,
+                len(list_filter(words, x -> x IN ('der','die','das','und',
+                  'ist','nicht','ein','eine','zu','mit','den')))::DOUBLE AS h_de,
+                len(list_filter(words, x -> x IN ('el','la','de','que','y',
+                  'en','un','una','es','los','las','por')))::DOUBLE AS h_es,
+                len(list_filter(words, x -> x IN ('le','la','les','de','et',
+                  'un','une','est','que','pour','dans')))::DOUBLE AS h_fr
+              FROM w
+            )
+            SELECT doc_id,
+              CASE WHEN cjk THEN 'zh'
+                   WHEN greatest(h_en, h_de, h_es, h_fr) <= 0 THEN 'unknown'
+                   WHEN h_en >= h_de AND h_en >= h_es AND h_en >= h_fr THEN 'en'
+                   WHEN h_de >= h_es AND h_de >= h_fr THEN 'de'
+                   WHEN h_es >= h_fr THEN 'es'
+                   ELSE 'fr' END AS lang_pred,
+              CASE WHEN cjk THEN 1.0
+                   WHEN greatest(h_en, h_de, h_es, h_fr) <= 0 THEN 0.0
+                   ELSE round(greatest(h_en, h_de, h_es, h_fr) / nw
+                              + 1e-9, 4)
+              END AS confidence
+            FROM s""",
+        # quality features/composite are deterministic arithmetic over
+        # the same regex token counts -> SQL-expressible likewise
+        "quality_score_docs": r"""
+            WITH b AS (
+              SELECT doc_id,
+                length(text)::BIGINT AS n_chars,
+                len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+                len(regexp_extract_all(text, '[^\w\s]'))::BIGINT AS n_punct,
+                list_filter(string_split_regex(lower(text), '\W+'),
+                            x -> x <> '') AS words
+              FROM documents
+            ), f AS (
+              SELECT doc_id, n_chars, n_tokens, n_punct,
+                round(len(list_filter(words, x -> x IN ('the','and','of',
+                    'to','a','in','is','that','it','for','was','on')))::DOUBLE
+                  / greatest(len(words), 1) + 1e-9, 4) AS sr,
+                n_chars::DOUBLE AS nc,
+                greatest(n_tokens, 1)::DOUBLE AS nt,
+                n_punct::DOUBLE AS np
+              FROM b
+            )
+            SELECT doc_id, n_chars, n_tokens, n_punct,
+                   sr AS stopword_ratio,
+                   round(0.4 * least(nc / 500.0, 1)
+                       + 0.2 * (1 - least(np / nc, 1))
+                       + 0.2 * least((nc / nt) / 8.0, 1)
+                       + 0.2 * least(sr * 4, 1) + 1e-9, 4) AS quality
+            FROM f""",
         # minhash_near_dup emits only pairs that PASS the exact-Jaccard
         # verify stage, with the same tokenization/threshold as
         # ngram_jaccard_pairs — and the 16x4 banding provably catches
@@ -588,6 +661,41 @@ def oracle_sql() -> dict[str, str]:
               FROM g a JOIN g b ON a.doc_id < b.doc_id
               WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
                     / nullif(len(list_distinct(a.grams || b.grams)), 0) >= 0.5
+            ), e AS (
+              SELECT id_a AS u, id_b AS v FROM p
+              UNION SELECT id_b, id_a FROM p
+            ), reach(n, x) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM e)
+              UNION
+              SELECT r.n, e.v FROM reach r JOIN e ON e.u = r.x
+            ), lbl AS (
+              SELECT n AS node, min(x) AS comp FROM reach GROUP BY n
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM lbl WHERE comp < node)""",
+        "crossmodal_dedup_docs": r"""
+            -- transitive closure over the UNION of both modalities'
+            -- near-dup relations (text jaccard OR embedding cosine)
+            WITH RECURSIVE g AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) < 3
+                       THEN [list_aggregate(w, 'string_agg', ' ')]
+                       ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             FOR i IN generate_series(1, len(w)-2)]
+                     END) AS grams
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '\W+'),
+                                       x -> x <> '') AS w
+                    FROM documents)
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                    / nullif(len(list_distinct(a.grams || b.grams)), 0) >= 0.5
+              UNION
+              SELECT a.vec_id, b.vec_id
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
             ), e AS (
               SELECT id_a AS u, id_b AS v FROM p
               UNION SELECT id_b, id_a FROM p

@@ -21,6 +21,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from .. import codecs
+from ..stages import _pool_width
 
 AUDIO_SCHEMA = pa.schema(
     [
@@ -110,11 +111,11 @@ class AudioFeatures:
         return out
 
 
-def audio_features(audio_path: str | Path, *, concurrency: int = 2, batch_size: int = 64) -> rd.Dataset:
+def audio_features(audio_path: str | Path, *, concurrency: "int | tuple | None" = None, batch_size: int = 64) -> rd.Dataset:
     ds = rd.read_parquet(str(audio_path))
     return ds.map_batches(
         AudioFeatures,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_pool_width(concurrency),
     )

@@ -471,11 +471,13 @@ def ngram_jaccard_pairs(
             batch = batch.take(pa.array(np.sort(top)))
         return batch.select(["gram", "df"])
 
-    top_df = (
-        df_ds.map_batches(prune_df, batch_format="pyarrow")
-        .sort(["df", "gram"], descending=[True, False])
-        .limit(df_cap)
-    )
+    pruned = df_ds.map_batches(prune_df, batch_format="pyarrow").materialize()
+    if pruned.count() > df_cap:
+        # only now is a global top-K needed; sort the already-materialized
+        # thin (gram, df) rows — no recompute of the groupby
+        top_df = pruned.sort(["df", "gram"], descending=[True, False]).limit(df_cap)
+    else:
+        top_df = pruned  # everything fits the cap: the sort is pure overhead
     df_batches = list(top_df.iter_batches(batch_format="pyarrow"))
     df_tbl = (
         pa.concat_tables(df_batches)
@@ -904,6 +906,52 @@ def jaccard_dedup_docs(
         sf_dir, threshold=threshold, k=k, docs=docs, num_partitions=num_partitions
     )
     return _survivors(docs, pairs, num_partitions)
+
+
+def crossmodal_dedup_docs(
+    sf_dir: str,
+    *,
+    tau: float = 0.4,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Cross-modal corpus dedup over an (id-aligned) image-text corpus:
+    two docs are near-dups if their EMBEDDING cosine >= tau OR their
+    word-k-gram JACCARD >= threshold; clusters under the transitive
+    closure of either relation keep only their min doc_id.
+
+    The LAION-style curation rule (an image-caption pair is dropped if
+    it duplicates a kept pair in either modality), expressed as pure
+    composition: the exact block-pair embedding join and the exact
+    prefix-filter text join each emit thin (id_a, id_b) rows, the two
+    pair streams union WITHOUT a dedupe shuffle (connected components
+    is idempotent to repeated edges), and the shared CC -> anti-join
+    survivor stage picks winners. Both pair sources are exact, so a
+    DuckDB recursive-CTE over the union of the two SQL predicates
+    checks the result row-for-row. Payloads never move: embeddings ship
+    only inside the block-pair tasks, text only inside the gram join.
+    """
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def thin(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"id_a": batch.column("id_a"), "id_b": batch.column("id_b")}
+        )
+
+    emb_pairs = embedding_near_dup(sf_dir, tau=tau).map_batches(
+        thin, batch_format="pyarrow"
+    )
+    txt_pairs = ngram_jaccard_pairs(
+        sf_dir, threshold=threshold, k=k, docs=docs, num_partitions=num_partitions
+    ).map_batches(thin, batch_format="pyarrow")
+    return _survivors(docs, emb_pairs.union(txt_pairs), num_partitions)
 
 
 def minhash_dedup_docs(

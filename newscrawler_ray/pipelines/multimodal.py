@@ -22,6 +22,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from .. import codecs
+from ..stages import _pool_width
 
 SANDBOX_FMTS = frozenset({"ppm", "png", "qnt"})
 
@@ -112,7 +113,7 @@ class ImageFeatures:
 
 
 def image_features(
-    images_path: "str | Path | rd.Dataset", *, concurrency: int = 2, batch_size: int = 64
+    images_path: "str | Path | rd.Dataset", *, concurrency: "int | tuple | None" = None, batch_size: int = 64
 ) -> rd.Dataset:
     """Feature-extraction pipeline over an image table (parquet/lance dir
     or file, or an already-built Dataset of the same schema — e.g. the
@@ -123,7 +124,7 @@ def image_features(
         ImageFeatures,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_pool_width(concurrency),
     )
 
 

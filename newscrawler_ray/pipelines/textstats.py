@@ -112,7 +112,12 @@ class LangId:
             if sw
         }
         best = max(scores, key=scores.get)
-        return (best, round(scores[best], 4)) if scores[best] > 0 else ("unknown", 0.0)
+        # +1e-9: tie-free rounding, same nudge as the batch path
+        return (
+            (best, round(scores[best] + 1e-9, 4))
+            if scores[best] > 0
+            else ("unknown", 0.0)
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text")
@@ -130,7 +135,7 @@ class LangId:
         best = np.argmax(score, axis=1)  # first max = profile tie-break order
         best_score = score[np.arange(n), best]
         preds = np.array(self.langs, dtype=object)[best]
-        confs = np.round(best_score, 4)
+        confs = np.round(best_score + 1e-9, 4)  # tie-free (see quality_score)
         none = best_score <= 0
         preds[none] = "unknown"
         confs[none] = 0.0
@@ -146,8 +151,15 @@ class LangId:
 
 
 def lang_id(sf_dir: str) -> rd.Dataset:
+    import ray
+
     ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    return ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    # autoscaling actor pool up to the cluster width — a fixed tiny pool
+    # would cap this stage while the rest of the pipeline scales
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=(1, max(2, ncpu))
+    )
 
 
 # ------------------------------------------------------------- quality
@@ -175,7 +187,13 @@ def quality_score(sf_dir: str) -> rd.Dataset:
         lens = np.diff(offsets)
         starts = np.minimum(offsets[:-1], max(len(flat) - 1, 0))
         hits = _stopword_hits(flat, starts, lens, stop_en)
-        stop_ratio = np.round(hits / np.maximum(lens, 1), 4)
+        # +1e-9 before rounding everywhere a SQL oracle recomputes the
+        # value: exact .5 ties (e.g. 1/32 -> x.xxx25) round differently
+        # under numpy (half-even) vs DuckDB's vectorized round, and even
+        # DuckDB's own constant-folding disagrees with its executor on
+        # ties. The nudge lands both engines on the same side of every
+        # boundary (raw IEEE sums are bit-identical across the two).
+        stop_ratio = np.round(hits / np.maximum(lens, 1) + 1e-9, 4)
         stop_ratio[lens == 0] = 0.0
         nc = n_chars.to_numpy().astype(np.float64)
         nt = np.maximum(n_tokens.to_numpy().astype(np.float64), 1)
@@ -186,7 +204,7 @@ def quality_score(sf_dir: str) -> rd.Dataset:
         word_len_score = np.clip((nc / nt) / 8.0, 0, 1)
         score = np.round(
             0.4 * length_score + 0.2 * punct_score + 0.2 * word_len_score
-            + 0.2 * np.clip(sr * 4, 0, 1),
+            + 0.2 * np.clip(sr * 4, 0, 1) + 1e-9,  # tie-free (see above)
             4,
         )
         return pa.table(

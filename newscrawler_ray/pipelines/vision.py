@@ -34,6 +34,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..stages import _pool_width
 from .multimodal import block_mean_resize, decode_any
 
 _TXT_BUCKETS = 1024
@@ -126,7 +127,7 @@ def _images_source(src: "str | Path | rd.Dataset", columns: list[str]) -> rd.Dat
 
 
 def pair_embeddings(
-    images_path: "str | Path | rd.Dataset", *, concurrency: int = 2, batch_size: int = 64
+    images_path: "str | Path | rd.Dataset", *, concurrency: "int | tuple | None" = None, batch_size: int = 64
 ) -> rd.Dataset:
     """Two-tower embeddings + alignment score per (image, caption) row.
     Payload-heavy input -> small batches; towers load once per actor."""
@@ -135,7 +136,7 @@ def pair_embeddings(
         PairEncoder,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_pool_width(concurrency),
     )
 
 

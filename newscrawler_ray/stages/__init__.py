@@ -3,6 +3,20 @@
 _PINNED = False
 
 
+def _pool_width(concurrency=None):
+    """Default actor-pool sizing for stateful ``map_batches`` stages:
+    autoscale from 1 up to the cluster's CPU width. A fixed small pool
+    (the old ``concurrency=2`` default) silently caps the stage while
+    every other operator scales with the cluster; an explicit int/tuple
+    passes through untouched for callers that size pools deliberately."""
+    if concurrency is not None:
+        return concurrency
+    import ray
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return (1, max(2, ncpu))
+
+
 def pin_worker_threads() -> None:
     """Pin pyarrow's internal thread pool to 1 inside Ray workers.
 

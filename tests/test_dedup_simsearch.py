@@ -393,3 +393,44 @@ def test_cc_tolerates_mixed_schema_pair_blocks(ray_session):
         for r in connected_components(ds, small_edges=0).take_all()
     }
     assert labels2 == labels
+
+
+def test_crossmodal_dedup_bridges_modalities(ray_session, tmp_path):
+    """A text-dup edge (0~1) and an embedding-dup edge (1~2) must chain
+    into ONE cluster through the cross-modal closure, even though 0 and
+    2 are unrelated in both modalities. Clusters that exist in only one
+    modality ({3,4} text-only, {5,6} embedding-only) and the singleton
+    (7) behave like the single-modal operators."""
+    import pyarrow as pa
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo").split()
+    uniq = [
+        " ".join(f"w{d}x{j}" for j in range(18)) for d in range(8)
+    ]
+    texts = list(uniq)
+    texts[1] = " ".join(base)           # 0 ~ 1 by text
+    texts[0] = " ".join(base)
+    texts[4] = texts[3]                 # 3 ~ 4 by text
+    # embeddings: orthogonal one-hot per doc, except 1~2 and 5~6 share
+    dim = 16
+    E = np.zeros((8, dim))
+    for d in range(8):
+        E[d, d] = 1.0
+    E[2] = E[1]
+    E[6] = E[5]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(8), pa.int64()),
+                  "text": pa.array(texts)}),
+        tmp_path / "documents.parquet",
+    )
+    pq.write_table(
+        pa.table({"vec_id": pa.array(range(8), pa.int64()),
+                  "embedding": pa.array([list(map(float, r)) for r in E],
+                                        pa.list_(pa.float64()))}),
+        tmp_path / "embeddings.parquet",
+    )
+    out = dedup.crossmodal_dedup_docs(
+        str(tmp_path), tau=0.4, threshold=0.5, num_partitions=2
+    ).take_all()
+    assert sorted(r["doc_id"] for r in out) == [0, 3, 5, 7]
