@@ -175,6 +175,46 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _bucket_pair_indices(
+    keys: "list[np.ndarray]", ids: np.ndarray
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Vectorized all-pairs-within-bucket emission for a COARSE group
+    holding many buckets: sort rows by (bucket keys, id), find segment
+    boundaries, then for each DISTINCT segment size d emit all
+    ``triu_indices(d)`` pairs for every size-d segment in one gather.
+    Returns (ia, ib, order): row-index pairs INTO the sorted order (so
+    ``ids[order][ia] < ids[order][ib]`` within every bucket) plus the
+    sort permutation for gathering extra per-row columns. Replaces the
+    one-Python-call-per-bucket ``groupby(key).map_groups`` plan, which
+    dominated wall time at ~10^5 buckets (repo memory: map_groups is
+    too slow for pair work)."""
+    n = len(ids)
+    if n < 2:
+        z = np.zeros(0, np.int64)
+        return z, z, np.arange(n, dtype=np.int64)
+    order = np.lexsort((ids, *keys[::-1]))
+    new = np.empty(n, bool)
+    new[0] = True
+    new[1:] = False
+    for k in keys:
+        ks = k[order]
+        new[1:] |= ks[1:] != ks[:-1]
+    starts = np.nonzero(new)[0]
+    counts = np.diff(np.append(starts, n))
+    ia_parts, ib_parts = [], []
+    for d in np.unique(counts):
+        if d < 2:
+            continue
+        s = starts[counts == d]
+        iu, ju = np.triu_indices(int(d), 1)
+        ia_parts.append((s[:, None] + iu[None, :]).ravel())
+        ib_parts.append((s[:, None] + ju[None, :]).ravel())
+    if not ia_parts:
+        z = np.zeros(0, np.int64)
+        return z, z, order
+    return np.concatenate(ia_parts), np.concatenate(ib_parts), order
+
+
 def minhash_lsh_pairs(
     sf_dir: str,
     *,
@@ -213,27 +253,37 @@ def minhash_lsh_pairs(
         for v in range(1, rows_per_band):
             bh = _splitmix(bh ^ banded[:, :, v])
         ids = batch.column("doc_id").to_numpy()
+        bh64 = bh.view(np.int64).ravel()
+        # coarse routing key: many (band_id, band_hash) buckets share one
+        # of ~4P parts, so the shuffle + per-group Python cost is O(parts)
+        # while pair emission stays per-bucket-exact inside the part
+        part = (bh.ravel() % _U64(num_partitions * 4)).astype(np.int32)
         return pa.table(
             {
+                "part": pa.array(part),
                 "band_id": pa.array(
                     np.tile(np.arange(n_bands, dtype=np.int32), len(sigs))
                 ),
-                "band_hash": pa.array(bh.view(np.int64).ravel()),
+                "band_hash": pa.array(bh64),
                 "doc_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
             }
         )
 
     bands_ds = docs.map_batches(band_rows, batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.sort(group.column("doc_id").to_numpy())
-        i, j = np.triu_indices(len(ids), 1)
+    def coarse_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy()
+        bid = group.column("band_id").to_numpy()
+        bh = group.column("band_hash").to_numpy()
+        ia, ib, order = _bucket_pair_indices([bid, bh], ids)
+        srt = ids[order]
         return pa.table(
-            {"id_a": pa.array(ids[i], pa.int64()), "id_b": pa.array(ids[j], pa.int64())}
+            {"id_a": pa.array(srt[ia], pa.int64()),
+             "id_b": pa.array(srt[ib], pa.int64())}
         )
 
-    pairs = bands_ds.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    pairs = bands_ds.groupby("part").map_groups(
+        coarse_pairs, batch_format="pyarrow"
     )
     # dedupe pairs found by multiple bands
     pairs = _distinct_pairs(pairs)
@@ -448,44 +498,43 @@ def ngram_jaccard_pairs(
     t = threshold
     g = _gram_lists(docs, k).materialize()
 
-    # document frequency per gram, broadcast as (sorted grams, df) —
-    # capped to the df_cap most frequent df>=2 grams (see docstring)
-    def explode_grams(batch: pa.Table) -> pa.Table:
-        return pa.table({"gram": pc.list_flatten(batch.column("grams"))})
-
-    df_ds = g.map_batches(explode_grams, batch_format="pyarrow").groupby(
-        "gram"
-    ).aggregate(Count(alias_name="df"))
-
-    def prune_df(batch: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"gram": pa.array([], pa.int64()), "df": pa.array([], pa.int64())}
+    # document frequency per gram, broadcast as (sorted grams, df).
+    # The frequencies only pick the rarest-first order (pruning quality);
+    # candidate completeness holds under ANY consistent total order and
+    # every pair is exact-verified — so dfs may be approximate. That
+    # licenses the cheap plan: capped per-block partial counts (each
+    # block ships at most df_cap of its own most frequent grams) folded
+    # on the driver with a running cap — no groupby shuffle, no sort,
+    # and driver memory bounded by 2*df_cap rows at any corpus size.
+    # Below the cap (every sandbox run) the fold is EXACT df.
+    def partial_df(batch: pa.Table) -> pa.Table:
+        grams = pc.list_flatten(batch.column("grams")).to_numpy()
+        vals, counts = np.unique(grams, return_counts=True)
+        if len(vals) > df_cap:
+            top = np.argpartition(-counts, df_cap - 1)[:df_cap]
+            vals, counts = vals[top], counts[top]
+        return pa.table(
+            {"gram": pa.array(vals, pa.int64()),
+             "df": pa.array(counts, pa.int64())}
         )
-        if batch.num_columns == 0:
-            return empty
-        keep = pc.greater_equal(batch.column("df"), 2)
-        batch = batch.filter(keep)
-        if batch.num_rows > df_cap:  # per-block prune bounds the sort input
-            dfv = batch.column("df").to_numpy()
-            top = np.argpartition(-dfv, df_cap - 1)[:df_cap]
-            batch = batch.take(pa.array(np.sort(top)))
-        return batch.select(["gram", "df"])
 
-    pruned = df_ds.map_batches(prune_df, batch_format="pyarrow").materialize()
-    if pruned.count() > df_cap:
-        # only now is a global top-K needed; sort the already-materialized
-        # thin (gram, df) rows — no recompute of the groupby
-        top_df = pruned.sort(["df", "gram"], descending=[True, False]).limit(df_cap)
-    else:
-        top_df = pruned  # everything fits the cap: the sort is pure overhead
-    df_batches = list(top_df.iter_batches(batch_format="pyarrow"))
-    df_tbl = (
-        pa.concat_tables(df_batches)
-        if df_batches
-        else pa.table({"gram": pa.array([], pa.int64()), "df": pa.array([], pa.int64())})
-    )
-    gv = df_tbl.column("gram").to_numpy().view(_U64)
-    gdf = df_tbl.column("df").to_numpy().astype(np.int64)
+    acc_g = np.zeros(0, np.int64)
+    acc_c = np.zeros(0, np.int64)
+    for b in g.map_batches(partial_df, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        cg = np.concatenate([acc_g, b.column("gram").to_numpy()])
+        cc = np.concatenate([acc_c, b.column("df").to_numpy()])
+        acc_g, inv = np.unique(cg, return_inverse=True)
+        acc_c = np.bincount(inv, weights=cc).astype(np.int64)
+        if len(acc_g) > 2 * df_cap:  # running cap: keep the most frequent
+            top = np.argpartition(-acc_c, df_cap - 1)[:df_cap]
+            acc_g, acc_c = acc_g[top], acc_c[top]
+    keep = acc_c >= 2  # df=1 equals the broadcast default — don't ship it
+    gv, gdf = acc_g[keep].view(_U64), acc_c[keep]
+    if len(gv) > df_cap:
+        top = np.argpartition(-gdf, df_cap - 1)[:df_cap]
+        gv, gdf = gv[top], gdf[top]
     order = np.argsort(gv)
     df_ref = ray.put((np.ascontiguousarray(gv[order]), np.ascontiguousarray(gdf[order])))
 
@@ -496,7 +545,8 @@ def ngram_jaccard_pairs(
         vals = pc.list_flatten(batch.column("grams")).to_numpy().view(_U64)
         if len(vals) == 0:
             return pa.table(
-                {"gram": pa.array([], pa.int64()),
+                {"part": pa.array([], pa.int32()),
+                 "gram": pa.array([], pa.int64()),
                  "doc_id": pa.array([], pa.int64()),
                  "n_grams": pa.array([], pa.int64())}
             )
@@ -519,9 +569,13 @@ def ngram_jaccard_pairs(
         doc_sorted = doc_of[order]
         r = np.arange(len(vals), dtype=np.int64) - starts[doc_sorted]
         keep = r < pref[doc_sorted]
+        kept = vals[order][keep]
         return pa.table(
             {
-                "gram": pa.array(vals[order][keep].view(np.int64), pa.int64()),
+                "part": pa.array(
+                    (kept % _U64(num_partitions * 4)).astype(np.int32)
+                ),
+                "gram": pa.array(kept.view(np.int64), pa.int64()),
                 "doc_id": pa.array(ids[doc_sorted[keep]], pa.int64()),
                 "n_grams": pa.array(sizes[doc_sorted[keep]], pa.int64()),
             }
@@ -529,23 +583,25 @@ def ngram_jaccard_pairs(
 
     prefixes = g.map_batches(prefix_rows, batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
+    def coarse_pairs(group: pa.Table) -> pa.Table:
+        # one Python call per COARSE part (gram % 4P), segments = exact
+        # gram buckets inside — see _bucket_pair_indices
         ids = group.column("doc_id").to_numpy()
+        grams = group.column("gram").to_numpy()
         sizes = group.column("n_grams").to_numpy()
-        order = np.argsort(ids)
-        ids, sizes = ids[order], sizes[order]
-        i, j = np.triu_indices(len(ids), 1)
-        lo = np.minimum(sizes[i], sizes[j])
-        hi = np.maximum(sizes[i], sizes[j])
+        ia, ib, order = _bucket_pair_indices([grams], ids)
+        srt_ids, srt_sz = ids[order], sizes[order]
+        lo = np.minimum(srt_sz[ia], srt_sz[ib])
+        hi = np.maximum(srt_sz[ia], srt_sz[ib])
         keep = lo >= np.ceil(t * hi - 1e-9)  # size-ratio filter (eps: see prefix_rows)
         return pa.table(
             {
-                "id_a": pa.array(ids[i[keep]], pa.int64()),
-                "id_b": pa.array(ids[j[keep]], pa.int64()),
+                "id_a": pa.array(srt_ids[ia[keep]], pa.int64()),
+                "id_b": pa.array(srt_ids[ib[keep]], pa.int64()),
             }
         )
 
-    cand = prefixes.groupby("gram").map_groups(bucket_pairs, batch_format="pyarrow")
+    cand = prefixes.groupby("part").map_groups(coarse_pairs, batch_format="pyarrow")
     cand = _distinct_pairs(cand)
     return jaccard_verify_pairs(cand, docs, threshold, num_partitions, k=k, grams=g)
 
