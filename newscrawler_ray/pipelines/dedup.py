@@ -691,6 +691,9 @@ def simhash_near_dup_pairs(
 
     sh = simhash_docs(sf_dir, docs=docs)
 
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    coarse = nparts * 4  # part id `coarse` is reserved for the star bucket
+
     def quarters(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
         h = batch.column("simhash").to_numpy()
@@ -701,13 +704,18 @@ def simhash_near_dup_pairs(
         keys = np.empty((n, 4), np.int64)
         for b in range(4):
             keys[:, b] = ((hun >> _U64(16 * b)) & _U64(0xFFFF)).astype(np.int64)
+        band_tiled = np.tile(np.arange(4, dtype=np.int64), n)
+        part = ((keys.ravel() * 4 + band_tiled) % coarse).astype(np.int32)
         z_ids = ids[~nz]  # -> the dedicated band=-1 star bucket
         nzero = len(z_ids)
         return pa.table(
             {
+                "part": pa.array(
+                    np.concatenate([part, np.full(nzero, coarse, np.int32)])
+                ),
                 "band": pa.array(
                     np.concatenate(
-                        [np.tile(np.arange(4, dtype=np.int32), n),
+                        [band_tiled.astype(np.int32),
                          np.full(nzero, -1, np.int32)]
                     )
                 ),
@@ -726,42 +734,46 @@ def simhash_near_dup_pairs(
 
     bands = sh.map_batches(quarters, batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-             "hamming": pa.array([], pa.int64())}
-        )
-        n = group.num_rows
-        if n < 2:
-            return empty
-        band = int(group.column("band")[0].as_py())
-        ids = np.sort(group.column("doc_id").to_numpy())
-        if band < 0:  # zero-hash clique: spanning star, hamming 0
+    def coarse_pairs(group: pa.Table) -> pa.Table:
+        # one Python call per coarse part; exact (band, key) buckets are
+        # the segments inside (_bucket_pair_indices). The star bucket
+        # (band=-1) arrives as its own dedicated part.
+        band = group.column("band").to_numpy()
+        if band[0] < 0:  # zero-hash clique: spanning star, hamming 0
+            ids = np.sort(group.column("doc_id").to_numpy())
             return pa.table(
                 {
-                    "id_a": pa.array(np.full(n - 1, ids[0]), pa.int64()),
+                    "id_a": pa.array(np.full(len(ids) - 1, ids[0]), pa.int64()),
                     "id_b": pa.array(ids[1:], pa.int64()),
-                    "hamming": pa.array(np.zeros(n - 1, np.int64)),
+                    "hamming": pa.array(np.zeros(len(ids) - 1, np.int64)),
                 }
             )
-        order = np.argsort(group.column("doc_id").to_numpy())
-        hu = group.column("simhash").to_numpy()[order].view(_U64)
-        i, j = np.triu_indices(n, 1)
-        x = hu[i] ^ hu[j]
+        ids = group.column("doc_id").to_numpy()
+        key = group.column("key").to_numpy()
+        hu = group.column("simhash").to_numpy().view(_U64)
+        ia, ib, order = _bucket_pair_indices([band, key], ids)
+        srt_ids, srt_band, srt_hu = ids[order], band[order], hu[order]
+        x = srt_hu[ia] ^ srt_hu[ib]
         keep = popcount64(x) <= max_hamming
-        for b in range(band):  # first-agreeing-quarter: skip earlier bands
-            keep &= ((x >> _U64(16 * b)) & _U64(0xFFFF)) != 0
+        # first-agreeing-quarter, vectorized over the emitted pairs: a
+        # pair found in band b survives only if every earlier quarter
+        # differs (pair band = its bucket's band = srt_band[ia])
+        pb = srt_band[ia]
+        for bp in range(3):
+            later = pb > bp
+            if later.any():
+                keep[later] &= (
+                    (x[later] >> _U64(16 * bp)) & _U64(0xFFFF)
+                ) != 0
         return pa.table(
             {
-                "id_a": pa.array(ids[i[keep]], pa.int64()),
-                "id_b": pa.array(ids[j[keep]], pa.int64()),
+                "id_a": pa.array(srt_ids[ia[keep]], pa.int64()),
+                "id_b": pa.array(srt_ids[ib[keep]], pa.int64()),
                 "hamming": pa.array(popcount64(x[keep]), pa.int64()),
             }
         )
 
-    return bands.groupby(["band", "key"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
+    return bands.groupby("part").map_groups(coarse_pairs, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------- embedding dups
