@@ -133,6 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_events": Q.sample_events,
         # deterministic (engine-independent) hash sampling — SQL-exact
         "hash_sample_events": Q.hash_sample_events,
+        # deterministic per-group (stratified) sample — combiner shape:
+        # per-block local top-k before the group shuffle
+        "stratified_sample_events": Q.stratified_sample_events,
         # joins (SURVEY J1-J3)
         "seg_revenue": Q.seg_revenue,
         "nation_orders": Q.nation_orders,
@@ -187,6 +190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "headline_clusters": _headline_clusters,
         # text analysis (rows-only: heuristics not SQL-expressible)
         "lang_id_docs": T.lang_id,
+        # sequence packing (rows-only: bin layout is a function of the
+        # fixed blocking; invariants + determinism tested in tests/)
+        "pack_token_bins": T.pack_token_bins,
         "quality_score_docs": T.quality_score,
         "fingerprint_docs": T.fingerprint_docs,
         # HTML selector-cascade article extraction (SURVEY M6; rows-only:
@@ -459,6 +465,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, event_type, round(value, 4) AS value
             FROM events
             WHERE (event_id * 2654435761) % 4294967296 < 429496729""",
+        # per-group deterministic sample: k smallest Knuth hashes per
+        # event_type, event_id tiebreak — window-rank oracle
+        "stratified_sample_events": """
+            SELECT event_type, event_id, round(value, 4) AS value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY event_type
+                ORDER BY (event_id * 2654435761) % 4294967296, event_id
+            ) <= 20""",
         "purge_old_events": """
             SELECT event_id, ts, event_type FROM events
             WHERE ts >= TIMESTAMP '2024-01-15'""",

@@ -710,6 +710,62 @@ def hash_sample_events(sf_dir: str, *, rate_num: int = 429496729) -> rd.Dataset:
     return _round_col(out, {"value": 4})
 
 
+def stratified_sample_events(sf_dir: str, *, k: int = 20) -> rd.Dataset:
+    """Deterministic STRATIFIED sample: the k events with the smallest
+    Knuth multiplicative hash within each event_type (ties broken by
+    event_id) — per-source balanced sampling for training-data curation,
+    reproducible across engines and retries (pure function of the keys,
+    no RNG state), so a SQL window-rank oracle checks it exactly.
+
+    Combiner shape for scale: every block first keeps its LOCAL per-group
+    top-k (vectorized lexsort + segment ranks), so the shuffle ships at
+    most k rows per (group, block) instead of the whole table; the final
+    per-group head-k runs over those partials only."""
+    import pandas as pd
+
+    ds = read_clean(
+        _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def khash(ids: np.ndarray) -> np.ndarray:
+        return (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+            4294967296
+        )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return batch
+        ids = batch.column("event_id").to_numpy()
+        h = khash(ids)
+        codes = (
+            batch.column("event_type")
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((ids, h, codes))
+        cs = codes[order]
+        new = np.empty(len(cs), bool)
+        new[0] = True
+        new[1:] = cs[1:] != cs[:-1]
+        starts = np.nonzero(new)[0]
+        seg = np.cumsum(new) - 1
+        rank = np.arange(len(cs)) - starts[seg]
+        keep = order[rank < k]
+        return batch.take(pa.array(np.sort(keep)))
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(_h=khash(g["event_id"].to_numpy()))
+        g = g.sort_values(["_h", "event_id"]).head(k)
+        return g[["event_type", "event_id", "value"]]
+
+    out = partials.groupby("event_type").map_groups(head_k, batch_format="pandas")
+    return _round_col(out, {"value": 4})
+
+
 def frequent_users(sf_dir: str, *, topn: int = 10) -> rd.Dataset:
     """EXACT top-n heavy hitters: grouped count (pre-combined hash
     aggregate) then a tiny sort over one row per user — the pattern for

@@ -380,3 +380,72 @@ def fingerprint_docs(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+# --------------------------------------------------------- sequence packing
+
+
+def pack_token_bins(
+    sf_dir: str, *, capacity: int = 256, num_blocks: int = 8
+) -> rd.Dataset:
+    """Greedy sequence packing for LLM training batches: assign each doc
+    to a bin so no bin's total BPE-token count exceeds ``capacity``
+    (a doc larger than capacity gets a bin alone).
+
+    Distribution contract — the one every distributed packer makes:
+    packing runs INDEPENDENTLY PER BLOCK (bin ids are namespaced by the
+    block's min doc_id, so they are globally unique and deterministic
+    for a fixed blocking); consolidating bins ACROSS blocks would be a
+    global sequential dependency, and per-block packing loses at most
+    one under-half-full bin per block vs a global pass (tested
+    invariant). Within a block: first-fit-decreasing — the descending
+    sort is vectorized, the fit loop is the useful compute of the
+    operator (inherently sequential, bounded by block size).
+
+    Output: (doc_id, n_bpe_tokens, bin_id). Invariants tested in
+    ``tests/``: every doc in exactly one bin; every bin <= capacity
+    unless a single oversized doc; per block at most one bin <= half
+    full (first-fit property); bit-identical across runs.
+    """
+    ds = read_clean(
+        _p(sf_dir, "documents"),
+        columns=["doc_id", "text"],
+        override_num_blocks=num_blocks,
+    )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "n_bpe_tokens": pa.array([], pa.int64()),
+                 "bin_id": pa.array([], pa.int64())}
+            )
+        ids = batch.column("doc_id").to_numpy()
+        nt = pc.cast(
+            pc.count_substring_regex(batch.column("text"), _TOKEN_RE), pa.int64()
+        ).to_numpy()
+        order = np.lexsort((ids, -nt))  # first-fit-DECREASING, stable
+        bins: list[int] = []  # remaining capacity per open bin
+        local = np.empty(len(ids), np.int64)
+        for row in order:
+            need = int(nt[row])
+            for b, rem in enumerate(bins):
+                if rem >= need:
+                    bins[b] = rem - need
+                    local[row] = b
+                    break
+            else:
+                local[row] = len(bins)
+                bins.append(max(capacity - need, 0))
+        block_key = int(ids.min())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_bpe_tokens": pa.array(nt, pa.int64()),
+                "bin_id": pa.array(block_key * 100_000 + local, pa.int64()),
+            }
+        )
+
+    # batch_size=None: one call per block — the packing unit IS the block
+    return ds.map_batches(pack, batch_size=None, batch_format="pyarrow")

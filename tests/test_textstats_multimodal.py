@@ -150,3 +150,31 @@ def test_winnow_batch_matches_per_doc():
     for i, t in enumerate(texts):
         f = textstats.winnow_fingerprints(t)
         assert len(f) == ns[i] and int(f.min()) == int(mins[i]), repr(t)
+
+
+def test_pack_token_bins_invariants(ray_session):
+    """Sequence packing: exact cover, capacity bound (oversized docs get
+    a bin alone), the first-fit property (at most one bin <= half full
+    per block), and bit-identical determinism across runs."""
+    import collections
+
+    from newscrawler_ray.pipelines.textstats import pack_token_bins
+
+    cap = 256
+    rows = pack_token_bins(SF, capacity=cap).take_all()
+    rows2 = pack_token_bins(SF, capacity=cap).take_all()
+    key = lambda rs: sorted((r["doc_id"], r["bin_id"]) for r in rs)  # noqa: E731
+    assert key(rows) == key(rows2)
+    assert len({r["doc_id"] for r in rows}) == len(rows)  # exact cover
+    per = collections.defaultdict(int)
+    members = collections.Counter()
+    for r in rows:
+        per[r["bin_id"]] += r["n_bpe_tokens"]
+        members[r["bin_id"]] += 1
+    for b, total in per.items():
+        assert total <= cap or members[b] == 1, (b, total, members[b])
+    byblock = collections.defaultdict(list)
+    for b, total in per.items():
+        byblock[b // 100_000].append(total)
+    for blk, totals in byblock.items():
+        assert sum(v <= cap // 2 for v in totals) <= 1, (blk, totals)
