@@ -150,6 +150,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text stats
         "token_stats": Q.token_stats,
         "bpe_token_stats": T.bpe_token_stats,
+        # Gopher repetition filters (Rae et al. 2021 Table A1, word-
+        # position adaptation; SQL-exact vs the string-based oracle)
+        "gopher_repetition_docs": T.gopher_repetition,
         # training-data ops: dedup family (SURVEY D2-D5 + graft additions)
         "exact_dedup_docs": D.exact_dedup_docs,
         # EXACT set-similarity self-join (prefix filtering) — unlike the
@@ -550,6 +553,57 @@ def oracle_sql() -> dict[str, str]:
               END AS confidence
             FROM s""",
         # quality features/composite are deterministic arithmetic over
+        # repetition fractions are exact arithmetic over per-doc word /
+        # 2-gram occurrence counts under the shared \W+ tokenizer; keep
+        # is compared on the ROUNDED values on both sides (tie-free
+        # via the +1e-9 nudge, see CLAUDE.md)
+        "gopher_repetition_docs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                       '\W+'), x -> x <> '')) AS w,
+                     generate_subscripts(list_filter(string_split_regex(
+                       lower(text), '\W+'), x -> x <> ''), 1) AS i
+              FROM documents
+            ), wc AS (
+              SELECT doc_id, w, count(*) AS k FROM w GROUP BY doc_id, w
+            ), d1 AS (
+              SELECT doc_id, sum(k)::BIGINT AS n_words,
+                     sum(CASE WHEN k >= 2 THEN k ELSE 0 END)::BIGINT
+                       AS dup_words
+              FROM wc GROUP BY doc_id
+            ), g AS (
+              SELECT doc_id,
+                     w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i)
+                       AS g2
+              FROM w QUALIFY g2 IS NOT NULL
+            ), gc AS (
+              SELECT doc_id, g2, count(*) AS k FROM g GROUP BY doc_id, g2
+            ), d2 AS (
+              SELECT doc_id, sum(k)::BIGINT AS n2,
+                     sum(CASE WHEN k >= 2 THEN k ELSE 0 END)::BIGINT AS dup2,
+                     max(k)::BIGINT AS top2
+              FROM gc GROUP BY doc_id
+            ), f AS (
+              SELECT d.doc_id,
+                     coalesce(n_words, 0) AS n_words,
+                     round(coalesce(dup_words, 0)
+                           / greatest(coalesce(n_words, 0), 1)::DOUBLE
+                           + 1e-9, 4) AS dupword_frac,
+                     round(coalesce(dup2, 0)
+                           / greatest(coalesce(n2, 0), 1)::DOUBLE
+                           + 1e-9, 4) AS dup2_frac,
+                     round(coalesce(top2, 0)
+                           / greatest(coalesce(n2, 0), 1)::DOUBLE
+                           + 1e-9, 4) AS top2_frac
+              FROM documents d
+              LEFT JOIN d1 USING (doc_id) LEFT JOIN d2 USING (doc_id)
+            )
+            SELECT doc_id, n_words, dupword_frac, dup2_frac, top2_frac,
+                   CASE WHEN dupword_frac <= 0.8 AND dup2_frac <= 0.08
+                             AND top2_frac <= 0.05
+                        THEN 1 ELSE 0 END::BIGINT AS keep
+            FROM f""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

@@ -449,3 +449,100 @@ def pack_token_bins(
 
     # batch_size=None: one call per block — the packing unit IS the block
     return ds.map_batches(pack, batch_size=None, batch_format="pyarrow")
+
+
+# ----------------------------------------------------------- repetition
+
+
+def _dup_run_stats(
+    doc_of: np.ndarray, h: np.ndarray, n_docs: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc (sum of run lengths over runs with length >= 2, max run
+    length) for (doc, hash) pairs — one lexsort + run-length segments,
+    no Python per doc or per token."""
+    dup = np.zeros(n_docs, dtype=np.int64)
+    top = np.zeros(n_docs, dtype=np.int64)
+    if len(h) == 0:
+        return dup, top
+    order = np.lexsort((h, doc_of))
+    d = doc_of[order]
+    hh = h[order]
+    new_run = np.empty(len(hh), dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+    run_starts = np.flatnonzero(new_run)
+    run_lens = np.diff(np.append(run_starts, len(hh)))
+    run_doc = d[run_starts]
+    dup[:] = np.bincount(
+        run_doc, weights=np.where(run_lens >= 2, run_lens, 0), minlength=n_docs
+    ).astype(np.int64)
+    # runs of one doc are contiguous (sorted by doc first) -> reduceat max
+    doc_bounds = np.flatnonzero(
+        np.r_[True, run_doc[1:] != run_doc[:-1]]
+    )
+    top[run_doc[doc_bounds]] = np.maximum.reduceat(run_lens, doc_bounds)
+    return dup, top
+
+
+def gopher_repetition(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition filters per document (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", Table A1), adapted from
+    character fractions to word-position fractions over the shared
+    ``\\W+`` tokenizer:
+
+      dupword_frac — fraction of word positions whose word occurs >= 2
+                     times within the doc
+      dup2_frac    — fraction of 2-gram positions whose 2-gram repeats
+                     within the doc
+      top2_frac    — share of the single most frequent 2-gram
+      keep         — 1 iff all three sit under the corpus thresholds
+                     (0.8 / 0.08 / 0.05, chosen so the synthetic corpus
+                     splits non-degenerately; compared on the ROUNDED
+                     values so the DuckDB oracle agrees bit-for-bit)
+
+    One ``map_batches`` pass, no shuffle: tokenize -> 64-bit word/2-gram
+    hashes -> lexsort run-length segments per doc. Counting duplicates by
+    hash equals counting by string absent a 64-bit collision (parity with
+    the string-based SQL oracle is asserted at sf0.01 in tests).
+    """
+    from ..functions.hashing import splitmix64
+
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def rep(batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        flat, offsets = tokenize_word_hashes(batch.column("text"))
+        lens = np.diff(offsets)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        dup_w, _ = _dup_run_stats(doc_of, flat, n_docs)
+        # adjacent-pair 2-gram hashes, masked at doc boundaries
+        if len(flat) > 1:
+            adj = doc_of[:-1] == doc_of[1:]
+            g = (splitmix64(flat[:-1]) ^ flat[1:])[adj]
+            gdoc = doc_of[:-1][adj]
+        else:
+            g = np.empty(0, dtype=np.uint64)
+            gdoc = np.empty(0, dtype=np.int64)
+        dup_2, top_2 = _dup_run_stats(gdoc, g, n_docs)
+        n2 = np.maximum(lens - 1, 0)
+        nw_f = np.maximum(lens, 1).astype(np.float64)
+        n2_f = np.maximum(n2, 1).astype(np.float64)
+        # +1e-9 pre-round: tie-free vs DuckDB (see quality_score)
+        dupword_frac = np.round(dup_w / nw_f + 1e-9, 4)
+        dup2_frac = np.round(dup_2 / n2_f + 1e-9, 4)
+        top2_frac = np.round(top_2 / n2_f + 1e-9, 4)
+        keep = (
+            (dupword_frac <= 0.8) & (dup2_frac <= 0.08) & (top2_frac <= 0.05)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(lens, pa.int64()),
+                "dupword_frac": pa.array(dupword_frac, pa.float64()),
+                "dup2_frac": pa.array(dup2_frac, pa.float64()),
+                "top2_frac": pa.array(top2_frac, pa.float64()),
+                "keep": pa.array(keep, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow")

@@ -69,5 +69,5 @@ def test_every_query_has_oracle_or_is_marked():
                                        "embedding", "lang_id", "quality",
                                        "fingerprint", "phash", "image", "crawl",
                                        "sample", "audio", "approx", "extract",
-                                       "headline", "clip", "curate"))
+                                       "headline", "clip", "curate", "pack"))
     }

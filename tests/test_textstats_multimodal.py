@@ -178,3 +178,49 @@ def test_pack_token_bins_invariants(ray_session):
         byblock[b // 100_000].append(total)
     for blk, totals in byblock.items():
         assert sum(v <= cap // 2 for v in totals) <= 1, (blk, totals)
+
+
+def test_gopher_repetition_brute_force(ray_session, tmp_path):
+    """gopher_repetition matches a per-doc Python brute force, including
+    the edge docs (empty, single word, all-identical words)."""
+    import re
+    from collections import Counter
+
+    texts = [
+        "",                     # 0 words
+        "word",                 # 1 word, 0 2-grams
+        "a a a a a a",          # fully duplicated
+        "one two three four five six seven eight",   # all unique
+        "x y x y x y z q r s t u v w",               # mixed
+        "Sp!it-on  punct,and CASE case",             # tokenizer edges
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    import pyarrow.parquet as pq
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in textstats.gopher_repetition(str(tmp_path)).take_all()
+    }
+    for i, t in enumerate(texts):
+        words = [w for w in re.split(r"\W+", t.lower()) if w]
+        grams = [
+            (words[j], words[j + 1]) for j in range(max(len(words) - 1, 0))
+        ]
+        wc, gc = Counter(words), Counter(grams)
+        dup_w = sum(k for k in wc.values() if k >= 2)
+        dup_2 = sum(k for k in gc.values() if k >= 2)
+        top_2 = max(gc.values(), default=0)
+        r = out[i]
+        assert r["n_words"] == len(words)
+        assert r["dupword_frac"] == round(
+            dup_w / max(len(words), 1) + 1e-9, 4)
+        assert r["dup2_frac"] == round(dup_2 / max(len(grams), 1) + 1e-9, 4)
+        assert r["top2_frac"] == round(top_2 / max(len(grams), 1) + 1e-9, 4)
+        assert r["keep"] == int(
+            r["dupword_frac"] <= 0.8
+            and r["dup2_frac"] <= 0.08
+            and r["top2_frac"] <= 0.05
+        )
