@@ -19,6 +19,7 @@ from typing import Any
 
 sys.path.insert(0, str(Path(__file__).parent))
 
+from newscrawler_ray.pipelines import corpusstats as CS  # noqa: E402
 from newscrawler_ray.pipelines import dedup as D  # noqa: E402
 from newscrawler_ray.pipelines import queries as Q  # noqa: E402
 from newscrawler_ray.pipelines import simsearch as S  # noqa: E402
@@ -153,6 +154,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher repetition filters (Rae et al. 2021 Table A1, word-
         # position adaptation; SQL-exact vs the string-based oracle)
         "gopher_repetition_docs": T.gopher_repetition,
+        # corpus-wide duplicated k-word spans (Lee et al. 2021 exact-
+        # substring dedup signal; coarse-partition counting, no joins)
+        "dup_span_docs": CS.dup_span_docs,
+        # exact corpus TF-IDF, top-5 terms per doc
+        "tfidf_top_terms": CS.tfidf_top_terms,
         # training-data ops: dedup family (SURVEY D2-D5 + graft additions)
         "exact_dedup_docs": D.exact_dedup_docs,
         # EXACT set-similarity self-join (prefix filtering) — unlike the
@@ -604,6 +610,64 @@ def oracle_sql() -> dict[str, str]:
                              AND top2_frac <= 0.05
                         THEN 1 ELSE 0 END::BIGINT AS keep
             FROM f""",
+        # a k-word span is duplicated iff its 8-gram occurs >= 2 times
+        # corpus-wide; the oracle recomputes the window totals by string
+        "dup_span_docs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                       '\W+'), x -> x <> '')) AS w,
+                     generate_subscripts(list_filter(string_split_regex(
+                       lower(text), '\W+'), x -> x <> ''), 1) AS i
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                  || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+                  || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win
+                  || ' ' || lead(w, 7) OVER win AS g8
+              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+              QUALIFY g8 IS NOT NULL
+            ), c AS (
+              SELECT doc_id,
+                     count(*) OVER (PARTITION BY g8) >= 2 AS is_dup
+              FROM g
+            ), d AS (
+              SELECT doc_id, count(*)::BIGINT AS n_spans,
+                     sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT
+                       AS dup_spans
+              FROM c GROUP BY doc_id
+            )
+            SELECT doc.doc_id,
+                   coalesce(n_spans, 0) AS n_spans,
+                   coalesce(dup_spans, 0) AS dup_spans,
+                   round(coalesce(dup_spans, 0)
+                         / greatest(coalesce(n_spans, 0), 1)::DOUBLE
+                         + 1e-9, 4) AS dup_span_frac
+            FROM documents doc LEFT JOIN d USING (doc_id)""",
+        # exact TF-IDF: score = tf * ln(N/df), per-doc top-5 ranked by
+        # (rounded score DESC, term ASC) on BOTH sides
+        "tfidf_top_terms": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                       '\W+'), x -> x <> '')) AS term
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, term, count(*)::BIGINT AS tf
+              FROM w GROUP BY doc_id, term
+            ), df AS (
+              SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+            ), s AS (
+              SELECT doc_id, term, tf, df,
+                     round(tf * ln((SELECT count(*) FROM documents)::DOUBLE
+                                   / df) + 1e-9, 4) AS score
+              FROM tf JOIN df USING (term)
+            )
+            SELECT doc_id, term, tf, df, score
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term ASC) AS rn FROM s)
+            WHERE rn <= 5""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

@@ -1,0 +1,284 @@
+"""Corpus-level text statistics (training-data curation ops that need a
+cross-document exchange, unlike the per-doc stages in textstats.py).
+
+  dup_span_docs   — per-doc fraction of k-word spans duplicated anywhere
+                    in the corpus (the exact-substring-dedup signal of
+                    Lee et al. 2021, "Deduplicating Training Data Makes
+                    Language Models Better", expressed over word k-grams)
+  tfidf_top_terms — exact corpus TF-IDF, top-k terms per document
+
+Scale shapes: dup_span_docs ships pre-aggregated (span_hash, doc_id,
+cnt) rows into ONE coarse-partition groupby (~4P Python calls total,
+segment sums inside — the same pattern as the LSH bucket stages), then a
+tiny (doc_id, counters) union+sum; no joins, nothing on the driver.
+tfidf_top_terms exchanges (doc_id, term, tf) rows twice (term-keyed df
+join, doc-keyed top-k) — inherent to exact TF-IDF; both sides of every
+exchange are pre-aggregated per batch.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions.hashing import splitmix64, tokenize_word_hashes
+from ..functions.io import read_clean
+
+_I64 = pa.int64()
+_U64 = np.uint64
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return str(Path(sf_dir) / f"{table}.parquet")
+
+
+def _nparts(num_partitions: int | None) -> int:
+    if num_partitions is not None:
+        return num_partitions
+    return max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+
+
+# ------------------------------------------------------- duplicate spans
+
+
+def _span_hashes(
+    texts, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(span_hash uint64, doc index per span, n_words per doc) for all
+    k-word spans of an Arrow string batch. Docs with fewer than k words
+    contribute zero spans (SQL-oracle convention: a k-gram window needs
+    k words). Chained splitmix mixing, vectorized over the whole batch;
+    spans crossing a doc boundary are masked out."""
+    flat, offsets = tokenize_word_hashes(texts)
+    lens = np.diff(offsets)
+    n_docs = len(lens)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    total = len(flat)
+    if total < k:
+        return (
+            np.empty(0, dtype=_U64),
+            np.empty(0, dtype=np.int64),
+            lens,
+        )
+    m = total - k + 1
+    acc = flat[:m].copy()
+    for j in range(1, k):
+        acc = splitmix64(acc) ^ flat[j : j + m]
+    acc = splitmix64(acc)
+    valid = doc_of[:m] == doc_of[k - 1 :]
+    return acc[valid], doc_of[:m][valid], lens
+
+
+def dup_span_docs(
+    sf_dir: str,
+    *,
+    k: int = 8,
+    num_partitions: int | None = None,
+    docs: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """Per-document duplicated-span statistics: a k-word span is
+    "duplicated" iff its k-gram occurs >= 2 times in the WHOLE corpus
+    (including repeats inside one doc) — the signal exact-substring
+    training-data dedup (Lee et al. 2021) removes, rebuilt over word
+    k-grams so a DuckDB window oracle can recompute it exactly.
+
+    Output: (doc_id, n_spans, dup_spans, dup_span_frac) for every doc;
+    n_spans = max(n_words - k + 1, 0).
+
+    Pipeline: map_batches emits per-batch pre-aggregated
+    (part, span_hash, doc_id, cnt) rows -> groupby(part) with ~4P coarse
+    partitions (hash-sharded; segment sums find runs with corpus total
+    >= 2 and fold the duplicated counts per doc inside the part) ->
+    union with the per-doc span totals -> ONE groupby(doc_id) sum. No
+    joins, no driver-side state; every exchanged row is a few int64s.
+    Duplicate detection by 64-bit hash == by string w.h.p. (string-based
+    SQL parity asserted at sf0.01 in tests).
+    """
+    nparts = _nparts(num_partitions)
+    coarse = nparts * 4
+    if docs is None:
+        docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def span_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        h, hdoc, _ = _span_hashes(batch.column("text"), k)
+        if len(h) == 0:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "h": pa.array([], _I64),
+                    "doc_id": pa.array([], _I64),
+                    "cnt": pa.array([], _I64),
+                }
+            )
+        # pre-aggregate (hash, doc) occurrence counts within the batch
+        order = np.lexsort((hdoc, h))
+        hs, ds_ = h[order], hdoc[order]
+        new = np.empty(len(hs), dtype=bool)
+        new[0] = True
+        new[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(hs)))
+        hu, du = hs[starts], ids[ds_[starts]]
+        return pa.table(
+            {
+                "part": pa.array((hu % _U64(coarse)).astype(np.int32)),
+                "h": pa.array(hu.view(np.int64)),
+                "doc_id": pa.array(du, _I64),
+                "cnt": pa.array(cnt, _I64),
+            }
+        )
+
+    rows = docs.map_batches(span_rows, batch_format="pyarrow")
+
+    def coarse_dups(group: pa.Table) -> pa.Table:
+        # one Python call per coarse part; exact per-hash totals via
+        # segment sums over the sorted run structure
+        h = group.column("h").to_numpy()
+        d = group.column("doc_id").to_numpy()
+        c = group.column("cnt").to_numpy()
+        order = np.argsort(h, kind="stable")
+        hs, ds_, cs = h[order], d[order], c[order]
+        starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        totals = np.add.reduceat(cs, starts)
+        dup_run = totals >= 2
+        keep = np.repeat(dup_run, np.diff(np.append(starts, len(hs))))
+        kd, kc = ds_[keep], cs[keep]
+        if len(kd) == 0:
+            return pa.table(
+                {"doc_id": pa.array([], _I64),
+                 "n_spans": pa.array([], _I64),
+                 "dup_spans": pa.array([], _I64)}
+            )
+        # fold per doc inside the part before the final doc-keyed sum
+        dorder = np.argsort(kd, kind="stable")
+        kd, kc = kd[dorder], kc[dorder]
+        dstarts = np.flatnonzero(np.r_[True, kd[1:] != kd[:-1]])
+        return pa.table(
+            {
+                "doc_id": pa.array(kd[dstarts], _I64),
+                "n_spans": pa.array(
+                    np.zeros(len(dstarts), dtype=np.int64), _I64
+                ),
+                "dup_spans": pa.array(np.add.reduceat(kc, dstarts), _I64),
+            }
+        )
+
+    dups = rows.groupby("part").map_groups(coarse_dups, batch_format="pyarrow")
+
+    def totals_rows(batch: pa.Table) -> pa.Table:
+        _, _, lens = _span_hashes(batch.column("text"), k)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_spans": pa.array(np.maximum(lens - k + 1, 0), _I64),
+                "dup_spans": pa.array(np.zeros(len(lens), np.int64), _I64),
+            }
+        )
+
+    totals = docs.map_batches(totals_rows, batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+
+    merged = totals.union(dups).groupby("doc_id").aggregate(
+        Sum("n_spans", alias_name="n_spans"),
+        Sum("dup_spans", alias_name="dup_spans"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ns = batch.column("n_spans").to_numpy().astype(np.int64)
+        dup = batch.column("dup_spans").to_numpy().astype(np.int64)
+        # +1e-9 pre-round: tie-free vs DuckDB (see textstats.quality_score)
+        frac = np.round(dup / np.maximum(ns, 1) + 1e-9, 4)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_spans": pa.array(ns, _I64),
+                "dup_spans": pa.array(dup, _I64),
+                "dup_span_frac": pa.array(frac, pa.float64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- tf-idf
+
+
+def tfidf_top_terms(
+    sf_dir: str,
+    *,
+    top_k: int = 5,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Exact corpus TF-IDF with the top-k highest-scoring terms per doc:
+    score = tf * ln(N / df), ranked per doc by (rounded score DESC, term
+    ASC). Output: (doc_id, term, tf, df, score).
+
+    Shape: per-batch Arrow group_by pre-computes final (doc_id, term,
+    tf) rows (docs never span batches) -> groupby(term) counts df ->
+    term-keyed hash join of df onto the tf rows -> coarse doc-keyed
+    groupby (doc_id % 4P parts, ONE Python call per part, vectorized
+    pandas rank inside) takes the per-doc top-k. Both exchanges move
+    only (doc_id, term, tf[, df]) rows; exact TF-IDF inherently
+    shuffles the term-frequency table — there is no smaller exchange.
+    """
+    nparts = _nparts(num_partitions)
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    n_docs = float(docs.count())
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column("text"), "")
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts), r"\W+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offs = lists.offsets.to_numpy()
+        flat = lists.values.slice(offs[0], offs[-1] - offs[0])
+        keep = pc.not_equal(pc.binary_length(flat), 0)
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy()
+        doc_of = np.repeat(ids, np.diff(offs))[keep_np]
+        t = pa.table(
+            {"doc_id": pa.array(doc_of, _I64), "term": flat.filter(keep)}
+        )
+        agg = t.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["doc_id", "term", "tf"])
+
+    tf = docs.map_batches(tf_rows, batch_format="pyarrow")
+
+    from ray.data.aggregate import Count
+
+    df = tf.groupby("term").aggregate(Count(alias_name="df"))
+    joined = tf.join(
+        df, join_type="inner", num_partitions=nparts, on=("term",)
+    )
+
+    def route(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        part = (ids % (nparts * 4)).astype(np.int32)
+        return batch.append_column("part", pa.array(part))
+
+    routed = joined.map_batches(route, batch_format="pyarrow")
+
+    def topk(group):
+        import pandas as pd  # noqa: F401 — map_groups pandas API
+
+        g = group.copy()
+        g["score"] = np.round(
+            g["tf"].to_numpy(np.float64)
+            * np.log(n_docs / g["df"].to_numpy(np.float64))
+            + 1e-9,  # tie-free pre-round nudge (see CLAUDE.md)
+            4,
+        )
+        g = g.sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True]
+        )
+        g = g.groupby("doc_id", sort=False).head(top_k)
+        return g[["doc_id", "term", "tf", "df", "score"]]
+
+    return routed.groupby("part").map_groups(topk, batch_format="pandas")

@@ -1,0 +1,109 @@
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from newscrawler_ray.pipelines import corpusstats
+
+
+def _write_docs(tmp_path, texts):
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def test_dup_span_planted(ray_session, tmp_path):
+    """A planted 8-word span shared by two docs is flagged in both; a
+    span repeated twice INSIDE one doc also counts (corpus total >= 2);
+    short docs get zero spans."""
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [
+        f"lead one two {span} tail three",          # shares span with doc 1
+        f"other start {span} different ending here",
+        f"{span} filler {span}",                    # self-repeat
+        "unique words only nothing shared at all among these tokens",
+        "short doc",                                # < 8 words -> 0 spans
+    ]
+    d = _write_docs(tmp_path, texts)
+    out = {r["doc_id"]: r for r in corpusstats.dup_span_docs(d).take_all()}
+    assert len(out) == 5
+    assert out[4]["n_spans"] == 0 and out[4]["dup_span_frac"] == 0.0
+    # docs 0 and 1 each contain the planted 8-gram exactly once
+    assert out[0]["dup_spans"] >= 1
+    assert out[1]["dup_spans"] >= 1
+    # doc 2: the repeated span's both occurrences are duplicated
+    assert out[2]["dup_spans"] >= 2
+    assert out[3]["dup_spans"] == 0
+    for i, t in enumerate(texts):
+        n_words = len([w for w in t.split() if w])
+        assert out[i]["n_spans"] == max(n_words - 7, 0)
+        assert out[i]["dup_span_frac"] == round(
+            out[i]["dup_spans"] / max(out[i]["n_spans"], 1) + 1e-9, 4
+        )
+
+
+def test_dup_span_brute_force(ray_session, tmp_path):
+    """dup_spans matches a Python dict brute force over word 8-grams."""
+    rng = np.random.default_rng(7)
+    vocab = [f"w{j}" for j in range(30)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(5, 40)).tolist())
+        for _ in range(40)
+    ]
+    d = _write_docs(tmp_path, texts)
+    out = {r["doc_id"]: r for r in corpusstats.dup_span_docs(d).take_all()}
+    from collections import Counter
+    k = 8
+    grams_of = {}
+    counts = Counter()
+    for i, t in enumerate(texts):
+        ws = t.split()
+        gs = [tuple(ws[j:j + k]) for j in range(max(len(ws) - k + 1, 0))]
+        grams_of[i] = gs
+        counts.update(gs)
+    for i in range(len(texts)):
+        dup = sum(1 for g in grams_of[i] if counts[g] >= 2)
+        assert out[i]["dup_spans"] == dup, i
+        assert out[i]["n_spans"] == len(grams_of[i])
+
+
+def test_tfidf_top_terms_brute_force(ray_session, tmp_path):
+    """tfidf_top_terms matches a pure-Python TF-IDF on a toy corpus,
+    including rounded-score ties broken by term ascending."""
+    texts = [
+        "apple banana apple cherry",
+        "banana cherry cherry date",
+        "apple date date date egg",
+        "fig fig fig fig fig",
+    ]
+    d = _write_docs(tmp_path, texts)
+    rows = corpusstats.tfidf_top_terms(d, top_k=3).take_all()
+    got = {}
+    for r in rows:
+        got.setdefault(r["doc_id"], []).append(
+            (r["term"], r["tf"], r["df"], r["score"])
+        )
+    from collections import Counter
+    n = float(len(texts))
+    df = Counter()
+    tfs = []
+    for t in texts:
+        c = Counter(t.split())
+        tfs.append(c)
+        df.update(c.keys())
+    for i, c in enumerate(tfs):
+        scored = sorted(
+            (
+                (term, tf, df[term],
+                 round(tf * math.log(n / df[term]) + 1e-9, 4))
+                for term, tf in c.items()
+            ),
+            key=lambda x: (-x[3], x[0]),
+        )[:3]
+        want = sorted(scored)
+        have = sorted(got[i])
+        assert have == want, (i, have, want)
