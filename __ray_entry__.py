@@ -159,6 +159,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_docs": CS.dup_span_docs,
         # exact corpus TF-IDF, top-5 terms per doc
         "tfidf_top_terms": CS.tfidf_top_terms,
+        # benchmark decontamination (GPT-3/PaLM hygiene pass): flag docs
+        # sharing a k-gram with the deterministic benchmark slice
+        # (k=4 / mod=31 here so the sf0.01 corpus exercises real hits)
+        "benchmark_contamination": lambda sf: CS.benchmark_contamination_docs(
+            sf, k=4, bench_mod=31
+        ),
         # training-data ops: dedup family (SURVEY D2-D5 + graft additions)
         "exact_dedup_docs": D.exact_dedup_docs,
         # EXACT set-similarity self-join (prefix filtering) — unlike the
@@ -668,6 +674,38 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                     ORDER BY score DESC, term ASC) AS rn FROM s)
             WHERE rn <= 5""",
+        # decontamination: a non-benchmark doc is contaminated iff any
+        # of its 4-grams appears in the benchmark slice (doc_id % 31 = 0;
+        # 15 contaminated docs at sf0.01 — non-degenerate on purpose)
+        "benchmark_contamination": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                       '\W+'), x -> x <> '')) AS w,
+                     generate_subscripts(list_filter(string_split_regex(
+                       lower(text), '\W+'), x -> x <> ''), 1) AS i
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                  || ' ' || lead(w, 3) OVER win AS g4
+              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+              QUALIFY g4 IS NOT NULL
+            ), bg AS (
+              SELECT DISTINCT g4 FROM g WHERE doc_id % 31 = 0
+            ), c AS (
+              SELECT doc_id, count(*)::BIGINT AS n_spans,
+                     sum(CASE WHEN g4 IN (SELECT g4 FROM bg)
+                         THEN 1 ELSE 0 END)::BIGINT AS n_hits
+              FROM g WHERE doc_id % 31 <> 0 GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_spans, 0) AS n_spans,
+                   coalesce(n_hits, 0) AS n_hits,
+                   CASE WHEN coalesce(n_hits, 0) > 0 THEN 1 ELSE 0
+                     END::BIGINT AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 31 <> 0) d
+            LEFT JOIN c USING (doc_id)""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

@@ -282,3 +282,75 @@ def tfidf_top_terms(
         return g[["doc_id", "term", "tf", "df", "score"]]
 
     return routed.groupby("part").map_groups(topk, batch_format="pandas")
+
+
+# ------------------------------------------------------- decontamination
+
+
+def benchmark_contamination_docs(
+    sf_dir: str,
+    *,
+    k: int = 8,
+    bench_mod: int = 97,
+) -> rd.Dataset:
+    """Benchmark decontamination (the GPT-3/PaLM training-data hygiene
+    pass: drop training docs that share an n-gram with an eval set).
+    The "benchmark" here is the deterministic corpus slice
+    ``doc_id % bench_mod == 0`` (~1%); every other doc is scanned for
+    k-word spans whose k-gram appears anywhere in the benchmark.
+
+    Output (non-benchmark docs only): (doc_id, n_spans, n_hits,
+    contaminated) where n_hits counts span positions matching the
+    benchmark gram set and contaminated = 1 iff n_hits > 0.
+
+    Scale shape: real eval benchmarks are megabytes against a 100 TB
+    corpus, so the gram set is the canonical broadcast-small-side case —
+    collected once as a SORTED uint64 array, shipped via ``ray.put``,
+    membership per batch is one vectorized ``searchsorted``. The corpus
+    side streams; no shuffle at all.
+    """
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    bench = docs.filter(lambda row: row["doc_id"] % bench_mod == 0)
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        h, _, _ = _span_hashes(batch.column("text"), k)
+        return pa.table({"h": pa.array(np.unique(h).view(np.int64))})
+
+    parts = [
+        b.column("h").to_numpy()
+        for b in bench.map_batches(bench_grams, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    gram_set = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    )
+    ref = ray.put(gram_set)  # sorted; resolved zero-copy in every task
+
+    def scan(batch: pa.Table) -> pa.Table:
+        grams = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy()
+        keep = ids % bench_mod != 0
+        sub = batch.filter(pa.array(keep))
+        sids = sub.column("doc_id").to_numpy()
+        h, hdoc, lens = _span_hashes(sub.column("text"), k)
+        n_spans = np.maximum(lens - k + 1, 0)
+        hits = np.zeros(len(sids), dtype=np.int64)
+        if len(h) and len(grams):
+            hs = h.view(np.int64)
+            pos = np.searchsorted(grams, hs)
+            pos = np.minimum(pos, len(grams) - 1)
+            is_hit = grams[pos] == hs
+            hits[:] = np.bincount(
+                hdoc, weights=is_hit, minlength=len(sids)
+            ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(sids, _I64),
+                "n_spans": pa.array(n_spans, _I64),
+                "n_hits": pa.array(hits, _I64),
+                "contaminated": pa.array((hits > 0).astype(np.int64), _I64),
+            }
+        )
+
+    return docs.map_batches(scan, batch_format="pyarrow")

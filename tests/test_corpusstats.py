@@ -107,3 +107,38 @@ def test_tfidf_top_terms_brute_force(ray_session, tmp_path):
         want = sorted(scored)
         have = sorted(got[i])
         assert have == want, (i, have, want)
+
+
+def test_benchmark_contamination_planted(ray_session, tmp_path):
+    """Docs sharing a k-gram with the benchmark slice are flagged; the
+    benchmark docs themselves are excluded from the output."""
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [None] * 10
+    texts[0] = f"benchmark doc holds {span} and more trailing words"  # bench
+    texts[5] = f"training doc leaks {span} right here"  # contaminated
+    for i in range(10):
+        if texts[i] is None:
+            texts[i] = f"clean doc number {i} with its own distinct words x{i} y{i} z{i}"
+    d = _write_docs(tmp_path, texts)
+    out = {
+        r["doc_id"]: r
+        for r in corpusstats.benchmark_contamination_docs(
+            d, k=8, bench_mod=5
+        ).take_all()
+    }
+    # bench slice = doc_id % 5 == 0 -> docs 0 and 5 excluded
+    assert set(out) == {1, 2, 3, 4, 6, 7, 8, 9}
+    # doc 5 is benchmark (excluded); plant the leak in a non-bench doc too
+    texts2 = list(texts)
+    texts2[7] = f"another training doc repeats {span} verbatim"
+    d2 = _write_docs(tmp_path, texts2)
+    out2 = {
+        r["doc_id"]: r
+        for r in corpusstats.benchmark_contamination_docs(
+            d2, k=8, bench_mod=5
+        ).take_all()
+    }
+    assert out2[7]["contaminated"] == 1 and out2[7]["n_hits"] >= 1
+    assert all(
+        out2[i]["contaminated"] == 0 for i in (1, 2, 3, 4, 6, 8, 9)
+    )
