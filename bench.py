@@ -69,6 +69,11 @@ QUERY_NAMES = [
     "embedding_near_dup_ivf",
     "minhash_dedup_docs",
     "curate_image_corpus",
+    # round-3 additions: corpus curation ops
+    "gopher_repetition_docs",
+    "dup_span_docs",
+    "tfidf_top_terms",
+    "benchmark_contamination",
 ]
 
 

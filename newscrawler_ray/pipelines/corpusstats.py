@@ -191,6 +191,15 @@ def dup_span_docs(
     )
 
     def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], _I64),
+                    "n_spans": pa.array([], _I64),
+                    "dup_spans": pa.array([], _I64),
+                    "dup_span_frac": pa.array([], pa.float64()),
+                }
+            )
         ns = batch.column("n_spans").to_numpy().astype(np.int64)
         dup = batch.column("dup_spans").to_numpy().astype(np.int64)
         # +1e-9 pre-round: tie-free vs DuckDB (see textstats.quality_score)
@@ -249,16 +258,35 @@ def tfidf_top_terms(
         agg = t.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
         return agg.rename_columns(["doc_id", "term", "tf"])
 
-    tf = docs.map_batches(tf_rows, batch_format="pyarrow")
+    # tf feeds BOTH the df aggregate and the join probe side; without a
+    # checkpoint, lineage re-runs the read+tokenize once per consumer.
+    # The (doc, term, tf) table is the compacted term index — far
+    # smaller than the text input — so materializing it here is the
+    # cheap side of the trade at any scale (it spills, never the driver)
+    tf = docs.map_batches(tf_rows, batch_format="pyarrow").materialize()
 
     from ray.data.aggregate import Count
 
     df = tf.groupby("term").aggregate(Count(alias_name="df"))
+    # hash-shuffle outputs carry 0-column blocks for empty partitions,
+    # which acero rejects as a join side at high partition counts
+    # (round-2 jaccard_dedup_docs regression class) — repartition first
+    df = df.repartition(nparts)
     joined = tf.join(
         df, join_type="inner", num_partitions=nparts, on=("term",)
     )
 
     def route(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], _I64),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], _I64),
+                    "df": pa.array([], _I64),
+                    "part": pa.array([], pa.int32()),
+                }
+            )
         ids = batch.column("doc_id").to_numpy()
         part = (ids % (nparts * 4)).astype(np.int32)
         return batch.append_column("part", pa.array(part))
