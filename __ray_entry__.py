@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_contamination": lambda sf: CS.benchmark_contamination_docs(
             sf, k=4, bench_mod=31
         ),
+        # pretraining mixture weights: p_s ∝ token_share^0.5 per source
+        "source_mix_weights": CS.source_mix_weights,
         # training-data ops: dedup family (SURVEY D2-D5 + graft additions)
         "exact_dedup_docs": D.exact_dedup_docs,
         # EXACT set-similarity self-join (prefix filtering) — unlike the
@@ -706,6 +708,30 @@ def oracle_sql() -> dict[str, str]:
                      END::BIGINT AS contaminated
             FROM (SELECT doc_id FROM documents WHERE doc_id % 31 <> 0) d
             LEFT JOIN c USING (doc_id)""",
+        # sqrt-damped mixture weights over per-source token sums; sqrt
+        # is IEEE-correctly-rounded in both engines, so parity is exact
+        "source_mix_weights": r"""
+            WITH d AS (
+              SELECT source,
+                     len(list_filter(string_split_regex(lower(text),
+                       '\W+'), x -> x <> ''))::BIGINT AS n_tokens
+              FROM documents
+            ), a AS (
+              SELECT source, count(*)::BIGINT AS n_docs,
+                     sum(n_tokens)::BIGINT AS n_tokens
+              FROM d GROUP BY source
+            ), s AS (
+              SELECT source, n_docs, n_tokens,
+                     n_tokens::DOUBLE
+                       / (SELECT sum(n_tokens)::DOUBLE FROM a) AS share
+              FROM a
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(share + 1e-9, 4) AS token_share,
+                   round(sqrt(share)
+                         / (SELECT sum(sqrt(share)) FROM s)
+                         + 1e-9, 4) AS weight
+            FROM s""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

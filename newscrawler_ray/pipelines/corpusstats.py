@@ -382,3 +382,66 @@ def benchmark_contamination_docs(
         )
 
     return docs.map_batches(scan, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- mixture weights
+
+
+def source_mix_weights(sf_dir: str) -> pa.Table:
+    """Temperature-scaled sampling weights per source for pretraining
+    mixtures (the GPT-3 / XLM-R data-mixing rule: p_s ∝ share_s^alpha
+    with alpha=0.5, i.e. sqrt-damped so small sources are upsampled).
+
+    Output: (source, n_docs, n_tokens, token_share, weight), weights
+    summing to 1. Per-batch token counts fold into per-batch partial
+    sums, one tiny groupby(source) — the final weight normalization
+    runs on the k-limited (#sources) result, the canonical
+    small-collect. sqrt (not pow) on both sides: IEEE-correctly-rounded
+    in numpy and DuckDB alike, so parity is exact.
+    """
+    docs = read_clean(_p(sf_dir, "documents"), columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, offsets = tokenize_word_hashes(batch.column("text"))
+        lens = np.diff(offsets)
+        t = pa.table(
+            {
+                "source": batch.column("source"),
+                "n_tokens": pa.array(lens, _I64),
+            }
+        )
+        return (
+            t.group_by(["source"])
+            .aggregate([("n_tokens", "sum"), ([], "count_all")])
+            .rename_columns(["source", "n_tokens", "n_docs"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+    )
+    t = pa.concat_tables(
+        [b for b in agg.iter_batches(batch_format="pyarrow") if b.num_rows]
+    ).combine_chunks()
+    t = t.sort_by("source")
+    n_tokens = t.column("n_tokens").to_numpy().astype(np.float64)
+    share = n_tokens / n_tokens.sum()
+    damped = np.sqrt(share)
+    weight = damped / damped.sum()
+    return pa.table(
+        {
+            "source": t.column("source"),
+            "n_docs": t.column("n_docs"),
+            "n_tokens": t.column("n_tokens"),
+            "token_share": pa.array(
+                np.round(share + 1e-9, 4), pa.float64()
+            ),
+            "weight": pa.array(np.round(weight + 1e-9, 4), pa.float64()),
+        }
+    )

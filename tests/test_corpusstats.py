@@ -142,3 +142,15 @@ def test_benchmark_contamination_planted(ray_session, tmp_path):
     assert all(
         out2[i]["contaminated"] == 0 for i in (1, 2, 3, 4, 6, 8, 9)
     )
+
+
+def test_corpus_ops_at_high_partition_counts(ray_session):
+    """Regression guard (round-2 lesson): hash-shuffle/join stages emit
+    0-column blocks for empty partitions once partition count exceeds
+    the data, which acero rejects — run both shuffle-bearing ops at 16
+    partitions on the tiny fixture where most partitions ARE empty."""
+    sf = "/root/testdata/sf0.001"
+    out = corpusstats.tfidf_top_terms(sf, num_partitions=16).take_all()
+    assert len(out) == 500 * 5
+    out2 = corpusstats.dup_span_docs(sf, num_partitions=16).take_all()
+    assert len(out2) == 500
