@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # pretraining mixture weights: p_s ∝ token_share^0.5 per source
         "source_mix_weights": CS.source_mix_weights,
+        # unigram-LM mean NLL per doc (CCNet perplexity-filter stand-in)
+        "unigram_logprob_docs": CS.unigram_logprob_docs,
         # training-data ops: dedup family (SURVEY D2-D5 + graft additions)
         "exact_dedup_docs": D.exact_dedup_docs,
         # EXACT set-similarity self-join (prefix filtering) — unlike the
@@ -732,6 +734,29 @@ def oracle_sql() -> dict[str, str]:
                          / (SELECT sum(sqrt(share)) FROM s)
                          + 1e-9, 4) AS weight
             FROM s""",
+        # unigram model = corpus word counts; mean_nll is exact
+        # arithmetic over them (ln is libm-identical in both engines)
+        "unigram_logprob_docs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                       '\W+'), x -> x <> '')) AS w
+              FROM documents
+            ), c AS (
+              SELECT w, count(*)::DOUBLE AS c FROM w GROUP BY w
+            ), t AS (
+              SELECT sum(c) AS t FROM c
+            ), s AS (
+              SELECT doc_id, count(*)::BIGINT AS n_words,
+                     sum(ln((SELECT t FROM t) / c.c)) AS nll
+              FROM w JOIN c USING (w) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_words, 0) AS n_words,
+                   round(coalesce(nll, 0)
+                         / greatest(coalesce(n_words, 0), 1)
+                         + 1e-9, 4) AS mean_nll
+            FROM documents d LEFT JOIN s USING (doc_id)""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

@@ -445,3 +445,91 @@ def source_mix_weights(sf_dir: str) -> pa.Table:
             "weight": pa.array(np.round(weight + 1e-9, 4), pa.float64()),
         }
     )
+
+
+# ------------------------------------------------------ unigram LM score
+
+
+def unigram_logprob_docs(sf_dir: str) -> rd.Dataset:
+    """Model-based quality scoring, CCNet-style: score every doc by the
+    mean negative log-likelihood under a corpus-trained unigram language
+    model (the cheap stand-in for CCNet's KenLM perplexity filter —
+    docs full of rare words score high, formulaic docs score low).
+
+    Output: (doc_id, n_words, mean_nll) with
+    mean_nll = (1/n) * sum ln(T / count(w_i)), T = corpus token count.
+
+    Shape: per-batch partial (word_hash, cnt) counts -> one
+    groupby(hash) sum -> the model ships as a SORTED (hash, count)
+    numpy bundle via ``ray.put`` (a unigram LM is model-sized, not
+    corpus-sized — Heaps' law keeps real vocabularies in the 10^6-10^7
+    range, a ~100 MB broadcast at worst; were the vocab ever
+    corpus-sized, the tfidf-style term join is the drop-in escape) ->
+    scoring is one streaming map_batches with a vectorized searchsorted
+    lookup. String-based SQL parity asserted at sf0.01 in tests.
+    """
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        flat, _ = tokenize_word_hashes(batch.column("text"))
+        if len(flat) == 0:
+            return pa.table(
+                {"h": pa.array([], _I64), "cnt": pa.array([], _I64)}
+            )
+        hu, cnt = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(hu.view(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64), _I64),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        docs.map_batches(count_rows, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    hs, cs = [], []
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            hs.append(b.column("h").to_numpy())
+            cs.append(b.column("cnt").to_numpy())
+    if hs:
+        h_all = np.concatenate(hs)
+        c_all = np.concatenate(cs).astype(np.float64)
+        order = np.argsort(h_all)
+        h_all, c_all = h_all[order], c_all[order]
+    else:
+        h_all = np.empty(0, np.int64)
+        c_all = np.empty(0, np.float64)
+    total = float(c_all.sum())
+    ref = ray.put((h_all, c_all))  # resolved zero-copy in every task
+
+    def score(batch: pa.Table) -> pa.Table:
+        model_h, model_c = ray.get(ref)
+        flat, offsets = tokenize_word_hashes(batch.column("text"))
+        lens = np.diff(offsets)
+        n_docs = batch.num_rows
+        nll_sum = np.zeros(n_docs, dtype=np.float64)
+        if len(flat) and len(model_h):
+            hs64 = flat.view(np.int64)
+            pos = np.searchsorted(model_h, hs64)
+            pos = np.minimum(pos, len(model_h) - 1)
+            # every corpus word IS in the corpus model; the guard only
+            # matters if scoring foreign text against this model
+            c = np.where(model_h[pos] == hs64, model_c[pos], 1.0)
+            nll = np.log(total / c)
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            nll_sum[:] = np.bincount(doc_of, weights=nll, minlength=n_docs)
+        mean_nll = np.round(nll_sum / np.maximum(lens, 1) + 1e-9, 4)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(lens, _I64),
+                "mean_nll": pa.array(mean_nll, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")

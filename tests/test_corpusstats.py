@@ -154,3 +154,34 @@ def test_corpus_ops_at_high_partition_counts(ray_session):
     assert len(out) == 500 * 5
     out2 = corpusstats.dup_span_docs(sf, num_partitions=16).take_all()
     assert len(out2) == 500
+
+
+def test_unigram_logprob_brute_force(ray_session, tmp_path):
+    """mean_nll matches a pure-Python unigram LM, including empty and
+    single-word docs."""
+    texts = [
+        "",
+        "rare",
+        "common common common common",
+        "common rare mixed words here",
+        "common common mixed",
+    ]
+    d = _write_docs(tmp_path, texts)
+    out = {
+        r["doc_id"]: r
+        for r in corpusstats.unigram_logprob_docs(d).take_all()
+    }
+    from collections import Counter
+    all_words = [w for t in texts for w in t.split()]
+    c = Counter(all_words)
+    total = float(len(all_words))
+    for i, t in enumerate(texts):
+        ws = t.split()
+        want = round(
+            sum(math.log(total / c[w]) for w in ws) / max(len(ws), 1)
+            + 1e-9, 4,
+        )
+        assert out[i]["n_words"] == len(ws)
+        assert out[i]["mean_nll"] == want, (i, out[i]["mean_nll"], want)
+    # rare-word doc scores strictly higher than the all-common doc
+    assert out[1]["mean_nll"] > out[2]["mean_nll"]
