@@ -169,6 +169,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mix_weights": CS.source_mix_weights,
         # unigram-LM mean NLL per doc (CCNet perplexity-filter stand-in)
         "unigram_logprob_docs": CS.unigram_logprob_docs,
+        # distributed spherical k-means over the full embeddings table
+        # (SemDeDup-style corpus clustering; rows-only: iterative, the
+        # pytest oracle replays the loop in plain numpy)
+        "kmeans_clusters": S.kmeans_assign,
         # training-data ops: dedup family (SURVEY D2-D5 + graft additions)
         "exact_dedup_docs": D.exact_dedup_docs,
         # EXACT set-similarity self-join (prefix filtering) — unlike the

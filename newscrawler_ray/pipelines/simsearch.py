@@ -214,3 +214,114 @@ def knn_ivf(
     parts = ds.map_batches(batch_topk, batch_format="pyarrow")
     rows = parts.sort(["sim", "vec_id"], descending=[True, False]).limit(k).take_all()
     return pa.table({"vec_id": pa.array([r["vec_id"] for r in rows], pa.int64())})
+
+
+def kmeans_assign(
+    sf_dir: str,
+    *,
+    n_cells: int = 16,
+    iters: int = 3,
+    full_iters: int = 3,
+    seed: int = 42,
+    return_centroids: bool = False,
+):
+    """Distributed spherical k-means over the FULL embeddings table
+    (SemDeDup-style corpus clustering: cluster once, then dedup/curate
+    within clusters). ``ivf_build``'s sample-trained centroids seed the
+    loop; each Lloyd iteration is ONE streaming pass — every batch emits
+    (n_cells x d) partial centroid sums + counts, the driver folds the
+    batch partials (centroid-sized, NOT data-sized) and renormalizes.
+    Deterministic: seeded init, argmax ties break to the lowest cell id.
+
+    Output: (vec_id, cluster, sim) for every vector — assignment under
+    the final centroids (also returned when ``return_centroids``).
+    Iterative -> rows-only for the driver; the pytest oracle checks
+    assignment optimality against the returned centroids exactly, plus
+    determinism and Lloyd objective improvement. Partial folds happen
+    in bkey order so reruns are bit-identical at a fixed batch layout.
+    """
+    ds = read_clean(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    cents = ivf_build(sf_dir, n_cells=n_cells, iters=iters, seed=seed)
+
+    for _ in range(full_iters):
+        ref = ray.put(cents)
+
+        def partial(batch: pa.Table, _ref=ref) -> pa.Table:
+            C = ray.get(_ref)
+            E = _norm(emb_matrix(batch.column("embedding")))
+            if len(E) == 0:
+                k, d = C.shape
+                return pa.table(
+                    {"cell": pa.array([], pa.int64()),
+                     "cnt": pa.array([], pa.int64()),
+                     "vsum": pa.array([], pa.binary())}
+                )
+            assign = np.argmax(E @ C.T, axis=1)
+            k, d = C.shape
+            sums = np.zeros((k, d), dtype=np.float64)
+            np.add.at(sums, assign, E)
+            cnt = np.bincount(assign, minlength=k).astype(np.int64)
+            bkey = int(batch.column("vec_id").to_numpy().min())
+            return pa.table(
+                {
+                    "bkey": pa.array(np.full(k, bkey, dtype=np.int64)),
+                    "cell": pa.array(np.arange(k, dtype=np.int64)),
+                    "cnt": pa.array(cnt),
+                    "vsum": pa.array(
+                        [sums[c].tobytes() for c in range(k)], pa.binary()
+                    ),
+                }
+            )
+
+        k, d = cents.shape
+        tot_cnt = np.zeros(k, dtype=np.int64)
+        tot_sum = np.zeros((k, d), dtype=np.float64)
+        # fold batch partials in bkey order: batch ARRIVAL order varies
+        # run to run, and float summation order must not (determinism
+        # invariant); the fold itself stays centroid-sized
+        partials: list[tuple[int, np.ndarray, np.ndarray, list]] = []
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            if b.num_rows == 0:
+                continue
+            partials.append(
+                (
+                    int(b.column("bkey")[0].as_py()),
+                    b.column("cell").to_numpy(),
+                    b.column("cnt").to_numpy(),
+                    b.column("vsum").to_pylist(),
+                )
+            )
+        for _, cells, cnts, vsums in sorted(partials, key=lambda p: p[0]):
+            tot_cnt[cells] += cnts
+            for i, c in enumerate(cells.tolist()):
+                tot_sum[c] += np.frombuffer(vsums[i], dtype=np.float64)
+        nonzero = tot_cnt > 0
+        cents = cents.copy()
+        cents[nonzero] = _norm(tot_sum[nonzero] / tot_cnt[nonzero, None])
+
+    final_ref = ray.put(cents)
+
+    def assign_rows(batch: pa.Table) -> pa.Table:
+        C = ray.get(final_ref)
+        E = _norm(emb_matrix(batch.column("embedding")))
+        if len(E) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()),
+                 "cluster": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        sims = E @ C.T
+        assign = np.argmax(sims, axis=1)
+        best = np.round(sims[np.arange(len(E)), assign] + 1e-9, 4)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "cluster": pa.array(assign.astype(np.int64)),
+                "sim": pa.array(best, pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(assign_rows, batch_format="pyarrow")
+    return (out, cents) if return_centroids else out

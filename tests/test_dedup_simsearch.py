@@ -434,3 +434,36 @@ def test_crossmodal_dedup_bridges_modalities(ray_session, tmp_path):
         str(tmp_path), tau=0.4, threshold=0.5, num_partitions=2
     ).take_all()
     assert sorted(r["doc_id"] for r in out) == [0, 3, 5, 7]
+
+
+def test_kmeans_assign_invariants(ray_session):
+    """Distributed k-means invariants: (1) the emitted (cluster, sim)
+    is EXACTLY the argmax assignment under the returned final centroids,
+    (2) reruns are deterministic, (3) the Lloyd loop did not worsen the
+    spherical objective vs the sample-trained init."""
+    import pyarrow.parquet as pq
+
+    ds, cents = simsearch.kmeans_assign(SF, return_centroids=True)
+    out = {r["vec_id"]: (r["cluster"], r["sim"]) for r in ds.take_all()}
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    E = simsearch._norm(simsearch.emb_matrix(t.column("embedding")))
+    sims = E @ cents.T
+    assign = np.argmax(sims, axis=1)
+    best = np.round(sims[np.arange(len(E)), assign] + 1e-9, 4)
+    assert len(out) == len(ids)
+    for i, vid in enumerate(ids.tolist()):
+        assert out[vid][0] == assign[i], vid
+        assert out[vid][1] == best[i], vid
+    assert len(set(assign.tolist())) > 1
+    # objective improved (or held) vs the sample-trained seed centroids
+    seed_cents = simsearch.ivf_build(SF)
+    seed_obj = float(np.max(E @ seed_cents.T, axis=1).mean())
+    final_obj = float(np.max(sims, axis=1).mean())
+    assert final_obj >= seed_obj - 1e-9
+    # determinism: a second full run emits the identical table
+    out2 = {
+        r["vec_id"]: (r["cluster"], r["sim"])
+        for r in simsearch.kmeans_assign(SF).take_all()
+    }
+    assert out2 == out

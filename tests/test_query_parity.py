@@ -69,5 +69,6 @@ def test_every_query_has_oracle_or_is_marked():
                                        "embedding", "lang_id", "quality",
                                        "fingerprint", "phash", "image", "crawl",
                                        "sample", "audio", "approx", "extract",
-                                       "headline", "clip", "curate", "pack"))
+                                       "headline", "clip", "curate", "pack",
+                                       "kmeans"))
     }
