@@ -74,6 +74,26 @@ def _span_hashes(
     return acc[valid], doc_of[:m][valid], lens
 
 
+def _word_counts(texts) -> np.ndarray:
+    """Non-empty-token count per doc under the shared ``\\W+`` tokenizer
+    — the counting half of ``tokenize_word_hashes`` without the hash
+    chain (the totals pass of dup_span_docs needs only the counts)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n_docs = len(texts)
+    lists = pc.split_pattern_regex(
+        pc.utf8_lower(pc.fill_null(texts, "")), r"\W+"
+    )
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offs = lists.offsets.to_numpy()
+    flat = lists.values.slice(offs[0], offs[-1] - offs[0])
+    keep = pc.not_equal(pc.binary_length(flat), 0)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offs))
+    return np.bincount(doc_of[keep_np], minlength=n_docs)
+
+
 def dup_span_docs(
     sf_dir: str,
     *,
@@ -172,7 +192,7 @@ def dup_span_docs(
     dups = rows.groupby("part").map_groups(coarse_dups, batch_format="pyarrow")
 
     def totals_rows(batch: pa.Table) -> pa.Table:
-        _, _, lens = _span_hashes(batch.column("text"), k)
+        lens = _word_counts(batch.column("text"))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -402,8 +422,7 @@ def source_mix_weights(sf_dir: str) -> pa.Table:
     docs = read_clean(_p(sf_dir, "documents"), columns=["source", "text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        _, offsets = tokenize_word_hashes(batch.column("text"))
-        lens = np.diff(offsets)
+        lens = _word_counts(batch.column("text"))
         t = pa.table(
             {
                 "source": batch.column("source"),
