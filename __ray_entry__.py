@@ -173,6 +173,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (SemDeDup-style corpus clustering; rows-only: iterative, the
         # pytest oracle replays the loop in plain numpy)
         "kmeans_clusters": S.kmeans_assign,
+        # flagship text-curation composition (C4/RefinedWeb recipe):
+        # gopher gates AND quality floor AND unigram-NLL cap AND
+        # decontamination, then exact first-wins dedup — whole
+        # composition SQL-oracled
+        "curate_text_corpus": CS.curate_text_corpus,
         # training-data ops: dedup family (SURVEY D2-D5 + graft additions)
         "exact_dedup_docs": D.exact_dedup_docs,
         # EXACT set-similarity self-join (prefix filtering) — unlike the
@@ -761,6 +766,90 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(coalesce(n_words, 0), 1)
                          + 1e-9, 4) AS mean_nll
             FROM documents d LEFT JOIN s USING (doc_id)""",
+        # the full curation composition is the AND of four SQL-expressible
+        # gates plus a group-by-text dedup; every threshold compares the
+        # rounded values both engines compute identically
+        "curate_text_corpus": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '')) AS w,
+                     generate_subscripts(list_filter(string_split_regex(lower(text), '\W+'), x -> x <> ''), 1) AS i
+              FROM documents
+            ), wc AS (
+              SELECT doc_id, w, count(*) AS k FROM w GROUP BY doc_id, w
+            ), d1 AS (
+              SELECT doc_id, sum(k)::BIGINT AS n_words,
+                     sum(CASE WHEN k >= 2 THEN k ELSE 0 END)::BIGINT AS dup_words
+              FROM wc GROUP BY doc_id
+            ), g2 AS (
+              SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS g2
+              FROM w QUALIFY g2 IS NOT NULL
+            ), gc AS (
+              SELECT doc_id, g2, count(*) AS k FROM g2 GROUP BY doc_id, g2
+            ), d2 AS (
+              SELECT doc_id, sum(k)::BIGINT AS n2,
+                     sum(CASE WHEN k >= 2 THEN k ELSE 0 END)::BIGINT AS dup2,
+                     max(k)::BIGINT AS top2
+              FROM gc GROUP BY doc_id
+            ), rep AS (
+              SELECT d.doc_id,
+                     round(coalesce(dup_words, 0) / greatest(coalesce(n_words, 0), 1)::DOUBLE + 1e-9, 4) AS dupword_frac,
+                     round(coalesce(dup2, 0) / greatest(coalesce(n2, 0), 1)::DOUBLE + 1e-9, 4) AS dup2_frac,
+                     round(coalesce(top2, 0) / greatest(coalesce(n2, 0), 1)::DOUBLE + 1e-9, 4) AS top2_frac
+              FROM documents d LEFT JOIN d1 USING (doc_id) LEFT JOIN d2 USING (doc_id)
+            ), qb AS (
+              SELECT doc_id,
+                length(text)::BIGINT AS n_chars,
+                len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+                len(regexp_extract_all(text, '[^\w\s]'))::BIGINT AS n_punct,
+                list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS words
+              FROM documents
+            ), qf AS (
+              SELECT doc_id,
+                round(0.4 * least(n_chars::DOUBLE / 500.0, 1)
+                    + 0.2 * (1 - least(n_punct::DOUBLE / n_chars::DOUBLE, 1))
+                    + 0.2 * least((n_chars::DOUBLE / greatest(n_tokens, 1)::DOUBLE) / 8.0, 1)
+                    + 0.2 * least(round(len(list_filter(words, x -> x IN ('the','and','of',
+                        'to','a','in','is','that','it','for','was','on')))::DOUBLE
+                        / greatest(len(words), 1) + 1e-9, 4) * 4, 1) + 1e-9, 4) AS quality
+              FROM qb
+            ), uc AS (
+              SELECT w, count(*)::DOUBLE AS c FROM w GROUP BY w
+            ), ut AS (
+              SELECT sum(c) AS t FROM uc
+            ), un AS (
+              SELECT doc_id, count(*)::BIGINT AS n,
+                     sum(ln((SELECT t FROM ut) / uc.c)) AS nll
+              FROM w JOIN uc USING (w) GROUP BY doc_id
+            ), unr AS (
+              SELECT d.doc_id,
+                     round(coalesce(nll, 0) / greatest(coalesce(n, 0), 1) + 1e-9, 4) AS mean_nll
+              FROM documents d LEFT JOIN un USING (doc_id)
+            ), g4 AS (
+              SELECT doc_id,
+                w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                  || ' ' || lead(w, 3) OVER win AS g4
+              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+              QUALIFY g4 IS NOT NULL
+            ), bg AS (
+              SELECT DISTINCT g4 FROM g4 WHERE doc_id % 31 = 0
+            ), ch AS (
+              SELECT doc_id,
+                     sum(CASE WHEN g4 IN (SELECT g4 FROM bg) THEN 1 ELSE 0 END)::BIGINT AS n_hits
+              FROM g4 WHERE doc_id % 31 <> 0 GROUP BY doc_id
+            ), surv AS (
+              SELECT d.doc_id, d.text
+              FROM documents d
+              JOIN rep USING (doc_id) JOIN qf USING (doc_id) JOIN unr USING (doc_id)
+              LEFT JOIN ch USING (doc_id)
+              WHERE d.doc_id % 31 <> 0
+                AND rep.dupword_frac <= 0.8 AND rep.dup2_frac <= 0.08
+                AND rep.top2_frac <= 0.05
+                AND qf.quality >= 0.55
+                AND unr.mean_nll <= 3.402
+                AND coalesce(ch.n_hits, 0) = 0
+            )
+            SELECT min(doc_id) AS doc_id FROM surv GROUP BY text""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

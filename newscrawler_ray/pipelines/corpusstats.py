@@ -335,6 +335,26 @@ def tfidf_top_terms(
 # ------------------------------------------------------- decontamination
 
 
+def _bench_gram_set(docs: rd.Dataset, k: int, bench_mod: int) -> np.ndarray:
+    """Sorted int64 k-gram hash set of the benchmark slice
+    (``doc_id % bench_mod == 0``) — small by construction (real eval
+    sets are megabytes), so collecting it for a ``ray.put`` broadcast is
+    the intended shape."""
+    bench = docs.filter(lambda row: row["doc_id"] % bench_mod == 0)
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        h, _, _ = _span_hashes(batch.column("text"), k)
+        return pa.table({"h": pa.array(np.unique(h).view(np.int64))})
+
+    parts = [
+        b.column("h").to_numpy()
+        for b in bench.map_batches(bench_grams, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+        if b.num_rows
+    ]
+    return np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+
+
 def benchmark_contamination_docs(
     sf_dir: str,
     *,
@@ -358,22 +378,7 @@ def benchmark_contamination_docs(
     side streams; no shuffle at all.
     """
     docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
-    bench = docs.filter(lambda row: row["doc_id"] % bench_mod == 0)
-
-    def bench_grams(batch: pa.Table) -> pa.Table:
-        h, _, _ = _span_hashes(batch.column("text"), k)
-        return pa.table({"h": pa.array(np.unique(h).view(np.int64))})
-
-    parts = [
-        b.column("h").to_numpy()
-        for b in bench.map_batches(bench_grams, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-        if b.num_rows
-    ]
-    gram_set = (
-        np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
-    )
-    ref = ray.put(gram_set)  # sorted; resolved zero-copy in every task
+    ref = ray.put(_bench_gram_set(docs, k, bench_mod))
 
     def scan(batch: pa.Table) -> pa.Table:
         grams = ray.get(ref)
@@ -469,25 +474,13 @@ def source_mix_weights(sf_dir: str) -> pa.Table:
 # ------------------------------------------------------ unigram LM score
 
 
-def unigram_logprob_docs(sf_dir: str) -> rd.Dataset:
-    """Model-based quality scoring, CCNet-style: score every doc by the
-    mean negative log-likelihood under a corpus-trained unigram language
-    model (the cheap stand-in for CCNet's KenLM perplexity filter —
-    docs full of rare words score high, formulaic docs score low).
-
-    Output: (doc_id, n_words, mean_nll) with
-    mean_nll = (1/n) * sum ln(T / count(w_i)), T = corpus token count.
-
-    Shape: per-batch partial (word_hash, cnt) counts -> one
-    groupby(hash) sum -> the model ships as a SORTED (hash, count)
-    numpy bundle via ``ray.put`` (a unigram LM is model-sized, not
-    corpus-sized — Heaps' law keeps real vocabularies in the 10^6-10^7
-    range, a ~100 MB broadcast at worst; were the vocab ever
-    corpus-sized, the tfidf-style term join is the drop-in escape) ->
-    scoring is one streaming map_batches with a vectorized searchsorted
-    lookup. String-based SQL parity asserted at sf0.01 in tests.
-    """
-    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+def _unigram_model(
+    docs: rd.Dataset,
+) -> tuple[np.ndarray, np.ndarray, float]:
+    """(sorted word-hash array, matching float64 counts, total token
+    count): the corpus unigram LM, built from per-batch partial counts
+    folded by one hash-keyed groupby. Model-sized (Heaps' law), so the
+    driver collect + ``ray.put`` broadcast is the intended shape."""
 
     def count_rows(batch: pa.Table) -> pa.Table:
         flat, _ = tokenize_word_hashes(batch.column("text"))
@@ -523,7 +516,29 @@ def unigram_logprob_docs(sf_dir: str) -> rd.Dataset:
     else:
         h_all = np.empty(0, np.int64)
         c_all = np.empty(0, np.float64)
-    total = float(c_all.sum())
+    return h_all, c_all, float(c_all.sum())
+
+
+def unigram_logprob_docs(sf_dir: str) -> rd.Dataset:
+    """Model-based quality scoring, CCNet-style: score every doc by the
+    mean negative log-likelihood under a corpus-trained unigram language
+    model (the cheap stand-in for CCNet's KenLM perplexity filter —
+    docs full of rare words score high, formulaic docs score low).
+
+    Output: (doc_id, n_words, mean_nll) with
+    mean_nll = (1/n) * sum ln(T / count(w_i)), T = corpus token count.
+
+    Shape: per-batch partial (word_hash, cnt) counts -> one
+    groupby(hash) sum -> the model ships as a SORTED (hash, count)
+    numpy bundle via ``ray.put`` (a unigram LM is model-sized, not
+    corpus-sized — Heaps' law keeps real vocabularies in the 10^6-10^7
+    range, a ~100 MB broadcast at worst; were the vocab ever
+    corpus-sized, the tfidf-style term join is the drop-in escape) ->
+    scoring is one streaming map_batches with a vectorized searchsorted
+    lookup. String-based SQL parity asserted at sf0.01 in tests.
+    """
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    h_all, c_all, total = _unigram_model(docs)
     ref = ray.put((h_all, c_all))  # resolved zero-copy in every task
 
     def score(batch: pa.Table) -> pa.Table:
@@ -552,3 +567,97 @@ def unigram_logprob_docs(sf_dir: str) -> rd.Dataset:
         )
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+# -------------------------------------------------- curation composition
+
+
+def curate_text_corpus(
+    sf_dir: str,
+    *,
+    quality_min: float = 0.55,
+    nll_max: float = 3.402,
+    contam_k: int = 4,
+    bench_mod: int = 31,
+) -> rd.Dataset:
+    """Flagship text-curation composition (the C4/RefinedWeb recipe, one
+    pipeline): a document survives iff it passes the Gopher repetition
+    gates AND the composite quality floor AND the unigram-LM rarity cap
+    AND carries no benchmark k-gram (decontamination; benchmark docs
+    themselves are excluded from the training set) — then exact
+    first-wins dedup keeps min(doc_id) per surviving text. Returns the
+    surviving doc_ids.
+
+    Shape: two model-sized broadcast builds (benchmark gram set, unigram
+    model — each one aggregate), then ONE streaming map over the corpus
+    evaluates every gate per batch (reusing the exact per-batch kernels
+    the individual operators' SQL oracles verify), and one (hash,
+    doc_id) groupby picks dedup winners. Payload text never shuffles.
+    Every gate is SQL-expressible, so the WHOLE composition has a hard
+    DuckDB oracle — thresholds are compared on the rounded values both
+    sides compute identically.
+    """
+    from ray.data.aggregate import Min
+
+    from ..functions.hashing import word_hashes
+    from .dedup import content_hash64
+    from .textstats import _LANG_STOPWORDS, quality_batch, repetition_batch
+
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    gref = ray.put(_bench_gram_set(docs, contam_k, bench_mod))
+    h_all, c_all, total = _unigram_model(docs)
+    mref = ray.put((h_all, c_all))
+    stop_en = np.sort(word_hashes(sorted(_LANG_STOPWORDS["en"])))
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        model_h, model_c = ray.get(mref)
+        bench = ray.get(gref)
+        ids = batch.column("doc_id").to_numpy()
+        n_docs = batch.num_rows
+        rep = repetition_batch(batch)
+        qual = quality_batch(batch, stop_en).column("quality").to_numpy()
+        # unigram mean NLL (same arithmetic as unigram_logprob_docs)
+        flat, offsets = tokenize_word_hashes(batch.column("text"))
+        lens = np.diff(offsets)
+        nll_sum = np.zeros(n_docs, dtype=np.float64)
+        if len(flat) and len(model_h):
+            hs64 = flat.view(np.int64)
+            pos = np.minimum(
+                np.searchsorted(model_h, hs64), len(model_h) - 1
+            )
+            c = np.where(model_h[pos] == hs64, model_c[pos], 1.0)
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            nll_sum[:] = np.bincount(
+                doc_of, weights=np.log(total / c), minlength=n_docs
+            )
+        mean_nll = np.round(nll_sum / np.maximum(lens, 1) + 1e-9, 4)
+        # contamination hits (same arithmetic as benchmark_contamination)
+        hits = np.zeros(n_docs, dtype=np.int64)
+        sh, shdoc, _ = _span_hashes(batch.column("text"), contam_k)
+        if len(sh) and len(bench):
+            hs64 = sh.view(np.int64)
+            pos = np.minimum(np.searchsorted(bench, hs64), len(bench) - 1)
+            hits[:] = np.bincount(
+                shdoc, weights=bench[pos] == hs64, minlength=n_docs
+            ).astype(np.int64)
+        keep = (
+            (rep.column("keep").to_numpy() == 1)
+            & (qual >= quality_min)
+            & (mean_nll <= nll_max)
+            & (hits == 0)
+            & (ids % bench_mod != 0)
+        )
+        kept = batch.filter(pa.array(keep))
+        h = [content_hash64(t) for t in kept.column("text").to_pylist()]
+        return pa.table(
+            {
+                "content_hash": pa.array(h, _I64),
+                "doc_id": kept.column("doc_id"),
+            }
+        )
+
+    cand = docs.map_batches(survivors, batch_format="pyarrow")
+    out = cand.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="doc_id")
+    )
+    return out.select_columns(["doc_id"])

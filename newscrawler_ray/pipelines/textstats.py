@@ -165,6 +165,13 @@ def lang_id(sf_dir: str) -> rd.Dataset:
 # ------------------------------------------------------------- quality
 
 
+def quality_batch(batch: pa.Table, stop_en: np.ndarray) -> pa.Table:
+    """Per-batch quality-feature kernel (module-level so compositions —
+    curate_text_corpus — reuse the EXACT arithmetic the SQL oracle
+    recomputes)."""
+    return _quality_feats(batch, stop_en)
+
+
 def quality_score(sf_dir: str) -> rd.Dataset:
     """Length / punctuation / stopword-ratio quality features + composite
     score in [0,1] — the usual pre-training corpus filters, vectorized."""
@@ -172,6 +179,12 @@ def quality_score(sf_dir: str) -> rd.Dataset:
     stop_en = np.sort(word_hashes(sorted(_LANG_STOPWORDS["en"])))
 
     def feats(batch: pa.Table) -> pa.Table:
+        return _quality_feats(batch, stop_en)
+
+    return ds.map_batches(feats, batch_format="pyarrow")
+
+
+def _quality_feats(batch: pa.Table, stop_en: np.ndarray) -> pa.Table:
         texts = batch.column("text")
         n_chars = pc.cast(pc.utf8_length(texts), pa.int64())
         n_tokens = pc.cast(
@@ -217,8 +230,6 @@ def quality_score(sf_dir: str) -> rd.Dataset:
                 "quality": pa.array(score, pa.float64()),
             }
         )
-
-    return ds.map_batches(feats, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------- fingerprints
@@ -505,11 +516,15 @@ def gopher_repetition(sf_dir: str) -> rd.Dataset:
     hash equals counting by string absent a 64-bit collision (parity with
     the string-based SQL oracle is asserted at sf0.01 in tests).
     """
-    from ..functions.hashing import splitmix64
-
     ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pyarrow")
 
-    def rep(batch: pa.Table) -> pa.Table:
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+        """Per-batch Gopher-repetition kernel (module-level so
+        compositions reuse the exact oracle arithmetic)."""
+        from ..functions.hashing import splitmix64
+
         n_docs = batch.num_rows
         flat, offsets = tokenize_word_hashes(batch.column("text"))
         lens = np.diff(offsets)
@@ -544,5 +559,3 @@ def gopher_repetition(sf_dir: str) -> rd.Dataset:
                 "keep": pa.array(keep, pa.int64()),
             }
         )
-
-    return ds.map_batches(rep, batch_format="pyarrow")

@@ -185,3 +185,51 @@ def test_unigram_logprob_brute_force(ray_session, tmp_path):
         assert out[i]["mean_nll"] == want, (i, out[i]["mean_nll"], want)
     # rare-word doc scores strictly higher than the all-common doc
     assert out[1]["mean_nll"] > out[2]["mean_nll"]
+
+
+def test_curate_text_corpus_consistent_with_components(ray_session):
+    """The composition's survivors pass every individual gate, as
+    reported by the standalone operators on the same corpus."""
+    sf = "/root/testdata/sf0.01"
+    surv = {r["doc_id"] for r in corpusstats.curate_text_corpus(sf).take_all()}
+    assert len(surv) > 0
+    from newscrawler_ray.pipelines import dedup, textstats
+
+    gopher = {
+        r["doc_id"]: r["keep"]
+        for r in textstats.gopher_repetition(sf).take_all()
+    }
+    quality = {
+        r["doc_id"]: r["quality"] for r in textstats.quality_score(sf).take_all()
+    }
+    nll = {
+        r["doc_id"]: r["mean_nll"]
+        for r in corpusstats.unigram_logprob_docs(sf).take_all()
+    }
+    contam = {
+        r["doc_id"]: r["contaminated"]
+        for r in corpusstats.benchmark_contamination_docs(
+            sf, k=4, bench_mod=31
+        ).take_all()
+    }
+    dedup_winners = {r["doc_id"] for r in dedup.exact_dedup_docs(sf).take_all()}
+    for d in surv:
+        assert gopher[d] == 1, d
+        assert quality[d] >= 0.55, d
+        assert nll[d] <= 3.402, d
+        assert d in contam and contam[d] == 0, d  # non-bench + clean
+    # dedup among survivors: no two survivors share a text, and each is
+    # the min doc_id of its text group within the gate-passing set
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    text_of = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    assert len({text_of[d] for d in surv}) == len(surv)
+    passing = {
+        d for d in gopher
+        if gopher[d] == 1 and quality[d] >= 0.55 and nll[d] <= 3.402
+        and contam.get(d) == 0
+    }
+    by_text: dict = {}
+    for d in passing:
+        by_text.setdefault(text_of[d], []).append(d)
+    assert surv == {min(ds) for ds in by_text.values()}
+    del dedup_winners  # full-corpus winners are a different (stricter) set
