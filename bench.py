@@ -74,6 +74,9 @@ QUERY_NAMES = [
     "dup_span_docs",
     "tfidf_top_terms",
     "benchmark_contamination",
+    "unigram_logprob_docs",
+    "kmeans_clusters",
+    "curate_text_corpus",
 ]
 
 
