@@ -594,16 +594,31 @@ def ngram_jaccard_pairs(
         lo = np.minimum(srt_sz[ia], srt_sz[ib])
         hi = np.maximum(srt_sz[ia], srt_sz[ib])
         keep = lo >= np.ceil(t * hi - 1e-9)  # size-ratio filter (eps: see prefix_rows)
+        a, b = srt_ids[ia[keep]], srt_ids[ib[keep]]
+        # LOCAL dedup only: measured at sf0.1, cross-part duplicates are
+        # ~6% of candidates, so the global hash-aggregate distinct cost
+        # more than the redundant verifies it saved — verify all local
+        # uniques and take the cheap distinct AFTER verification instead
+        if len(a):
+            order = np.lexsort((b, a))
+            a, b = a[order], b[order]
+            first = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+            a, b = a[first], b[first]
         return pa.table(
-            {
-                "id_a": pa.array(srt_ids[ia[keep]], pa.int64()),
-                "id_b": pa.array(srt_ids[ib[keep]], pa.int64()),
-            }
+            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
         )
 
     cand = prefixes.groupby("part").map_groups(coarse_pairs, batch_format="pyarrow")
-    cand = _distinct_pairs(cand)
-    return jaccard_verify_pairs(cand, docs, threshold, num_partitions, k=k, grams=g)
+    # map_groups emits 0-column blocks for empty parts; coalesce before
+    # the verify joins (join-quirk rule) — far cheaper than an aggregate
+    cand = cand.repartition(num_partitions)
+    verified = jaccard_verify_pairs(cand, docs, threshold, num_partitions, k=k, grams=g)
+    # distinct over the FEW verified rows (same (id_a,id_b) from two
+    # coarse parts carries the same jaccard, so Min is a no-op pick)
+    return (
+        verified.groupby(["id_a", "id_b"])
+        .aggregate(Min("jaccard", alias_name="jaccard"))
+    )
 
 
 # ------------------------------------------------------------------ SimHash
