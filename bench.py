@@ -77,6 +77,7 @@ QUERY_NAMES = [
     "unigram_logprob_docs",
     "kmeans_clusters",
     "curate_text_corpus",
+    "jaccard_dedup_docs",
 ]
 
 
