@@ -170,8 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unigram-LM mean NLL per doc (CCNet perplexity-filter stand-in)
         "unigram_logprob_docs": CS.unigram_logprob_docs,
         # distributed spherical k-means over the full embeddings table
-        # (SemDeDup-style corpus clustering; rows-only: iterative, the
-        # pytest oracle replays the loop in plain numpy)
+        # (SemDeDup-style corpus clustering; rows-only: iterative — the
+        # pytest oracle checks exact argmax optimality under the final
+        # centroids, rerun determinism, and Lloyd objective improvement)
         "kmeans_clusters": S.kmeans_assign,
         # flagship text-curation composition (C4/RefinedWeb recipe):
         # gopher gates AND quality floor AND unigram-NLL cap AND
