@@ -233,3 +233,26 @@ def test_curate_text_corpus_consistent_with_components(ray_session):
         by_text.setdefault(text_of[d], []).append(d)
     assert surv == {min(ds) for ds in by_text.values()}
     del dedup_winners  # full-corpus winners are a different (stricter) set
+
+
+def test_dup_span_planted_at_10x(ray_session, tmp_path):
+    """Scale regression (pattern of test_minhash_verify_is_distributed_
+    at_10x): 20k docs, a chain-planted shared 8-gram across every
+    1000th doc — the flagged set must be exactly the planted chain
+    (plus nothing), and the run must finish in bounded time."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{c:04d}" for c in range(4000)]  # big vocab: no natural dups
+    n = 20000
+    texts = [
+        " ".join(vocab[w] for w in rng.integers(0, 4000, int(rng.integers(20, 60))))
+        for _ in range(n)
+    ]
+    for i in range(1000, n, 1000):
+        src = texts[i - 1000].split()[:8]   # chains back to doc 0's prefix
+        dst = texts[i].split()
+        texts[i] = " ".join(src + dst[8:])
+    d = _write_docs(tmp_path, texts)
+    out = corpusstats.dup_span_docs(d).take_all()
+    flagged = {r["doc_id"] for r in out if r["dup_spans"] > 0}
+    assert flagged == set(range(0, n, 1000)), flagged ^ set(range(0, n, 1000))
+    assert len(out) == n
