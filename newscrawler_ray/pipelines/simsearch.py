@@ -224,6 +224,8 @@ def kmeans_assign(
     full_iters: int = 3,
     seed: int = 42,
     return_centroids: bool = False,
+    ds: rd.Dataset | None = None,
+    id_col: str = "vec_id",
 ):
     """Distributed spherical k-means over the FULL embeddings table
     (SemDeDup-style corpus clustering: cluster once, then dedup/curate
@@ -240,8 +242,13 @@ def kmeans_assign(
     determinism and Lloyd objective improvement. Partial folds happen
     in bkey order so reruns are bit-identical at a fixed batch layout.
     """
-    ds = read_clean(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
-    cents = ivf_build(sf_dir, n_cells=n_cells, iters=iters, seed=seed)
+    if ds is None:
+        ds = read_clean(
+            _p(sf_dir, "embeddings"), columns=["vec_id", "embedding"]
+        )
+    cents = ivf_build(
+        sf_dir, n_cells=n_cells, iters=iters, seed=seed, ds=ds, id_col=id_col
+    )
 
     for _ in range(full_iters):
         ref = ray.put(cents)
@@ -261,7 +268,7 @@ def kmeans_assign(
             sums = np.zeros((k, d), dtype=np.float64)
             np.add.at(sums, assign, E)
             cnt = np.bincount(assign, minlength=k).astype(np.int64)
-            bkey = int(batch.column("vec_id").to_numpy().min())
+            bkey = int(batch.column(id_col).to_numpy().min())
             return pa.table(
                 {
                     "bkey": pa.array(np.full(k, bkey, dtype=np.int64)),
@@ -317,7 +324,7 @@ def kmeans_assign(
         best = np.round(sims[np.arange(len(E)), assign] + 1e-9, 4)
         return pa.table(
             {
-                "vec_id": batch.column("vec_id"),
+                id_col: batch.column(id_col),
                 "cluster": pa.array(assign.astype(np.int64)),
                 "sim": pa.array(best, pa.float64()),
             }
