@@ -240,6 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup_emb": _image_near_dup_emb,
         "curate_image_corpus": _curate_image_corpus,
         "image_knn": _image_knn,
+        "image_kmeans_clusters": _image_kmeans,
         "curate_crawl_output": _curate_crawl_output,
         "audio_features": _audio_features,
         # flagship crawl (north_rule; rows-only — oracle equality in tests/)
@@ -346,6 +347,14 @@ def _image_knn(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.vision import image_knn
 
     return image_knn(_fixture_images(), query_image_id="img-00000097")
+
+
+def _image_kmeans(sf_dir: str) -> Any:
+    """Rows-only: SemDeDup-style image clustering (spherical k-means over
+    the image tower; optimality/determinism invariants in tests)."""
+    from newscrawler_ray.pipelines.vision import image_kmeans
+
+    return image_kmeans(_fixture_images())
 
 
 def _curate_image_corpus(sf_dir: str) -> Any:

@@ -472,3 +472,38 @@ def curate_crawl_output(
         on=("image_id", "url_hash"),
     ).drop_columns(["url_hash"])
     return curate_image_corpus(uniq, **curate_kwargs)
+
+
+def image_kmeans(
+    images_path: str | Path,
+    *,
+    n_cells: int = 8,
+    full_iters: int = 3,
+) -> rd.Dataset:
+    """SemDeDup-style image-corpus clustering: distributed spherical
+    k-means over the image tower (cluster once, then curate/dedup within
+    clusters). Reuses ``simsearch.kmeans_assign`` unchanged through the
+    ``image_embeddings`` adapter — streaming Lloyd passes, centroid-sized
+    driver folds, payload bytes never shuffle.
+
+    Output: (image_id, cluster, sim) per decodable image.
+    """
+    from .simsearch import kmeans_assign
+
+    vecs = image_embeddings(images_path).materialize()
+    out = kmeans_assign(
+        "", ds=vecs, n_cells=n_cells, full_iters=full_iters
+    )
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "image_id": pa.array(
+                    _int_to_image_id(batch.column("vec_id").to_numpy())
+                ),
+                "cluster": batch.column("cluster"),
+                "sim": batch.column("sim"),
+            }
+        )
+
+    return out.map_batches(fmt, batch_format="pyarrow")

@@ -228,3 +228,28 @@ def test_curate_image_corpus_empty_gate(ray_session, fixture_dir):
     out = vision.curate_image_corpus(fixture_dir / "images.parquet", tau_clip=1.1)
     assert out.count() == 0
     assert out.schema().names == ["image_id"]
+
+
+def test_image_kmeans_planted_twins_cocluster(ray_session, fixture_dir):
+    """Pixel-identical planted dups have identical embeddings, so they
+    MUST land in the same cluster; output covers every decodable image,
+    uses more than one cluster, and reruns identically."""
+    path = fixture_dir / "images.parquet"
+    out = {
+        r["image_id"]: r["cluster"]
+        for r in vision.image_kmeans(path).take_all()
+    }
+    n = _read_images(fixture_dir).num_rows
+    planted = [
+        (f"img-{i - 1:08d}", f"img-{i:08d}") for i in range(1, n) if i % 97 == 0
+    ]
+    assert planted
+    for a, b in planted:
+        if a in out and b in out:  # both decodable
+            assert out[a] == out[b], (a, b)
+    assert len(set(out.values())) > 1
+    out2 = {
+        r["image_id"]: r["cluster"]
+        for r in vision.image_kmeans(path).take_all()
+    }
+    assert out2 == out
