@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-wide duplicated k-word spans (Lee et al. 2021 exact-
         # substring dedup signal; coarse-partition counting, no joins)
         "dup_span_docs": CS.dup_span_docs,
+        # ... and the matching TRANSFORM: strip every position covered
+        # by a corpus-duplicated 8-gram and rebuild the doc
+        "strip_dup_spans": CS.strip_dup_spans,
         # exact corpus TF-IDF, top-5 terms per doc
         "tfidf_top_terms": CS.tfidf_top_terms,
         # benchmark decontamination (GPT-3/PaLM hygiene pass): flag docs
@@ -674,6 +677,50 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(coalesce(n_spans, 0), 1)::DOUBLE
                          + 1e-9, 4) AS dup_span_frac
             FROM documents doc LEFT JOIN d USING (doc_id)""",
+        # the stripping transform: a position is removed iff some
+        # duplicated 8-gram window covers it; clean_text is the
+        # space-join of kept tokens (string_agg skips the NULLed-out
+        # covered words, preserving order)
+        "strip_dup_spans": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                       '\W+'), x -> x <> '')) AS w,
+                     generate_subscripts(list_filter(string_split_regex(
+                       lower(text), '\W+'), x -> x <> ''), 1) AS i
+              FROM documents
+            ), g AS (
+              SELECT doc_id, i,
+                w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                  || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+                  || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win
+                  || ' ' || lead(w, 7) OVER win AS g8
+              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+              QUALIFY g8 IS NOT NULL
+            ), duppos AS (
+              SELECT doc_id, i FROM (
+                SELECT doc_id, i,
+                       count(*) OVER (PARTITION BY g8) AS c FROM g)
+              WHERE c >= 2
+            ), cov AS (
+              SELECT w.doc_id, w.i, w.w,
+                     EXISTS (SELECT 1 FROM duppos d
+                             WHERE d.doc_id = w.doc_id
+                               AND w.i BETWEEN d.i AND d.i + 7) AS covered
+              FROM w
+            ), agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_words,
+                     sum(CASE WHEN covered THEN 1 ELSE 0 END)::BIGINT
+                       AS n_removed,
+                     string_agg(CASE WHEN NOT covered THEN w END,
+                                ' ' ORDER BY i) AS clean
+              FROM cov GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_words, 0) AS n_words,
+                   coalesce(n_removed, 0) AS n_removed,
+                   coalesce(clean, '') AS clean_text
+            FROM documents d LEFT JOIN agg USING (doc_id)""",
         # exact TF-IDF: score = tf * ln(N/df), per-doc top-5 ranked by
         # (rounded score DESC, term ASC) on BOTH sides
         "tfidf_top_terms": r"""

@@ -661,3 +661,170 @@ def curate_text_corpus(
         Min("doc_id", alias_name="doc_id")
     )
     return out.select_columns(["doc_id"])
+
+
+# ---------------------------------------------------- dup-span stripping
+
+
+def strip_dup_spans(
+    sf_dir: str,
+    *,
+    k: int = 8,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Exact-substring dedup as a TRANSFORM (Lee et al. 2021: remove the
+    duplicated substrings, keep the rest): every word position covered
+    by any corpus-duplicated k-gram window is dropped, and the doc is
+    rebuilt from the surviving normalized tokens.
+
+    Output: (doc_id, n_words, n_removed, clean_text) where clean_text
+    joins the kept tokens of the shared ``\\W+`` tokenizer with single
+    spaces (the normalized token stream, NOT the original byte text —
+    the same convention the SQL oracle recomputes with string_agg).
+
+    Shape: span-position rows (part, hash, doc_id, pos) -> coarse
+    groupby(part) marks corpus-duplicated positions (segment counts) ->
+    coarse groupby(doc part) folds each doc's positions into ONE binary
+    blob row -> hash join of the blobs onto the docs -> a final
+    streaming map rebuilds each text with a difference-array coverage
+    mask. Payload text crosses only the one doc-keyed join; every other
+    exchange is int64 rows.
+    """
+    nparts = _nparts(num_partitions)
+    coarse = nparts * 4
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def span_pos_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        h, hdoc, lens = _span_hashes(batch.column("text"), k)
+        if len(h) == 0:
+            return pa.table(
+                {"part": pa.array([], pa.int32()),
+                 "h": pa.array([], _I64),
+                 "doc_id": pa.array([], _I64),
+                 "pos": pa.array([], _I64)}
+            )
+        # 0-based position of each span within ITS doc
+        starts = np.zeros(len(lens), np.int64)
+        np.cumsum(np.maximum(lens - k + 1, 0)[:-1], out=starts[1:])
+        counts = np.maximum(lens - k + 1, 0)
+        pos = (
+            np.arange(len(h), dtype=np.int64)
+            - np.repeat(starts, counts)
+        )
+        return pa.table(
+            {
+                "part": pa.array((h % _U64(coarse)).astype(np.int32)),
+                "h": pa.array(h.view(np.int64)),
+                "doc_id": pa.array(ids[hdoc], _I64),
+                "pos": pa.array(pos, _I64),
+            }
+        )
+
+    rows = docs.map_batches(span_pos_rows, batch_format="pyarrow")
+
+    def dup_positions(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy()
+        d = group.column("doc_id").to_numpy()
+        p = group.column("pos").to_numpy()
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        run_len = np.diff(np.append(starts, len(hs)))
+        keep = np.repeat(run_len >= 2, run_len)
+        kept = order[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[kept], _I64),
+                "pos": pa.array(p[kept], _I64),
+                "dpart": pa.array(
+                    (d[kept] % (coarse)).astype(np.int32)
+                ),
+            }
+        )
+
+    dups = rows.groupby("part").map_groups(dup_positions, batch_format="pyarrow")
+
+    def pos_blobs(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy()
+        p = group.column("pos").to_numpy()
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        counts = np.diff(np.append(starts, len(d)))
+        offs = np.zeros(len(starts) + 1, np.int32)
+        np.cumsum(counts * 8, out=offs[1:])
+        blob = pa.Array.from_buffers(
+            pa.binary(), len(starts),
+            [None, pa.py_buffer(offs.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(p).tobytes())],
+        )
+        return pa.table(
+            {"doc_id": pa.array(d[starts], _I64), "dup_pos": blob}
+        )
+
+    blobs = (
+        dups.groupby("dpart").map_groups(pos_blobs, batch_format="pyarrow")
+        .repartition(nparts)  # join-quirk: coalesce 0-col empty blocks
+    )
+
+    joined = docs.join(
+        blobs, join_type="left_outer", num_partitions=nparts, on=("doc_id",)
+    )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], _I64),
+                 "n_words": pa.array([], _I64),
+                 "n_removed": pa.array([], _I64),
+                 "clean_text": pa.array([], pa.string())}
+            )
+        batch = batch.combine_chunks()
+        texts = pc.fill_null(batch.column("text"), "")
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts), r"\W+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offs = lists.offsets.to_numpy()
+        flat = lists.values.slice(offs[0], offs[-1] - offs[0])
+        keep_tok = pc.not_equal(pc.binary_length(flat), 0)
+        words = flat.filter(keep_tok).to_pylist()
+        keep_np = keep_tok.to_numpy(zero_copy_only=False)
+        n_docs = batch.num_rows
+        doc_raw = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offs))
+        lens = np.bincount(doc_raw[keep_np], minlength=n_docs)
+        starts = np.zeros(n_docs, np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # coverage via difference array: +1 at p, -1 at p+k (per doc)
+        diff = np.zeros(int(lens.sum()) + 1, np.int64)
+        blob_col = batch.column("dup_pos")
+        for i in range(n_docs):
+            v = blob_col[i].as_py()
+            if v is None:
+                continue
+            p = np.frombuffer(v, dtype=np.int64)
+            np.add.at(diff, starts[i] + p, 1)
+            np.add.at(diff, np.minimum(starts[i] + p + k, starts[i] + lens[i]), -1)
+        covered = np.zeros(int(lens.sum()), dtype=bool)
+        if len(covered):
+            # cumsum must not leak across docs: reset by construction —
+            # windows never extend past their doc (spans are doc-internal
+            # and the -1 is clamped to the doc end)
+            covered = np.cumsum(diff[:-1]) > 0
+        out_txt, out_rm = [], []
+        for i in range(n_docs):
+            s, e = int(starts[i]), int(starts[i] + lens[i])
+            cov = covered[s:e]
+            kept = [w for w, c in zip(words[s:e], cov) if not c]
+            out_txt.append(" ".join(kept))
+            out_rm.append(int(cov.sum()))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(lens, _I64),
+                "n_removed": pa.array(out_rm, _I64),
+                "clean_text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")

@@ -256,3 +256,37 @@ def test_dup_span_planted_at_10x(ray_session, tmp_path):
     flagged = {r["doc_id"] for r in out if r["dup_spans"] > 0}
     assert flagged == set(range(0, n, 1000)), flagged ^ set(range(0, n, 1000))
     assert len(out) == n
+
+
+def test_strip_dup_spans_brute_force(ray_session, tmp_path):
+    """clean_text matches a per-doc Python recompute: drop every word
+    position covered by any corpus-duplicated 8-gram window."""
+    span = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [
+        f"one two {span} three four five six seven",
+        f"unrelated prefix {span} and a different suffix here",
+        "totally unique document with no shared windows at all present",
+        "short",
+    ]
+    d = _write_docs(tmp_path, texts)
+    out = {r["doc_id"]: r for r in corpusstats.strip_dup_spans(d).take_all()}
+    from collections import Counter
+    k = 8
+    counts = Counter()
+    grams_of = {}
+    for i, t in enumerate(texts):
+        ws = t.lower().split()
+        gs = [tuple(ws[j:j + k]) for j in range(max(len(ws) - k + 1, 0))]
+        grams_of[i] = (ws, gs)
+        counts.update(gs)
+    for i in range(len(texts)):
+        ws, gs = grams_of[i]
+        covered = [False] * len(ws)
+        for j, g in enumerate(gs):
+            if counts[g] >= 2:
+                for p in range(j, j + k):
+                    covered[p] = True
+        want = " ".join(w for w, c in zip(ws, covered) if not c)
+        assert out[i]["clean_text"] == want, i
+        assert out[i]["n_removed"] == sum(covered), i
+        assert out[i]["n_words"] == len(ws), i
