@@ -78,6 +78,7 @@ QUERY_NAMES = [
     "kmeans_clusters",
     "curate_text_corpus",
     "jaccard_dedup_docs",
+    "strip_dup_spans",
 ]
 
 

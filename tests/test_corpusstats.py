@@ -154,6 +154,8 @@ def test_corpus_ops_at_high_partition_counts(ray_session):
     assert len(out) == 500 * 5
     out2 = corpusstats.dup_span_docs(sf, num_partitions=16).take_all()
     assert len(out2) == 500
+    out3 = corpusstats.strip_dup_spans(sf, num_partitions=16).take_all()
+    assert len(out3) == 500
 
 
 def test_unigram_logprob_brute_force(ray_session, tmp_path):
