@@ -220,6 +220,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # connected components -> grouped title collect; rows-only —
         # union-find + planted-cluster oracles in tests/)
         "headline_clusters": _headline_clusters,
+        # PageRank over the deterministic document link graph (crawl
+        # priority signal; SQL-paired — iterations unrolled as chained
+        # CTEs in the oracle)
+        "link_pagerank": _link_pagerank,
         # text analysis (rows-only: heuristics not SQL-expressible)
         "lang_id_docs": T.lang_id,
         # sequence packing (rows-only: bin layout is a function of the
@@ -253,6 +257,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semantics in tests/test_extract_composition.py)
         "extract_crawl_output": _extract_crawl_output,
     }
+
+
+def _link_pagerank(sf_dir: str) -> Any:
+    """SQL-paired: PageRank (damping 0.85, 5 iterations, dangling mass
+    redistributed uniformly) over the deterministic SQL-expressible
+    link graph derived from documents."""
+    from newscrawler_ray.pipelines.graph import link_pagerank
+
+    return link_pagerank(sf_dir)
+
+
+def _pagerank_oracle(
+    k: int = 3,
+    damping: float = 0.85,
+    n_iter: int = 5,
+    mul: int = 48271,
+    add: int = 10007,
+    skip: int = 7,
+) -> str:
+    """Unrolled-iteration DuckDB PageRank: one chained CTE per power-
+    iteration step, same term grouping as the Ray kernel (d*r/outdeg per
+    edge; dangling mass summed then spread uniformly), so both sides
+    agree to float-sum reordering (<< the round-8 quantum)."""
+    d = repr(damping)
+    parts = [
+        f"""
+WITH dc AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
+edges AS (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         (CAST(doc_id AS BIGINT) * {mul} + j.j * {add} + 1) % dc.cnt AS dst
+  FROM documents CROSS JOIN dc CROSS JOIN range(0, {k}) AS j(j)
+  WHERE doc_id % {skip} <> 0
+),
+deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS r FROM nodes)"""
+    ]
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+r{i} AS (
+  SELECT nd.node,
+         (1.0 - {d}) / (SELECT cnt FROM nn)
+         + {d} * (SELECT COALESCE(SUM(p.r), 0)
+                  FROM {prev} p
+                  WHERE p.node NOT IN (SELECT src FROM deg))
+               / (SELECT cnt FROM nn)
+         + COALESCE(inf.s, 0) AS r
+  FROM nodes nd
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM({d} * p.r / dg.outdeg) AS s
+    FROM edges e
+    JOIN {prev} p ON p.node = e.src
+    JOIN deg dg ON dg.src = e.src
+    GROUP BY e.dst
+  ) inf ON inf.node = nd.node
+)"""
+        )
+        prev = f"r{i}"
+    parts.append(
+        f"""
+SELECT node, round(r + 1e-9, 8) AS rank FROM {prev} ORDER BY node"""
+    )
+    return "".join(parts)
 
 
 def _headline_clusters(sf_dir: str) -> Any:
@@ -387,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "count_by_source": "SELECT source, count(*) AS n FROM documents GROUP BY source",
+        "link_pagerank": _pagerank_oracle(),
         "count_by_lang": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "global_counts": """
             SELECT count(*) AS n_total,

@@ -415,3 +415,212 @@ def headline_clusters(
         )
 
     return members.groupby("cluster_id").map_groups(collect, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- pagerank
+
+
+def _merge_key_sums(
+    keys_l: list[np.ndarray], vals_l: list[np.ndarray]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge per-block (key, partial-sum) rows on the driver: one
+    concat + argsort + ``np.add.reduceat``. Keys come back sorted."""
+    if not keys_l:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    k = np.concatenate(keys_l)
+    v = np.concatenate(vals_l)
+    order = np.argsort(k, kind="stable")
+    k, v = k[order], v[order]
+    uniq, starts = np.unique(k, return_index=True)
+    return np.ascontiguousarray(uniq), np.add.reduceat(v, starts)
+
+
+def _pr_degrees(
+    edges: rd.Dataset, src: str, dst: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted distinct nodes, out-degree with multiplicity) over an edge
+    dataset — per-block ``np.unique`` partials, one thin (node, deg) row
+    per distinct endpoint per block, merged on the driver. Nodes that
+    only ever appear as ``dst`` come back with degree 0 (dangling)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], _I64), "deg": pa.array([], pa.float64())}
+            )
+        s = batch.column(src).to_numpy()
+        d = batch.column(dst).to_numpy()
+        su, sc = np.unique(s, return_counts=True)
+        du = np.unique(d)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([su, du]), _I64),
+                "deg": pa.array(
+                    np.concatenate(
+                        [sc.astype(np.float64), np.zeros(len(du), np.float64)]
+                    ),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    keys_l, vals_l = [], []
+    for b in edges.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_columns and b.num_rows:
+            keys_l.append(b.column("node").to_numpy())
+            vals_l.append(b.column("deg").to_numpy())
+    return _merge_key_sums(keys_l, vals_l)
+
+
+def _make_inflow_partial(src: str, dst: str, bundle_ref):
+    """map_batches fn: per-block partial inflow sums. Looks up each edge's
+    source weight w(src) = damping * rank / outdeg in the broadcast
+    (sorted nodes, w) bundle (zero-copy numpy from plasma), then reduces
+    per destination inside the block (argsort + ``np.add.reduceat``) so
+    only one (dst, partial) row per distinct dst per block leaves."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"node": pa.array([], _I64), "s": pa.array([], pa.float64())}
+            )
+        s = batch.column(src).to_numpy()
+        d = batch.column(dst).to_numpy()
+        nodes, w = ray.get(bundle_ref)
+        vals = w[np.searchsorted(nodes, s)]  # src is always in nodes
+        order = np.argsort(d, kind="stable")
+        d, vals = d[order], vals[order]
+        uniq, starts = np.unique(d, return_index=True)
+        return pa.table(
+            {
+                "node": pa.array(uniq, _I64),
+                "s": pa.array(np.add.reduceat(vals, starts), pa.float64()),
+            }
+        )
+
+    return partial
+
+
+def pagerank(
+    edges: rd.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 5,
+) -> rd.Dataset:
+    """PageRank over a directed (src, dst) edge dataset — the crawl-
+    frontier priority signal (the reference ranks hosts/pages by a
+    hand-tuned priority, ``services/news_service.py`` seed ordering; this
+    is the principled replacement a web-scale crawler actually uses).
+
+    Semantics: multiset edges (a duplicated edge contributes twice and
+    counts twice in the out-degree); self-loops allowed; the node set is
+    every id appearing as src or dst; dangling nodes' (out-degree 0)
+    rank mass is redistributed uniformly each iteration, so ranks sum
+    to 1 exactly at every step:
+
+        r'(v) = (1-d)/N + d * dangling_mass/N
+                        + sum_{(u,v) in E} d * r(u) / outdeg(u)
+
+    Execution shape (the ``connected_components`` pattern): the edge
+    dataset is materialized once and streamed ``n_iter`` times; each
+    iteration broadcasts the (sorted nodes, d*rank/outdeg) bundle via
+    ``ray.put`` (resolved zero-copy per worker), computes per-block
+    partial inflow sums inside ``map_batches`` (argsort +
+    ``np.add.reduceat`` — one thin row per distinct dst per block), and
+    merges the partials on the driver. The driver holds 24 bytes per
+    node (rank + degree + id) — fine to ~10^8 nodes like the CC minima;
+    beyond that, swap the driver fold for ``groupby(dst).aggregate(Sum)``
+    hash-joined back onto a distributed node table (same semantics, one
+    shuffle per iteration).
+
+    Float caveat: per-block partial sums depend on block boundaries, so
+    ranks are reproducible only to float-sum reordering (~1e-15
+    relative); callers wanting hash-stable output round the emitted
+    column (see ``link_pagerank``).
+
+    Returns a Dataset of (node int64, rank float64); empty input yields
+    an empty result."""
+    empty = rd.from_arrow(
+        pa.table({"node": pa.array([], _I64), "rank": pa.array([], pa.float64())})
+    )
+    sch = edges.schema(fetch_if_missing=True)
+    if sch is None or len(sch.names) == 0:
+        return empty
+    edges = edges.select_columns([src, dst]).materialize()
+    nodes, outdeg = _pr_degrees(edges, src, dst)
+    n = len(nodes)
+    if n == 0:
+        return empty
+    dangling = outdeg == 0.0
+    safe_deg = np.maximum(outdeg, 1.0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        w = np.where(dangling, 0.0, damping * r / safe_deg)
+        bundle_ref = ray.put((nodes, w))
+        keys_l, vals_l = [], []
+        for b in edges.map_batches(
+            _make_inflow_partial(src, dst, bundle_ref), batch_format="pyarrow"
+        ).iter_batches(batch_format="pyarrow"):
+            if b.num_columns and b.num_rows:
+                keys_l.append(b.column("node").to_numpy())
+                vals_l.append(b.column("s").to_numpy())
+        in_nodes, in_sums = _merge_key_sums(keys_l, vals_l)
+        base = (1.0 - damping) / n + damping * float(r[dangling].sum()) / n
+        r = np.full(n, base)
+        if len(in_nodes):
+            r[np.searchsorted(nodes, in_nodes)] += in_sums
+    return rd.from_arrow(
+        pa.table({"node": pa.array(nodes, _I64), "rank": pa.array(r, pa.float64())})
+    )
+
+
+# deterministic synthetic link-graph parameters shared with the SQL oracle
+_PR_MUL, _PR_ADD, _PR_SKIP = 48271, 10007, 7
+
+
+def doc_link_edges(sf_dir: str, *, k: int = 3) -> rd.Dataset:
+    """Deterministic link graph over the documents table, derived with
+    SQL-expressible integer arithmetic so ``link_pagerank`` gets a hard
+    DuckDB oracle: every doc with ``doc_id % 7 != 0`` links to ``k``
+    targets ``(doc_id * 48271 + j * 10007 + 1) % n_docs``; docs with
+    ``doc_id % 7 == 0`` publish nothing, so any in-links they receive
+    make them dangling nodes (exercising the dangling-mass term)."""
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id"])
+    n = docs.count()  # one metadata-only count; the modulus for targets
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        ids = ids[ids % _PR_SKIP != 0]
+        s = np.repeat(ids, k)
+        j = np.tile(np.arange(k, dtype=np.int64), len(ids))
+        d = (s * _PR_MUL + j * _PR_ADD + 1) % n
+        return pa.table({"src": pa.array(s, _I64), "dst": pa.array(d, _I64)})
+
+    return docs.map_batches(emit, batch_format="pyarrow")
+
+
+def link_pagerank(
+    sf_dir: str, *, k: int = 3, damping: float = 0.85, n_iter: int = 5
+) -> rd.Dataset:
+    """PageRank over the deterministic document link graph; rank rounded
+    to 8 decimals (+1e-9 tie nudge, repo rounding convention) for
+    hash-stable DuckDB parity."""
+    pr = pagerank(
+        doc_link_edges(sf_dir, k=k), src="src", dst="dst",
+        damping=damping, n_iter=n_iter,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy()
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "rank": pa.array(np.round(r + 1e-9, 8), pa.float64()),
+            }
+        )
+
+    return pr.map_batches(finish, batch_format="pyarrow")

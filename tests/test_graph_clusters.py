@@ -153,3 +153,85 @@ def test_cc_star_path_moderate_graph_bounded(ray_session):
     elapsed = time.monotonic() - t0
     assert labels == _union_find_labels(pairs)
     assert elapsed < 240
+
+
+# --------------------------------------------------------------- pagerank
+
+
+def _pagerank_dense(pairs, n_iter=5, damping=0.85):
+    """Driver-side dense reference: same multiset/self-loop/dangling
+    semantics as the distributed kernel."""
+    from collections import Counter
+
+    nodes = sorted({int(a) for a, _ in pairs} | {int(b) for _, b in pairs})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = Counter(int(a) for a, _ in pairs)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        w = {u: damping * r[idx[u]] / d for u, d in deg.items()}
+        nxt = np.zeros(n)
+        for a, b in pairs:
+            nxt[idx[int(b)]] += w[int(a)]
+        dang = sum(r[idx[v]] for v in nodes if v not in deg)
+        nxt += (1.0 - damping) / n + damping * dang / n
+        r = nxt
+    return dict(zip(nodes, r))
+
+
+def _pr_ds(pairs, **kw):
+    from newscrawler_ray.pipelines.graph import pagerank
+
+    a = [int(p[0]) for p in pairs]
+    b = [int(p[1]) for p in pairs]
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array(a, pa.int64()), "dst": pa.array(b, pa.int64())})
+    )
+    out = pagerank(ds, **kw).to_pandas()
+    return dict(zip(out["node"].tolist(), out["rank"].tolist()))
+
+
+def test_pagerank_cycle_uniform(ray_session):
+    """A k-cycle is rank-regular: every node gets exactly 1/k."""
+    pairs = [(i, (i + 1) % 5) for i in range(5)]
+    got = _pr_ds(pairs)
+    assert set(got) == set(range(5))
+    for v in got.values():
+        assert abs(v - 0.2) < 1e-12
+
+
+def test_pagerank_matches_dense_reference(ray_session):
+    """Random multigraph with self-loops, duplicate edges, and dangling
+    nodes: distributed ranks == dense driver reference, and ranks sum
+    to 1 (dangling mass redistributed)."""
+    rng = np.random.default_rng(17)
+    pairs = list(
+        zip(rng.integers(0, 120, 600).tolist(), rng.integers(0, 150, 600).tolist())
+    )
+    pairs += [(5, 5), (5, 5), (7, 9), (7, 9)]  # self-loops + duplicates
+    got = _pr_ds(pairs)
+    ref = _pagerank_dense(pairs)
+    assert set(got) == set(ref)
+    for k in ref:
+        assert abs(got[k] - ref[k]) < 1e-12, k
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_dangling_sink(ray_session):
+    """Two sources point at one sink with no out-edges: the sink
+    accumulates the most rank and total mass stays 1."""
+    pairs = [(1, 3), (2, 3)]
+    got = _pr_ds(pairs)
+    assert got[3] > got[1] == got[2]
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_empty(ray_session):
+    from newscrawler_ray.pipelines.graph import pagerank
+
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    )
+    out = pagerank(ds)
+    assert out.count() == 0
+    assert out.schema().names == ["node", "rank"]
