@@ -184,6 +184,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_text_corpus": CS.curate_text_corpus,
         # training-data ops: dedup family (SURVEY D2-D5 + graft additions)
         "exact_dedup_docs": D.exact_dedup_docs,
+        # incremental snapshot dedup: new snapshot vs old corpus
+        # (SQL-paired exact anti-aggregate; bloom variant is rows-only —
+        # its FP/no-false-negative bounds are tested in tests/)
+        "incremental_exact_dedup": D.incremental_exact_dedup,
+        "bloom_dedup_docs": D.bloom_dedup_docs,
         # EXACT set-similarity self-join (prefix filtering) — unlike the
         # LSH families this one is deterministic and SQL-checkable
         "ngram_jaccard_pairs": lambda sf: D.ngram_jaccard_pairs(sf, threshold=0.5),
@@ -622,6 +627,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
             FROM documents""",
         "exact_dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "incremental_exact_dedup": """
+            WITH old AS (SELECT text FROM documents WHERE doc_id % 7 < 5),
+                 nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 >= 5),
+                 fresh AS (SELECT doc_id, text FROM nw
+                           WHERE text NOT IN (SELECT text FROM old))
+            SELECT min(doc_id) AS doc_id FROM fresh GROUP BY text""",
         # stopword-profile language id is pure arithmetic over regex
         # token counts -> SQL-expressible (the +1e-9 before round
         # mirrors the engine and keeps rounding away from exact .5

@@ -1055,3 +1055,205 @@ def minhash_dedup_docs(
     # derived (and at high partition counts unreliable) join schema,
     # which crashed jaccard_dedup_docs at num_cpus=32 in round 2
     return _survivors(docs, pairs, num_partitions)
+
+
+# ------------------------------------------- incremental (snapshot) dedup
+#
+# The op a recurring crawl actually runs: dedup TODAY's snapshot against
+# the corpus already ingested, without reshuffling the old corpus every
+# time. Two shapes:
+#
+#   incremental_exact_dedup — exact: union both sides with an origin
+#     flag and resolve in ONE vectorized hash aggregate (min-origin +
+#     masked-min doc_id per content hash). No join operator, one
+#     shuffle of thin (hash, flag, id) rows.
+#   bloom_dedup_docs — the old corpus is compressed ONCE into a Bloom
+#     filter built as per-block bitmap partials OR-merged on the driver
+#     and broadcast; filtering a new snapshot is then a shuffle-free
+#     map over the new side only. No false negatives (every true dup
+#     is dropped); false positives drop extra docs at the configured
+#     rate — the standard trade (Broder & Mitzenmacher, "Network
+#     applications of Bloom filters", 2004; CCNet/Dolma-style corpus
+#     maintenance).
+
+_SNAP_MOD, _SNAP_NEW = 7, 5  # snapshot split: doc_id % 7 >= 5 is "new"
+
+
+def _snapshot_sides(sf_dir: str) -> tuple[rd.Dataset, rd.Dataset]:
+    """Deterministic SQL-expressible snapshot split of the documents
+    table: old corpus = doc_id % 7 < 5, new snapshot = the rest."""
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def split(flag: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            keep = (ids % _SNAP_MOD >= _SNAP_NEW) == bool(flag)
+            return batch.filter(pa.array(keep))
+
+        return f
+
+    old = ds.map_batches(split(0), batch_format="pyarrow")
+    new = ds.map_batches(split(1), batch_format="pyarrow")
+    return old, new
+
+
+def _hash_flag_rows(origin: int):
+    """map_batches fn: (content_hash, origin, masked doc_id) rows — the
+    thin columns the incremental aggregate shuffles. Old rows carry
+    doc_id = int64 max so Min() never picks them as the survivor."""
+    sentinel = (1 << 63) - 1
+
+    def f(batch: pa.Table) -> pa.Table:
+        h = [content_hash64(t) for t in batch.column("text").to_pylist()]
+        ids = (
+            batch.column("doc_id").to_numpy()
+            if origin
+            else np.full(batch.num_rows, sentinel, np.int64)
+        )
+        return pa.table(
+            {
+                "content_hash": pa.array(h, pa.int64()),
+                "origin": pa.array(
+                    np.full(batch.num_rows, origin, np.int64), pa.int64()
+                ),
+                "doc_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    return f
+
+
+def incremental_exact_dedup(sf_dir: str) -> rd.Dataset:
+    """Surviving doc_ids of the new snapshot after exact dedup against
+    the old corpus AND first-wins within the snapshot itself.
+
+    Anti-join without a join operator: old rows (origin=0) and new rows
+    (origin=1) union into one (hash, origin, masked-id) stream; one
+    hash aggregate computes min(origin) and min(masked doc_id) per
+    content hash; groups with min(origin)=1 have no old twin and their
+    masked min is the first-wins winner. One shuffle, 24 bytes/row,
+    text never moves."""
+    old, new = _snapshot_sides(sf_dir)
+    both = old.map_batches(_hash_flag_rows(0), batch_format="pyarrow").union(
+        new.map_batches(_hash_flag_rows(1), batch_format="pyarrow")
+    )
+    agg = both.groupby("content_hash").aggregate(
+        Min("origin", alias_name="min_origin"),
+        Min("doc_id", alias_name="doc_id"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("min_origin"), 1)
+        return batch.filter(keep).select(["doc_id"])
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# Bloom filter kernel: k=7 double-hashed probes (h1 + i*h2 mod m) over
+# splitmix-derived uint64s; m sized at ~10 bits/key (~1% FP) rounded to
+# a power of two so `mod` is a mask.
+
+_BLOOM_K = 7
+
+
+def _bloom_positions(hashes: np.ndarray, m: int) -> np.ndarray:
+    """(n, k) int64 bit positions for each key (double hashing)."""
+    h = hashes.astype(_U64, copy=False)
+    h1 = _splitmix(h)
+    h2 = _splitmix(h1) | _U64(1)  # odd -> full-period stride
+    i = np.arange(_BLOOM_K, dtype=_U64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) & _U64(m - 1)).astype(
+        np.int64
+    )
+
+
+def _bloom_size(n_keys: int, bits_per_key: int = 10) -> int:
+    m = 1 << max(10, int(np.ceil(np.log2(max(1, n_keys) * bits_per_key))))
+    return m
+
+
+def build_bloom(ds: rd.Dataset, text_col: str = "text", *, m: int) -> np.ndarray:
+    """Bloom bitmap (packed uint8, m bits) over content hashes of
+    ``text_col`` — per-block partial bitmaps (one m/8-byte blob per
+    block) OR-merged on the driver.
+
+    Scale note: at 1% FP the filter is ~1.2 GB per 10^9 keys. The
+    partial blobs are already mergeable, so beyond driver memory shard
+    the key space by hash range (R filters of m/R bits), OR-merge each
+    range independently, and broadcast to the map tasks handling that
+    range; the build stays one pass over the old corpus either way —
+    that one pass is the whole point (re-filtering a NEW snapshot never
+    touches the old corpus again)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(m // 8, np.uint8)
+        if batch.num_columns and batch.num_rows:
+            h = np.array(
+                [content_hash64(t) for t in batch.column(text_col).to_pylist()],
+                np.int64,
+            )
+            pos = _bloom_positions(h, m).ravel()
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    merged = np.zeros(m // 8, np.uint8)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for blob in b.column("bits").to_pylist():
+            np.bitwise_or(merged, np.frombuffer(blob, np.uint8), out=merged)
+    return merged
+
+
+def bloom_contains(bits: np.ndarray, hashes: np.ndarray, m: int) -> np.ndarray:
+    """Vectorized membership: all k probe bits set."""
+    if len(hashes) == 0:
+        return np.zeros(0, bool)
+    pos = _bloom_positions(hashes, m)
+    probe = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return probe.all(axis=1)
+
+
+def bloom_dedup_docs(
+    sf_dir: str, *, bits_per_key: int = 10
+) -> rd.Dataset:
+    """Surviving doc_ids of the new snapshot after Bloom-filter dedup
+    against the old corpus (then exact first-wins within the snapshot).
+
+    Guarantees: every doc whose text exists in the old corpus is
+    dropped (no false negatives); ~(1/2^(k ln2 /..)) ≈ 1% of genuinely
+    fresh docs are dropped as false positives at the default 10
+    bits/key. Filtering the new side is a broadcast-membership map —
+    zero shuffle against the old corpus (compare
+    ``incremental_exact_dedup``, which must move old hashes every
+    run)."""
+    old, new = _snapshot_sides(sf_dir)
+    n_old = old.count()
+    m = _bloom_size(n_old, bits_per_key)
+    bits_ref = ray.put(build_bloom(old, m=m))
+
+    def fresh(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"content_hash": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64())}
+            )
+        h = np.array(
+            [content_hash64(t) for t in batch.column("text").to_pylist()], np.int64
+        )
+        bits = ray.get(bits_ref)
+        keep = ~bloom_contains(bits, h, m)
+        return pa.table(
+            {
+                "content_hash": pa.array(h[keep], pa.int64()),
+                "doc_id": pa.array(
+                    batch.column("doc_id").to_numpy()[keep], pa.int64()
+                ),
+            }
+        )
+
+    survivors = new.map_batches(fresh, batch_format="pyarrow")
+    out = survivors.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="doc_id")
+    )
+    return out.select_columns(["doc_id"])

@@ -467,3 +467,61 @@ def test_kmeans_assign_invariants(ray_session):
         for r in simsearch.kmeans_assign(SF).take_all()
     }
     assert out2 == out
+
+
+# --------------------------------------------- incremental / bloom dedup
+
+
+def test_incremental_exact_dedup_semantics(ray_session):
+    """Survivors = new-snapshot docs whose text is absent from the old
+    corpus, first-wins within the snapshot — checked against a driver
+    set computation on the raw parquet."""
+    import duckdb
+
+    got = sorted(
+        dedup.incremental_exact_dedup(SF).to_pandas()["doc_id"].tolist()
+    )
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"""WITH old AS (SELECT text FROM read_parquet('{SF}/documents.parquet')
+                             WHERE doc_id % 7 < 5),
+                     nw AS (SELECT doc_id, text
+                            FROM read_parquet('{SF}/documents.parquet')
+                            WHERE doc_id % 7 >= 5)
+                SELECT min(doc_id) FROM nw
+                WHERE text NOT IN (SELECT text FROM old) GROUP BY text"""
+        ).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_bloom_dedup_no_false_negatives_and_bounded_fp(ray_session):
+    """Every true duplicate is dropped (bloom has no false negatives);
+    false positives stay under 5% of the exact survivor set at the
+    default 10 bits/key (~1% expected)."""
+    exact = set(dedup.incremental_exact_dedup(SF).to_pandas()["doc_id"])
+    bloom = set(dedup.bloom_dedup_docs(SF).to_pandas()["doc_id"])
+    # no false negatives: bloom never keeps a doc the exact op dropped
+    assert bloom <= exact
+    # bounded false positives: bloom drops at most 5% extra
+    assert len(exact - bloom) <= max(2, int(0.05 * len(exact)))
+    # determinism
+    again = set(dedup.bloom_dedup_docs(SF).to_pandas()["doc_id"])
+    assert again == bloom
+
+
+def test_bloom_kernel_membership():
+    """Inserted keys always hit; random non-keys mostly miss."""
+    rng = np.random.default_rng(3)
+    keys = rng.integers(-(2**62), 2**62, 4000, dtype=np.int64)
+    m = dedup._bloom_size(len(keys))
+    bits = np.zeros(m // 8, np.uint8)
+    pos = dedup._bloom_positions(keys, m).ravel()
+    np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    assert dedup.bloom_contains(bits, keys, m).all()
+    probes = rng.integers(-(2**62), 2**62, 20000, dtype=np.int64)
+    fresh = probes[~np.isin(probes, keys)]
+    fp = dedup.bloom_contains(bits, fresh, m).mean()
+    assert fp < 0.03, fp
