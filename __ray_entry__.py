@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-wide duplicated k-word spans (Lee et al. 2021 exact-
         # substring dedup signal; coarse-partition counting, no joins)
         "dup_span_docs": CS.dup_span_docs,
+        # domain-level curation (RefinedWeb/Dolma-style domain gating)
+        "domain_stats": CS.domain_stats,
+        "domain_quality_filter": CS.domain_quality_filter,
         # ... and the matching TRANSFORM: strip every position covered
         # by a corpus-duplicated 8-gram and rebuild the doc
         "strip_dup_spans": CS.strip_dup_spans,
@@ -627,6 +630,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
             FROM documents""",
         "exact_dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "domain_stats": """
+            SELECT source, count(*) AS n_docs,
+                   count(DISTINCT text) AS n_distinct,
+                   round(1.0 - CAST(count(DISTINCT text) AS DOUBLE)
+                             / count(*) + 1e-9, 4) AS dup_rate,
+                   round(CAST(sum(n_chars) AS DOUBLE) / count(*) + 1e-9, 4)
+                       AS avg_chars,
+                   round(CAST(sum(CASE WHEN n_chars < 250 THEN 1 ELSE 0 END)
+                              AS DOUBLE) / count(*) + 1e-9, 4) AS short_frac
+            FROM documents GROUP BY source""",
+        "domain_quality_filter": """
+            SELECT doc_id, source FROM documents
+            WHERE source IN (
+                SELECT source FROM documents GROUP BY source
+                HAVING CAST(sum(n_chars) AS DOUBLE) / count(*) >= 280.0)""",
         "incremental_exact_dedup": """
             WITH old AS (SELECT text FROM documents WHERE doc_id % 7 < 5),
                  nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 >= 5),

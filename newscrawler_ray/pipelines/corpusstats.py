@@ -828,3 +828,112 @@ def strip_dup_spans(
         )
 
     return joined.map_batches(rebuild, batch_format="pyarrow")
+
+
+# ------------------------------------------------- domain-level curation
+#
+# RefinedWeb/Dolma-style domain gating: aggregate per-domain signals
+# once, then gate every document by its domain's aggregate — the cheap
+# corpus-maintenance complement to per-doc quality scores. `source` is
+# the documents table's domain analog.
+
+
+def domain_stats(sf_dir: str) -> rd.Dataset:
+    """Per-source corpus health: doc count, distinct-content count,
+    duplicate rate, mean length, short-doc fraction.
+
+    Shape: text never moves — a vector stage emits thin (source,
+    content_hash, n_chars) rows; one hash aggregate per (source, hash)
+    collapses exact copies; a second tiny per-source rollup finishes.
+    Both shuffles ship fixed-width rows; source cardinality is small so
+    the final aggregate is trivial."""
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import content_hash64
+
+    ds = read_clean(_p(sf_dir, "documents"), columns=["source", "text", "n_chars"])
+
+    def rows(batch: pa.Table) -> pa.Table:
+        h = [content_hash64(t) for t in batch.column("text").to_pylist()]
+        nch = batch.column("n_chars").to_numpy()
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "content_hash": pa.array(h, _I64),
+                "n_chars": batch.column("n_chars"),
+                "short": pa.array((nch < 250).astype(np.int64), _I64),
+            }
+        )
+
+    per_text = (
+        ds.map_batches(rows, batch_format="pyarrow")
+        .groupby(["source", "content_hash"])
+        .aggregate(
+            Count(alias_name="cnt"),
+            Sum("n_chars", alias_name="sum_chars"),
+            Sum("short", alias_name="n_short"),
+        )
+    )
+    per_source = per_text.groupby("source").aggregate(
+        Sum("cnt", alias_name="n_docs"),
+        Count(alias_name="n_distinct"),
+        Sum("sum_chars", alias_name="sum_chars"),
+        Sum("n_short", alias_name="n_short"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_docs").to_numpy().astype(np.float64)
+        nd = batch.column("n_distinct").to_numpy().astype(np.float64)
+        sc = batch.column("sum_chars").to_numpy().astype(np.float64)
+        sh = batch.column("n_short").to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_docs": batch.column("n_docs"),
+                "n_distinct": batch.column("n_distinct"),
+                "dup_rate": pa.array(np.round(1.0 - nd / n + 1e-9, 4)),
+                "avg_chars": pa.array(np.round(sc / n + 1e-9, 4)),
+                "short_frac": pa.array(np.round(sh / n + 1e-9, 4)),
+            }
+        )
+
+    return per_source.map_batches(finish, batch_format="pyarrow")
+
+
+def domain_quality_filter(
+    sf_dir: str, *, min_avg_chars: float = 280.0
+) -> rd.Dataset:
+    """Documents surviving the domain gate: keep every doc whose source's
+    MEAN document length clears ``min_avg_chars`` (drop whole low-quality
+    domains, not individual docs). Aggregate once -> broadcast the tiny
+    qualifying-source set -> shuffle-free semi-join filter."""
+    from ..functions.joins import make_broadcast_semijoin_fn
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "source", "n_chars"])
+    agg = ds.groupby("source").aggregate(
+        Count(alias_name="n"), Sum("n_chars", alias_name="s")
+    )
+
+    def qualifying(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy().astype(np.float64)
+        s = batch.column("s").to_numpy().astype(np.float64)
+        return pa.table(
+            {"source": batch.column("source").filter(pa.array(s / n >= min_avg_chars))}
+        )
+
+    good = pa.concat_tables(
+        [
+            b
+            for b in agg.map_batches(qualifying, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+            if b.num_columns
+        ]
+    )
+    keys_ref = ray.put(good.column("source").combine_chunks())
+    out = ds.map_batches(
+        make_broadcast_semijoin_fn("source", keys_ref), batch_format="pyarrow"
+    )
+    return out.select_columns(["doc_id", "source"])

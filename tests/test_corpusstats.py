@@ -292,3 +292,32 @@ def test_strip_dup_spans_brute_force(ray_session, tmp_path):
         assert out[i]["clean_text"] == want, i
         assert out[i]["n_removed"] == sum(covered), i
         assert out[i]["n_words"] == len(ws), i
+
+
+def test_domain_quality_filter_gates_whole_domains(ray_session):
+    """The gate drops whole domains: surviving sources all clear the
+    mean-length bar, at least one domain is dropped on this corpus, and
+    no partial domains appear (every doc of a surviving source stays)."""
+    import duckdb
+
+    from newscrawler_ray.pipelines.corpusstats import (
+        domain_quality_filter,
+        domain_stats,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    stats = domain_stats(sf).to_pandas().set_index("source")
+    kept = domain_quality_filter(sf).to_pandas()
+    kept_sources = set(kept["source"])
+    all_sources = set(stats.index)
+    assert kept_sources < all_sources  # at least one domain dropped
+    for s in kept_sources:
+        assert stats.loc[s, "avg_chars"] >= 280.0
+    for s in all_sources - kept_sources:
+        assert stats.loc[s, "avg_chars"] < 280.0
+    per_source_total = duckdb.sql(
+        f"SELECT source, count(*) n FROM read_parquet('{sf}/documents.parquet') GROUP BY source"
+    ).fetchdf().set_index("source")["n"]
+    counts = kept.groupby("source").size()
+    for s in kept_sources:
+        assert counts[s] == per_source_total[s]
