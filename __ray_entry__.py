@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_window": Q.events_daily_window,
         # sliding 7-day calendar window over the daily series
         "events_rolling_7d": Q.events_rolling_7d,
+        # windowed dedup: first (user, type) event per tumbling hour
+        "dedup_events_windowed": Q.dedup_events_windowed,
         # multi-source union + normalize + dedup (SURVEY §3.2, S1-S4/D1/M10)
         "multi_source_union": SRC.multi_source_union,
         # grouped ordered collect (SURVEY A4)
@@ -248,6 +250,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal stages (over synthetic payload tables)
         "image_features": _image_features,
         "phash_near_dup": _phash_near_dup,
+        # incremental image-snapshot dedup (bloom over phashes; rows-only
+        # — no-false-negative + FP bounds in tests/)
+        "bloom_dedup_images": _bloom_dedup_images,
         # image-text pair curation (vision.py; deterministic stand-in
         # towers, real actor-pool plumbing — in-test oracles)
         "clip_score_filter": _clip_score_filter,
@@ -376,6 +381,14 @@ def _image_features(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.multimodal import image_features
 
     return image_features(_fixture_images()).drop_columns(["thumbnail"])
+
+
+def _bloom_dedup_images(sf_dir: str) -> Any:
+    """Rows-only: incremental image-snapshot dedup (sf_dir-independent
+    input by design — runs over the synthetic crawl image table)."""
+    from newscrawler_ray.pipelines.multimodal import bloom_dedup_images
+
+    return bloom_dedup_images(_fixture_images())
 
 
 def _phash_near_dup(sf_dir: str) -> Any:
@@ -607,6 +620,10 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name""",
+        "dedup_events_windowed": """
+            SELECT user_id, event_type, date_trunc('hour', ts) AS win,
+                   min(event_id) AS event_id, count(*) - 1 AS n_absorbed
+            FROM events GROUP BY user_id, event_type, date_trunc('hour', ts)""",
         "events_daily_window": """
             SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
                    round(sum(value), 4) AS total

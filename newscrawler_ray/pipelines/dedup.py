@@ -1172,10 +1172,13 @@ def _bloom_size(n_keys: int, bits_per_key: int = 10) -> int:
     return m
 
 
-def build_bloom(ds: rd.Dataset, text_col: str = "text", *, m: int) -> np.ndarray:
+def build_bloom(
+    ds: rd.Dataset, text_col: str = "text", *, m: int, key_col: str | None = None
+) -> np.ndarray:
     """Bloom bitmap (packed uint8, m bits) over content hashes of
-    ``text_col`` — per-block partial bitmaps (one m/8-byte blob per
-    block) OR-merged on the driver.
+    ``text_col`` (or, with ``key_col``, over an existing int64 key
+    column — e.g. image phashes) — per-block partial bitmaps (one
+    m/8-byte blob per block) OR-merged on the driver.
 
     Scale note: at 1% FP the filter is ~1.2 GB per 10^9 keys. The
     partial blobs are already mergeable, so beyond driver memory shard
@@ -1188,10 +1191,13 @@ def build_bloom(ds: rd.Dataset, text_col: str = "text", *, m: int) -> np.ndarray
     def partial(batch: pa.Table) -> pa.Table:
         bits = np.zeros(m // 8, np.uint8)
         if batch.num_columns and batch.num_rows:
-            h = np.array(
-                [content_hash64(t) for t in batch.column(text_col).to_pylist()],
-                np.int64,
-            )
+            if key_col is not None:
+                h = batch.column(key_col).to_numpy().astype(np.int64)
+            else:
+                h = np.array(
+                    [content_hash64(t) for t in batch.column(text_col).to_pylist()],
+                    np.int64,
+                )
             pos = _bloom_positions(h, m).ravel()
             np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
         return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})

@@ -19,6 +19,7 @@ from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
+import ray
 import ray.data as rd
 
 from .. import codecs
@@ -140,3 +141,53 @@ def phash_near_dup_groups(images_path: str | Path) -> rd.Dataset:
         return batch.filter(pa.compute.greater(batch.column("n_images"), 1))
 
     return out.map_batches(only_dups, batch_format="pyarrow")
+
+
+def bloom_dedup_images(
+    images_path: str | Path, *, bits_per_key: int = 10
+) -> rd.Dataset:
+    """Incremental image-snapshot dedup (the image-tower analog of
+    ``dedup.bloom_dedup_docs``): the already-ingested image corpus
+    (hash(image_id) % 7 < 5) is compressed once into a Bloom filter over
+    its perceptual hashes; the new snapshot (the rest) is filtered
+    by broadcast membership — zero shuffle against the old corpus, and
+    payload bytes never move (only (image_id, phash) columns are read).
+    Survivors are first-wins per phash within the snapshot. No false
+    negatives (every image whose phash exists in the old corpus is
+    dropped); ~1% of fresh images drop as false positives at 10
+    bits/key."""
+    from ray.data.aggregate import Min
+
+    from ..functions.hashing import hash_string_array
+    from .dedup import _bloom_size, bloom_contains, build_bloom
+
+    ds = rd.read_parquet(str(images_path), columns=["image_id", "phash"])
+
+    def side(new: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            h = hash_string_array(batch.column("image_id").combine_chunks())
+            keep = ((h % np.uint64(7)) >= 5) == new
+            return batch.filter(pa.array(keep))
+
+        return f
+
+    old = ds.map_batches(side(False), batch_format="pyarrow")
+    new = ds.map_batches(side(True), batch_format="pyarrow")
+    m = _bloom_size(old.count(), bits_per_key)
+    bits_ref = ray.put(build_bloom(old, m=m, key_col="phash"))
+
+    def fresh(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"phash": pa.array([], pa.int64()),
+                 "image_id": pa.array([], pa.string())}
+            )
+        h = batch.column("phash").to_numpy().astype(np.int64)
+        keep = ~bloom_contains(ray.get(bits_ref), h, m)
+        return batch.filter(pa.array(keep)).select(["phash", "image_id"])
+
+    survivors = new.map_batches(fresh, batch_format="pyarrow")
+    out = survivors.groupby("phash").aggregate(Min("image_id", alias_name="image_id"))
+    return out.select_columns(["image_id"])

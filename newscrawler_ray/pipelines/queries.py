@@ -894,3 +894,38 @@ def urgent_top_revenue(sf_dir: str, *, k: int = 10) -> rd.Dataset:
 
     out = out.map_batches(finish, batch_format="pyarrow")
     return out.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(k)
+
+
+def dedup_events_windowed(sf_dir: str) -> rd.Dataset:
+    """Streaming-analog windowed dedup (SURVEY §2.9 + D-family): within
+    each tumbling 1-hour event-time window, collapse repeated
+    (user_id, event_type) firings to the first event (min event_id) and
+    report how many were absorbed — the dedup a stream processor runs to
+    suppress retry/duplicate deliveries. Vectorized window-bucket stage +
+    one hash aggregate of thin rows."""
+    ds = read_clean(
+        _p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def add_win(batch: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(batch.column("ts"), unit="hour")
+        return batch.append_column("win", win).drop_columns(["ts"])
+
+    ds = ds.map_batches(add_win, batch_format="pyarrow")
+    out = ds.groupby(["user_id", "event_type", "win"]).aggregate(
+        Min("event_id", alias_name="event_id"), Count(alias_name="n_absorbed")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("win")
+        batch = batch.set_column(
+            i, "win", pc.cast(batch.column("win"), pa.timestamp("us"))
+        )
+        j = batch.schema.get_field_index("n_absorbed")
+        return batch.set_column(
+            j,
+            "n_absorbed",
+            pc.subtract(batch.column("n_absorbed"), pa.scalar(1, pa.int64())),
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

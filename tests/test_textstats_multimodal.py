@@ -224,3 +224,32 @@ def test_gopher_repetition_brute_force(ray_session, tmp_path):
             and r["dup2_frac"] <= 0.08
             and r["top2_frac"] <= 0.05
         )
+
+
+def test_bloom_dedup_images_matches_exact(ray_session, fixture_dir):
+    """No false negatives vs a driver-side exact computation; FP drops
+    bounded; survivors are first-wins per phash within the snapshot."""
+    import pyarrow.parquet as pq
+
+    from newscrawler_ray.functions.hashing import hash_string_array
+
+    t = pq.read_table(fixture_dir / "images.parquet", columns=["image_id", "phash"])
+    ids = t.column("image_id").to_numpy(zero_copy_only=False)
+    hs = hash_string_array(t.column("image_id").combine_chunks()) % np.uint64(7)
+    ph = t.column("phash").to_numpy()
+    old_ph = set(ph[hs < 5].tolist())
+    new_ids, new_ph = ids[hs >= 5], ph[hs >= 5]
+    exact = {}
+    for i, h in sorted(zip(new_ids.tolist(), new_ph.tolist())):
+        if h not in old_ph and h not in exact:
+            exact[h] = i
+    exact_ids = set(exact.values())
+
+    got = set(
+        multimodal.bloom_dedup_images(fixture_dir / "images.parquet")
+        .to_pandas()["image_id"]
+        .tolist()
+    )
+    assert got <= exact_ids  # bloom never keeps what exact drops
+    assert len(exact_ids - got) <= max(2, int(0.05 * len(exact_ids)))
+    assert len(got) > 0
