@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # domain-level curation (RefinedWeb/Dolma-style domain gating)
         "domain_stats": CS.domain_stats,
         "domain_quality_filter": CS.domain_quality_filter,
+        # DSIR-style importance resampling (target = lang slice)
+        "dsir_select": CS.dsir_select,
         # ... and the matching TRANSFORM: strip every position covered
         # by a corpus-duplicated 8-gram and rebuild the doc
         "strip_dup_spans": CS.strip_dup_spans,
@@ -647,6 +649,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
             FROM documents""",
         "exact_dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        "dsir_select": r"""
+            WITH w AS (
+              SELECT doc_id, lang,
+                     unnest(list_filter(string_split_regex(lower(text),
+                       '\W+'), x -> x <> '')) AS w
+              FROM documents
+            ), cr AS (
+              SELECT w, count(*)::DOUBLE AS c FROM w GROUP BY w
+            ), ct AS (
+              SELECT w, count(*)::DOUBLE AS c FROM w WHERE lang = 'en' GROUP BY w
+            ), tr AS (SELECT sum(c) AS t FROM cr),
+               tt AS (SELECT coalesce(sum(c), 0) AS t FROM ct),
+               v AS (SELECT count(*)::DOUBLE AS v FROM cr),
+            s AS (
+              SELECT w.doc_id, count(*) AS n,
+                     sum(ln((coalesce(ct.c, 0) + 0.5)
+                            / ((SELECT t FROM tt) + 0.5 * (SELECT v FROM v)))
+                       - ln((cr.c + 0.5)
+                            / ((SELECT t FROM tr) + 0.5 * (SELECT v FROM v)))) AS s
+              FROM w JOIN cr USING (w) LEFT JOIN ct USING (w)
+              GROUP BY w.doc_id
+            )
+            SELECT doc_id, round(s / n + 1e-9, 4) AS weight
+            FROM s ORDER BY weight DESC, doc_id LIMIT 100""",
         "domain_stats": """
             SELECT source, count(*) AS n_docs,
                    count(DISTINCT text) AS n_distinct,

@@ -79,6 +79,13 @@ QUERY_NAMES = [
     "curate_text_corpus",
     "jaccard_dedup_docs",
     "strip_dup_spans",
+    # round-3 additions: graph + incremental/domain ops
+    "link_pagerank",
+    "incremental_exact_dedup",
+    "bloom_dedup_docs",
+    "domain_stats",
+    "domain_quality_filter",
+    "dedup_events_windowed",
 ]
 
 

@@ -937,3 +937,76 @@ def domain_quality_filter(
         make_broadcast_semijoin_fn("source", keys_ref), batch_format="pyarrow"
     )
     return out.select_columns(["doc_id", "source"])
+
+
+# ------------------------------------------------ importance resampling
+
+
+def dsir_select(
+    sf_dir: str,
+    *,
+    target_lang: str = "en",
+    n_select: int = 100,
+    alpha: float = 0.5,
+) -> rd.Dataset:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", simplified to unigram
+    features): score every document by its mean per-token importance
+    log-ratio ln(p_target / p_raw) between a target-domain unigram LM
+    (here: the ``target_lang`` slice) and the raw-corpus LM, both
+    additively smoothed over the raw vocabulary, and keep the top
+    ``n_select`` (ties broken by doc_id). Docs with no tokens are not
+    selectable.
+
+    Shape: two model builds (per-batch partials -> one hash groupby ->
+    model-sized driver fold, exactly ``unigram_logprob_docs``'s shape),
+    one broadcast of the merged (hash, c_target, c_raw) bundle, one
+    streaming scoring map, then a top-k sort on the model-thin
+    (doc_id, weight) output."""
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text", "lang"])
+
+    def only_target(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("lang"), target_lang))
+
+    h_r, c_r, total_r = _unigram_model(docs)
+    h_t, c_t, total_t = _unigram_model(
+        docs.map_batches(only_target, batch_format="pyarrow")
+    )
+    vocab = float(len(h_r))
+    # align target counts onto the raw vocab (every target word is a raw
+    # word; unseen-in-target words get count 0 and live on smoothing)
+    c_t_aligned = np.zeros_like(c_r)
+    if len(h_t):
+        pos = np.searchsorted(h_r, h_t)
+        c_t_aligned[pos] = c_t
+    ref = ray.put((h_r, c_t_aligned, c_r))
+
+    def score(batch: pa.Table) -> pa.Table:
+        model_h, ct_a, cr_a = ray.get(ref)
+        flat, offsets = tokenize_word_hashes(batch.column("text"))
+        lens = np.diff(offsets)
+        n_docs = batch.num_rows
+        s = np.zeros(n_docs, dtype=np.float64)
+        if len(flat) and len(model_h):
+            hs64 = flat.view(np.int64)
+            pos = np.minimum(np.searchsorted(model_h, hs64), len(model_h) - 1)
+            ct = ct_a[pos]
+            cr = cr_a[pos]
+            term = np.log((ct + alpha) / (total_t + alpha * vocab)) - np.log(
+                (cr + alpha) / (total_r + alpha * vocab)
+            )
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            s[:] = np.bincount(doc_of, weights=term, minlength=n_docs)
+        w = np.round(s / np.maximum(lens, 1) + 1e-9, 4)
+        keep = lens > 0
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "weight": pa.array(w[keep], pa.float64()),
+            }
+        )
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["weight", "doc_id"], descending=[True, False]).limit(
+        n_select
+    )

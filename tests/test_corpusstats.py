@@ -321,3 +321,24 @@ def test_domain_quality_filter_gates_whole_domains(ray_session):
     counts = kept.groupby("source").size()
     for s in kept_sources:
         assert counts[s] == per_source_total[s]
+
+
+def test_dsir_select_favors_target_lang(ray_session):
+    """Importance resampling must enrich the target language: the
+    selected top-100 carries a higher 'en' fraction than the corpus
+    base rate, and weights come back sorted (desc, doc_id tiebreak)."""
+    import duckdb
+
+    from newscrawler_ray.pipelines.corpusstats import dsir_select
+
+    sf = "/root/testdata/sf0.01"
+    sel = dsir_select(sf).to_pandas()
+    assert len(sel) == 100
+    w = sel["weight"].tolist()
+    assert w == sorted(w, reverse=True)
+    langs = duckdb.sql(
+        f"SELECT doc_id, lang FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchdf().set_index("doc_id")["lang"]
+    frac_sel = (langs.loc[sel["doc_id"]] == "en").mean()
+    base = (langs == "en").mean()
+    assert frac_sel > base + 0.1, (frac_sel, base)
