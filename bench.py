@@ -86,6 +86,7 @@ QUERY_NAMES = [
     "domain_stats",
     "domain_quality_filter",
     "dedup_events_windowed",
+    "dsir_select",
 ]
 
 
