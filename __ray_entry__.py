@@ -236,6 +236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # priority signal; SQL-paired — iterations unrolled as chained
         # CTEs in the oracle)
         "link_pagerank": _link_pagerank,
+        # crawl -> PageRank tier composition (rows-only: dense-reference
+        # equality + ground-truth-links oracle in tests/)
+        "crawl_pagerank": _crawl_pagerank,
         # text analysis (rows-only: heuristics not SQL-expressible)
         "lang_id_docs": T.lang_id,
         # sequence packing (rows-only: bin layout is a function of the
@@ -338,6 +341,21 @@ r{i} AS (
 SELECT node, round(r + 1e-9, 8) AS rank FROM {prev} ORDER BY node"""
     )
     return "".join(parts)
+
+
+def _crawl_pagerank(sf_dir: str) -> Any:
+    """Rows-only: crawl the synthetic web, then PageRank the crawled
+    pages over the link graph the crawl discovered (sf_dir-independent
+    input by design; dense-reference oracle in tests/)."""
+    from newscrawler_ray.pipelines.crawl import run_crawl
+    from newscrawler_ray.pipelines.graph import crawl_pagerank
+    from newscrawler_ray.synth import default_fixture_dir, gen_fixtures
+
+    fx = gen_fixtures(default_fixture_dir(1200), n_urls=1200, seed=42)
+    out = Path("/tmp/newscrawler_ray_q_pagerank")
+    run_crawl(fx, out, n_seen_shards=2, n_frontier_shards=2, checkpoint=False,
+              collect_seen=False)
+    return crawl_pagerank(out, fx)
 
 
 def _headline_clusters(sf_dir: str) -> Any:

@@ -624,3 +624,130 @@ def link_pagerank(
         )
 
     return pr.map_batches(finish, batch_format="pyarrow")
+
+
+def crawl_pagerank(
+    crawl_out_dir,
+    fixture_dir,
+    *,
+    k_top: int = 50,
+    damping: float = 0.85,
+    n_iter: int = 5,
+) -> rd.Dataset:
+    """Tier composition: rank the CRAWLED pages by PageRank over the
+    link graph the crawl itself discovered (the principled replacement
+    for the reference's hand-tuned priority ordering — reference
+    ``services/news_service.py`` seed ordering / SURVEY O1).
+
+    Wave output does not persist out-links (route consumes them), so the
+    page-parser stage (M7) replays over the stored 200-status rows — the
+    simulated web is a pure function, so the edges regenerate
+    deterministically. Edges are restricted to the closed crawled world
+    (dst must itself be a crawled page, via a broadcast hash-set
+    semi-join), PageRank runs on (src_hash, dst_hash) int64 pairs, and
+    only the k_top survivors join back to URLs — the rank->url join
+    broadcasts the TINY top-k mapping over the crawled rows, never the
+    full rank table.
+
+    Output: (url, rank) rows, rank desc / url asc, k_top rows."""
+    import pyarrow.compute as pc
+
+    from ..functions.joins import make_broadcast_map_fn, table_to_mapping
+    from ..stages.fetch import make_fetch_fn
+    from ..functions.urls import canonicalize_batch
+    from .crawl import _cached_web_index
+
+    waves = str(Path(crawl_out_dir) / "waves")
+    crawled = read_clean(waves, columns=["url", "host", "url_hash", "status"])
+
+    def ok_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("status"), 200))
+        n = batch.num_rows
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "host": batch.column("host"),
+                "url_hash": batch.column("url_hash"),
+                "priority": pa.array(np.zeros(n, np.int64), _I64),
+                "depth": pa.array(np.zeros(n, np.int32), pa.int32()),
+            }
+        )
+
+    ok = crawled.map_batches(ok_rows, batch_format="pyarrow").materialize()
+
+    # closed-world membership: the crawled hash set (node-set-sized
+    # broadcast — the same driver-state class as pagerank itself)
+    hashes = []
+    for b in ok.select_columns(["url_hash"]).iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            hashes.append(b.column("url_hash").to_numpy())
+    crawled_hashes = (
+        np.unique(np.concatenate(hashes)) if hashes else np.empty(0, np.int64)
+    )
+    set_ref = ray.put(crawled_hashes)
+
+    _, web_ref = _cached_web_index(Path(fixture_dir))
+    fetch = make_fetch_fn(web_ref)
+
+    def edges(batch: pa.Table) -> pa.Table:
+        out = fetch(batch)
+        links = out.column("outlinks").combine_chunks()
+        cnt = pc.list_value_length(links).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(links)
+        if len(flat) == 0:
+            return pa.table(
+                {"src": pa.array([], _I64), "dst": pa.array([], _I64)}
+            )
+        _, _, dst_hash = canonicalize_batch(flat)
+        src = np.repeat(out.column("url_hash").to_numpy(), cnt)
+        members = ray.get(set_ref)
+        pos = np.minimum(np.searchsorted(members, dst_hash), max(len(members) - 1, 0))
+        keep = len(members) > 0 and members[pos] == dst_hash
+        keep = keep if isinstance(keep, np.ndarray) else np.zeros(len(dst_hash), bool)
+        return pa.table(
+            {
+                "src": pa.array(src[keep], _I64),
+                "dst": pa.array(dst_hash[keep], _I64),
+            }
+        )
+
+    edge_ds = ok.map_batches(edges, batch_format="pyarrow")
+    pr = pagerank(edge_ds, src="src", dst="dst", damping=damping, n_iter=n_iter)
+
+    def round_rank(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "rank": pa.array(
+                    np.round(batch.column("rank").to_numpy() + 1e-9, 8),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    top = (
+        pr.map_batches(round_rank, batch_format="pyarrow")
+        .sort(["rank", "node"], descending=[True, False])
+        .limit(k_top)
+        .take_all()
+    )
+    top_tbl = pa.table(
+        {
+            "url_hash": pa.array([r["node"] for r in top], _I64),
+            "rank": pa.array([r["rank"] for r in top], pa.float64()),
+        }
+    )
+    map_ref = ray.put(table_to_mapping(top_tbl, "url_hash", "rank"))
+    joined = ok.map_batches(
+        make_broadcast_map_fn("url_hash", "rank", map_ref, out_type=pa.float64()),
+        batch_format="pyarrow",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.select(["url", "rank"])
+
+    return (
+        joined.map_batches(finish, batch_format="pyarrow")
+        .sort(["rank", "url"], descending=[True, False])
+        .limit(k_top)
+    )

@@ -235,3 +235,52 @@ def test_pagerank_empty(ray_session):
     out = pagerank(ds)
     assert out.count() == 0
     assert out.schema().names == ["node", "rank"]
+
+
+def test_crawl_pagerank_matches_dense_reference(ray_session, fixture_dir, tmp_path):
+    """The crawl->PageRank composition must equal a dense driver
+    reference computed from the fixtures' ground-truth links table
+    restricted to the crawled 200-status world (same canonicalization),
+    and the emitted top-k must be rank-sorted."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from newscrawler_ray.functions.urls import canonicalize_batch
+    from newscrawler_ray.pipelines.crawl import run_crawl
+    from newscrawler_ray.pipelines.graph import crawl_pagerank
+
+    out = tmp_path / "crawl_pr"
+    run_crawl(fixture_dir, out, n_seen_shards=2, n_frontier_shards=2,
+              checkpoint=False, collect_seen=False)
+
+    got = crawl_pagerank(out, fixture_dir, k_top=30).to_pandas()
+    assert len(got) == 30
+    assert got["rank"].tolist() == sorted(got["rank"].tolist(), reverse=True)
+
+    # ground-truth edges: links of crawled-200 srcs whose dst was crawled
+    waves = pa.concat_tables(
+        pq.read_table(f, columns=["url", "url_hash", "status"])
+        for f in glob.glob(str(out / "waves" / "**" / "*.parquet"), recursive=True)
+    )
+    ok = waves.filter(pa.compute.equal(waves.column("status"), 200))
+    hash_of = dict(zip(ok.column("url").to_pylist(),
+                       ok.column("url_hash").to_pylist()))
+    crawled = set(hash_of.values())
+    links = pq.read_table(fixture_dir / "links.parquet")
+    _, _, src_h = canonicalize_batch(links.column("src_url").combine_chunks())
+    _, _, dst_h = canonicalize_batch(links.column("dst_url").combine_chunks())
+    pairs = [
+        (int(s), int(d))
+        for s, d in zip(src_h.tolist(), dst_h.tolist())
+        if s in crawled and d in crawled
+    ]
+    ref = _pagerank_dense(pairs)
+    top_ref = sorted(
+        ((round(r + 1e-9, 8), n) for n, r in ref.items()),
+        key=lambda t: (-t[0], t[1]),
+    )[:30]
+    got_pairs = [
+        (float(r), hash_of[u]) for u, r in zip(got["url"], got["rank"])
+    ]
+    assert got_pairs == [(r, n) for r, n in top_ref]
