@@ -239,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl -> PageRank tier composition (rows-only: dense-reference
         # equality + ground-truth-links oracle in tests/)
         "crawl_pagerank": _crawl_pagerank,
+        # HITS hubs/authorities over the same link graph (SQL-paired)
+        "link_hits": _link_hits,
         # text analysis (rows-only: heuristics not SQL-expressible)
         "lang_id_docs": T.lang_id,
         # sequence packing (rows-only: bin layout is a function of the
@@ -302,22 +304,22 @@ def _pagerank_oracle(
     parts = [
         f"""
 WITH dc AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
-edges AS (
+edges AS MATERIALIZED (
   SELECT CAST(doc_id AS BIGINT) AS src,
          (CAST(doc_id AS BIGINT) * {mul} + j.j * {add} + 1) % dc.cnt AS dst
   FROM documents CROSS JOIN dc CROSS JOIN range(0, {k}) AS j(j)
   WHERE doc_id % {skip} <> 0
 ),
-deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
-nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
-nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
-r0 AS (SELECT node, 1.0 / (SELECT cnt FROM nn) AS r FROM nodes)"""
+deg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT cnt FROM nn) AS r FROM nodes)"""
     ]
     prev = "r0"
     for i in range(1, n_iter + 1):
         parts.append(
             f""",
-r{i} AS (
+r{i} AS MATERIALIZED (
   SELECT nd.node,
          (1.0 - {d}) / (SELECT cnt FROM nn)
          + {d} * (SELECT COALESCE(SUM(p.r), 0)
@@ -356,6 +358,68 @@ def _crawl_pagerank(sf_dir: str) -> Any:
     run_crawl(fx, out, n_seen_shards=2, n_frontier_shards=2, checkpoint=False,
               collect_seen=False)
     return crawl_pagerank(out, fx)
+
+
+def _link_hits(sf_dir: str) -> Any:
+    """SQL-paired: HITS hubs & authorities (5 iterations, L2-normalized
+    per half-step) over the deterministic link graph."""
+    from newscrawler_ray.pipelines.graph import link_hits
+
+    return link_hits(sf_dir)
+
+
+def _hits_oracle(
+    k: int = 3,
+    n_iter: int = 5,
+    mul: int = 48271,
+    add: int = 10007,
+    skip: int = 7,
+) -> str:
+    """Unrolled-iteration DuckDB HITS, same half-step ordering and term
+    grouping as the Ray kernel (raw sums -> L2 norm -> normalize)."""
+    parts = [
+        f"""
+WITH dc AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
+edges AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         (CAST(doc_id AS BIGINT) * {mul} + j.j * {add} + 1) % dc.cnt AS dst
+  FROM documents CROSS JOIN dc CROSS JOIN range(0, {k}) AS j(j)
+  WHERE doc_id % {skip} <> 0
+),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS MATERIALIZED (SELECT node, 1.0 AS x FROM nodes)"""
+    ]
+    prev_h = "h0"
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+a{i}r AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(p.x) AS s
+  FROM edges e JOIN {prev_h} p ON p.node = e.src GROUP BY e.dst
+),
+a{i}z AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS z FROM a{i}r),
+a{i} AS MATERIALIZED (
+  SELECT nd.node, COALESCE(r.s, 0) / (SELECT z FROM a{i}z) AS x
+  FROM nodes nd LEFT JOIN a{i}r r ON r.node = nd.node
+),
+h{i}r AS MATERIALIZED (
+  SELECT e.src AS node, SUM(p.x) AS s
+  FROM edges e JOIN a{i} p ON p.node = e.dst GROUP BY e.src
+),
+h{i}z AS MATERIALIZED (SELECT sqrt(sum(s * s)) AS z FROM h{i}r),
+h{i} AS MATERIALIZED (
+  SELECT nd.node, COALESCE(r.s, 0) / (SELECT z FROM h{i}z) AS x
+  FROM nodes nd LEFT JOIN h{i}r r ON r.node = nd.node
+)"""
+        )
+        prev_h = f"h{i}"
+    parts.append(
+        f"""
+SELECT a.node, round(a.x + 1e-9, 8) AS authority,
+       round(h.x + 1e-9, 8) AS hub
+FROM a{n_iter} a JOIN h{n_iter} h USING (node) ORDER BY a.node"""
+    )
+    return "".join(parts)
 
 
 def _headline_clusters(sf_dir: str) -> Any:
@@ -499,6 +563,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "count_by_source": "SELECT source, count(*) AS n FROM documents GROUP BY source",
         "link_pagerank": _pagerank_oracle(),
+        "link_hits": _hits_oracle(),
         "count_by_lang": "SELECT lang, count(*) AS n FROM documents GROUP BY lang",
         "global_counts": """
             SELECT count(*) AS n_total,

@@ -751,3 +751,110 @@ def crawl_pagerank(
         .sort(["rank", "url"], descending=[True, False])
         .limit(k_top)
     )
+
+
+def _fold_partials(edges: rd.Dataset, partial) -> tuple[np.ndarray, np.ndarray]:
+    """Run a per-block (node, s) partial over the edges and merge the
+    thin rows on the driver (shared by the pagerank/HITS iterations)."""
+    keys_l, vals_l = [], []
+    for b in edges.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_columns and b.num_rows:
+            keys_l.append(b.column("node").to_numpy())
+            vals_l.append(b.column("s").to_numpy())
+    return _merge_key_sums(keys_l, vals_l)
+
+
+def hits(
+    edges: rd.Dataset,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+) -> rd.Dataset:
+    """HITS hubs & authorities (Kleinberg 1999) over a directed (src,
+    dst) edge dataset — the hub/authority split matters for a news
+    crawler (aggregator pages vs story pages) where PageRank conflates
+    the two roles.
+
+    Each iteration: a(v) = sum of h over in-edges, L2-normalized; then
+    h(u) = sum of the NEW a over out-edges, L2-normalized. Multiset
+    edges count with multiplicity. Execution shape = ``pagerank``'s:
+    edges stream twice per iteration against a broadcast (nodes, vec)
+    bundle with per-block ``add.reduceat`` partials; the driver holds
+    O(nodes) like the CC minima (same sharded-fold escape beyond ~10^8
+    nodes).
+
+    Returns (node, authority, hub); empty input yields an empty
+    result."""
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([], _I64),
+                "authority": pa.array([], pa.float64()),
+                "hub": pa.array([], pa.float64()),
+            }
+        )
+    )
+    sch = edges.schema(fetch_if_missing=True)
+    if sch is None or len(sch.names) == 0:
+        return empty
+    edges = edges.select_columns([src, dst]).materialize()
+    nodes, _ = _pr_degrees(edges, src, dst)
+    n = len(nodes)
+    if n == 0:
+        return empty
+    h = np.ones(n, np.float64)
+    a = np.zeros(n, np.float64)
+
+    def fold(weights: np.ndarray, key_from: str, group_by: str) -> np.ndarray:
+        ref = ray.put((nodes, weights))
+        in_nodes, sums = _fold_partials(
+            edges, _make_inflow_partial(key_from, group_by, ref)
+        )
+        out = np.zeros(n, np.float64)
+        if len(in_nodes):
+            out[np.searchsorted(nodes, in_nodes)] = sums
+        return out
+
+    for _ in range(n_iter):
+        a = fold(h, src, dst)
+        za = np.sqrt(np.sum(a * a))
+        a = a / za if za > 0 else a
+        h = fold(a, dst, src)
+        zh = np.sqrt(np.sum(h * h))
+        h = h / zh if zh > 0 else h
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, _I64),
+                "authority": pa.array(a, pa.float64()),
+                "hub": pa.array(h, pa.float64()),
+            }
+        )
+    )
+
+
+def link_hits(sf_dir: str, *, k: int = 3, n_iter: int = 5) -> rd.Dataset:
+    """HITS over the same deterministic document link graph as
+    ``link_pagerank``; both scores rounded to 8 decimals (+1e-9 nudge)
+    for hash-stable DuckDB parity."""
+    out = hits(doc_link_edges(sf_dir, k=k), src="src", dst="dst", n_iter=n_iter)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "authority": pa.array(
+                    np.round(batch.column("authority").to_numpy() + 1e-9, 8),
+                    pa.float64(),
+                ),
+                "hub": pa.array(
+                    np.round(batch.column("hub").to_numpy() + 1e-9, 8),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -284,3 +284,46 @@ def test_crawl_pagerank_matches_dense_reference(ray_session, fixture_dir, tmp_pa
         (float(r), hash_of[u]) for u, r in zip(got["url"], got["rank"])
     ]
     assert got_pairs == [(r, n) for r, n in top_ref]
+
+
+def test_hits_matches_dense_reference(ray_session):
+    """HITS on a random multigraph equals a dense driver reference
+    (same half-step ordering and L2 normalization); a pure hub (only
+    out-edges) gets authority 0, a pure sink gets hub 0."""
+    from newscrawler_ray.pipelines.graph import hits
+
+    rng = np.random.default_rng(23)
+    pairs = list(
+        zip(rng.integers(0, 60, 300).tolist(), rng.integers(20, 90, 300).tolist())
+    )
+    pairs += [(100, 30), (100, 31), (32, 101)]  # pure hub 100, pure sink 101
+    nodes = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(5):
+        a = np.zeros(n)
+        for u, v in pairs:
+            a[idx[v]] += h[idx[u]]
+        a /= np.sqrt((a * a).sum())
+        h = np.zeros(n)
+        for u, v in pairs:
+            h[idx[u]] += a[idx[v]]
+        h /= np.sqrt((h * h).sum())
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([p[0] for p in pairs], pa.int64()),
+                "dst": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+    )
+    got = hits(ds).to_pandas().set_index("node")
+    assert sorted(got.index.tolist()) == nodes
+    for v in nodes:
+        assert abs(got.loc[v, "authority"] - a[idx[v]]) < 1e-12
+        assert abs(got.loc[v, "hub"] - h[idx[v]]) < 1e-12
+    assert got.loc[100, "authority"] == 0.0
+    assert got.loc[101, "hub"] == 0.0
