@@ -276,6 +276,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # /news?extract=true path; rows-only — golden parity + cache-hit
         # semantics in tests/test_extract_composition.py)
         "extract_crawl_output": _extract_crawl_output,
+        # incremental recrawl delta between two crawl snapshots
+        # (rows-only; driver-set equality in tests/)
+        "crawl_snapshot_diff": _crawl_snapshot_diff,
     }
 
 
@@ -343,6 +346,24 @@ r{i} AS MATERIALIZED (
 SELECT node, round(r + 1e-9, 8) AS rank FROM {prev} ORDER BY node"""
     )
     return "".join(parts)
+
+
+def _crawl_snapshot_diff(sf_dir: str) -> Any:
+    """Rows-only: delta between the 600-URL-world and 1200-URL-world
+    crawls (sf_dir-independent input by design; driver-set equality in
+    tests/test_crawl_e2e.py)."""
+    from newscrawler_ray.pipelines.crawl import crawl_snapshot_diff, run_crawl
+    from newscrawler_ray.synth import default_fixture_dir, gen_fixtures
+
+    out_old = Path("/tmp/newscrawler_ray_q_diff_old")
+    out_new = Path("/tmp/newscrawler_ray_q_diff_new")
+    run_crawl(gen_fixtures(default_fixture_dir(600), n_urls=600, seed=42),
+              out_old, n_seen_shards=2, n_frontier_shards=2,
+              checkpoint=False, collect_seen=False)
+    run_crawl(gen_fixtures(default_fixture_dir(1200), n_urls=1200, seed=42),
+              out_new, n_seen_shards=2, n_frontier_shards=2,
+              checkpoint=False, collect_seen=False)
+    return crawl_snapshot_diff(out_old, out_new)
 
 
 def _crawl_pagerank(sf_dir: str) -> Any:

@@ -518,3 +518,83 @@ def crawl_error_rows(out_dir: str | Path) -> pa.Table:
         batch_format="pyarrow",
     )
     return pa.Table.from_pylist(ds.take_all())
+
+
+def crawl_snapshot_diff(
+    old_dir: str | Path, new_dir: str | Path
+) -> rd.Dataset:
+    """Incremental recrawl report: what changed between two crawl
+    snapshots (the op a scheduled crawler runs after every pass —
+    the reference re-crawls and upserts blindly; this makes the delta a
+    first-class result).
+
+    Per stored URL: ``added`` (new snapshot only), ``removed`` (old
+    only), ``changed`` (present in both, stored payload phash differs).
+    Unchanged pages are not emitted. Anti-join-free shape: both wave
+    outputs union into thin (url_hash, url, origin, masked phashes)
+    rows and ONE hash aggregate resolves every category — payload bytes
+    never read (column-pruned parquet scan), nothing on the driver.
+
+    Output: (url, change) rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    sentinel = -(1 << 62)
+
+    def rows(origin: int):
+        def f(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(batch.column("stored"))
+            ph = pc.fill_null(batch.column("phash"), sentinel).to_numpy(
+                zero_copy_only=False
+            )
+            n = batch.num_rows
+            fill = np.full(n, sentinel, np.int64)
+            return pa.table(
+                {
+                    "url_hash": batch.column("url_hash"),
+                    "url": batch.column("url"),
+                    "origin": pa.array(np.full(n, origin, np.int64)),
+                    "ph_old": pa.array(np.where(origin == 0, ph, fill)),
+                    "ph_new": pa.array(np.where(origin == 1, ph, fill)),
+                }
+            )
+
+        return f
+
+    cols = ["url_hash", "url", "phash", "stored"]
+    old = rd.read_parquet(str(Path(old_dir) / "waves"), columns=cols).map_batches(
+        rows(0), batch_format="pyarrow"
+    )
+    new = rd.read_parquet(str(Path(new_dir) / "waves"), columns=cols).map_batches(
+        rows(1), batch_format="pyarrow"
+    )
+    agg = (
+        old.union(new)
+        .groupby("url_hash")
+        .aggregate(
+            Min("origin", alias_name="min_o"),
+            Max("origin", alias_name="max_o"),
+            Max("ph_old", alias_name="ph_old"),
+            Max("ph_new", alias_name="ph_new"),
+            Min("url", alias_name="url"),
+        )
+    )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        mn = batch.column("min_o").to_numpy()
+        mx = batch.column("max_o").to_numpy()
+        po = batch.column("ph_old").to_numpy()
+        pn = batch.column("ph_new").to_numpy()
+        change = np.where(
+            mn == 1, "added", np.where(mx == 0, "removed", np.where(po != pn, "changed", ""))
+        )
+        keep = change != ""
+        return pa.table(
+            {
+                "url": batch.column("url").filter(pa.array(keep)),
+                "change": pa.array(change[keep].astype(str)),
+            }
+        )
+
+    return agg.map_batches(classify, batch_format="pyarrow")

@@ -142,3 +142,88 @@ def test_resume_equals_uninterrupted(ray_session, fixture_dir, tmp_path_factory,
     assert res["seen"] == oracle.seen
     assert crawl_order(out) == oracle.order
     assert res["makespan_ms"] == oracle.makespan_ms
+
+
+def test_crawl_snapshot_diff_classification(ray_session, tmp_path):
+    """All four categories on hand-built snapshots: added / removed /
+    changed classified exactly; unchanged and unstored rows emit
+    nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from newscrawler_ray.pipelines.crawl import crawl_snapshot_diff
+
+    def write(root, rows):
+        d = root / "waves" / "wave=0000"
+        d.mkdir(parents=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "url_hash": pa.array([r[0] for r in rows], pa.int64()),
+                    "url": pa.array([r[1] for r in rows]),
+                    "phash": pa.array([r[2] for r in rows], pa.int64()),
+                    "stored": pa.array([r[3] for r in rows]),
+                }
+            ),
+            d / "part.parquet",
+        )
+
+    old = tmp_path / "old"
+    new = tmp_path / "new"
+    write(old, [
+        (1, "u1", 100, True),   # unchanged
+        (2, "u2", 200, True),   # removed
+        (3, "u3", 300, True),   # changed (phash differs in new)
+        (5, "u5", 500, False),  # unstored in old -> counts as absent
+    ])
+    write(new, [
+        (1, "u1", 100, True),
+        (3, "u3", 333, True),
+        (4, "u4", 400, True),   # added
+        (5, "u5", 500, True),   # stored only in new -> added
+    ])
+    got = {
+        r["url"]: r["change"]
+        for r in crawl_snapshot_diff(old, new).take_all()
+    }
+    assert got == {"u2": "removed", "u3": "changed", "u4": "added", "u5": "added"}
+
+
+def test_crawl_snapshot_diff_between_worlds(ray_session, tmp_path):
+    """600-world vs 1200-world crawls: distributed diff equals a driver
+    set computation over the same wave parquet (shared pages are pure
+    functions of (seed, i), so 'changed' is empty by construction)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from newscrawler_ray.pipelines.crawl import crawl_snapshot_diff, run_crawl
+    from newscrawler_ray.synth import gen_fixtures
+
+    dirs = {}
+    for n in (600, 1200):
+        out = tmp_path / f"c{n}"
+        run_crawl(gen_fixtures(tmp_path / f"fx{n}", n_urls=n, seed=42), out,
+                  n_seen_shards=2, n_frontier_shards=2,
+                  checkpoint=False, collect_seen=False)
+        dirs[n] = out
+
+    def stored_map(out):
+        m = {}
+        for f in glob.glob(str(out / "waves" / "**" / "*.parquet"), recursive=True):
+            t = pq.read_table(f, columns=["url", "phash", "stored"])
+            for r in t.to_pylist():
+                if r["stored"]:
+                    m[r["url"]] = r["phash"]
+        return m
+
+    mo, mn = stored_map(dirs[600]), stored_map(dirs[1200])
+    want = {u: "added" for u in mn.keys() - mo.keys()}
+    want |= {u: "removed" for u in mo.keys() - mn.keys()}
+    want |= {u: "changed" for u in mo.keys() & mn.keys() if mo[u] != mn[u]}
+    got = {
+        r["url"]: r["change"]
+        for r in crawl_snapshot_diff(dirs[600], dirs[1200]).take_all()
+    }
+    assert got == want
+    assert len(got) > 0
