@@ -226,6 +226,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk": S.knn_topk,
         "knn_multi": S.knn_multi,
         "knn_ivf_topk": S.knn_ivf,
+        # product-quantization ANN (rows-only: recall + determinism +
+        # code-shape oracles in tests/)
+        "knn_pq_topk": S.knn_pq,
+        "pq_encode": S.pq_encode,
         # gap sessionization (SURVEY §2.9 streaming analog)
         "user_sessions": SRC.user_sessions,
         # headline clustering (SURVEY A4 grouping half: simhash pairs ->

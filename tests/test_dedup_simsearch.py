@@ -525,3 +525,54 @@ def test_bloom_kernel_membership():
     fresh = probes[~np.isin(probes, keys)]
     fp = dedup.bloom_contains(bits, fresh, m).mean()
     assert fp < 0.03, fp
+
+
+# ----------------------------------------------------------------- PQ
+
+
+def test_pq_codes_shape_and_determinism(ray_session):
+    books = simsearch.pq_train(SF)
+    again = simsearch.pq_train(SF)
+    np.testing.assert_array_equal(books, again)
+    assert books.shape == (8, 16, 8)
+    codes = simsearch.pq_encode(SF, books=books).take_all()
+    assert len(codes) == 500
+    for r in codes[:20]:
+        assert len(r["code"]) == 8
+
+
+def test_knn_pq_recall(ray_session):
+    """ADC + in-batch exact refine: recall floor vs brute force on the
+    near-uniform driver embeddings (the hard case for PQ), and exact
+    recovery on clustered vectors (the realistic case)."""
+    approx = set(simsearch.knn_pq(SF)["vec_id"].to_pylist())
+    exact = set(_brute_topk())
+    assert len(approx & exact) / len(exact) >= 0.5
+
+    # clustered corpus: 10 tight clusters; the query's cluster mates are
+    # the true top-k and PQ must find them all
+    import pyarrow.parquet as pqt
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, 50, axis=0) + rng.normal(scale=0.02, size=(500, 64))
+    import tempfile, os
+
+    d = tempfile.mkdtemp(prefix="pqtest", dir="/tmp")
+    pqt.write_table(
+        __import__("pyarrow").table(
+            {
+                "vec_id": list(range(500)),
+                "embedding": [v.astype("float32").tolist() for v in vecs],
+                "label": ["x"] * 500,
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    got = set(simsearch.knn_pq(d, query_vec_id=0, k=10)["vec_id"].to_pylist())
+    qn = vecs[0] / np.linalg.norm(vecs[0])
+    En = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = En @ qn
+    order = [i for i in np.lexsort((np.arange(500), -sims)) if i != 0][:10]
+    assert len(got & set(order)) / 10 >= 0.9
