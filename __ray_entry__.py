@@ -177,6 +177,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # pretraining mixture weights: p_s ∝ token_share^0.5 per source
         "source_mix_weights": CS.source_mix_weights,
+        # ... and the mixture MATERIALIZED: deterministic per-source
+        # hash sample at the damped rates (SQL-exact)
+        "mixture_sample_docs": CS.mixture_sample_docs,
         # unigram-LM mean NLL per doc (CCNet perplexity-filter stand-in)
         "unigram_logprob_docs": CS.unigram_logprob_docs,
         # distributed spherical k-means over the full embeddings table
@@ -1029,6 +1032,29 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN c USING (doc_id)""",
         # sqrt-damped mixture weights over per-source token sums; sqrt
         # is IEEE-correctly-rounded in both engines, so parity is exact
+        "mixture_sample_docs": r"""
+            WITH d AS (
+              SELECT source,
+                     len(list_filter(string_split_regex(lower(text),
+                       '\W+'), x -> x <> ''))::BIGINT AS n_tokens
+              FROM documents
+            ), a AS (
+              SELECT source, sum(n_tokens)::BIGINT AS n_tokens
+              FROM d GROUP BY source
+            ), s AS (
+              SELECT source,
+                     n_tokens::DOUBLE
+                       / (SELECT sum(n_tokens)::DOUBLE FROM a) AS share
+              FROM a
+            ), r AS (
+              SELECT source,
+                     sqrt(share) / (SELECT max(sqrt(share)) FROM s)
+                       * 4294967296.0 AS thresh
+              FROM s
+            )
+            SELECT doc_id, documents.source FROM documents JOIN r USING (source)
+            WHERE (CAST(doc_id AS BIGINT) * 2654435761) % 4294967296
+                  < r.thresh""",
         "source_mix_weights": r"""
             WITH d AS (
               SELECT source,

@@ -1010,3 +1010,39 @@ def dsir_select(
     return scored.sort(["weight", "doc_id"], descending=[True, False]).limit(
         n_select
     )
+
+
+def mixture_sample_docs(sf_dir: str) -> rd.Dataset:
+    """Materialize the pretraining mixture: deterministically sample
+    each source at a rate proportional to its sqrt-damped weight
+    (``source_mix_weights``), normalized so the heaviest-weighted source
+    keeps everything. Multiplicative-hash predicate per doc_id (the
+    ``hash_sample_events`` trick) — a pure function of (doc_id, source
+    rates), so retried partitions resample identically and a SQL oracle
+    checks row-for-row.
+
+    Shape: one tiny per-source aggregate (source_mix_weights), rates
+    broadcast as a sorted numpy bundle, then a shuffle-free filter map.
+    Output: (doc_id, source) kept rows."""
+    from ..functions.joins import make_broadcast_map_fn, table_to_mapping
+
+    w = source_mix_weights(sf_dir)
+    nt = w.column("n_tokens").to_numpy().astype(np.float64)
+    damped = np.sqrt(nt / nt.sum())
+    thresh = (damped / damped.max()) * 4294967296.0
+    rates = pa.table(
+        {"source": w.column("source"), "thresh": pa.array(thresh, pa.float64())}
+    )
+    ref = ray.put(table_to_mapping(rates, "source", "thresh"))
+    add_thresh = make_broadcast_map_fn("source", "thresh", ref, out_type=pa.float64())
+
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "source"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        batch = add_thresh(batch)
+        ids = batch.column("doc_id").to_numpy()
+        h = ((ids * 2654435761) % 4294967296).astype(np.float64)
+        t = batch.column("thresh").to_numpy()
+        return batch.filter(pa.array(h < t)).select(["doc_id", "source"])
+
+    return docs.map_batches(keep, batch_format="pyarrow")
