@@ -87,6 +87,9 @@ QUERY_NAMES = [
     "domain_quality_filter",
     "dedup_events_windowed",
     "dsir_select",
+    "link_hits",
+    "knn_pq_topk",
+    "mixture_sample_docs",
 ]
 
 

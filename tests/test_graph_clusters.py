@@ -327,3 +327,31 @@ def test_hits_matches_dense_reference(ray_session):
         assert abs(got.loc[v, "hub"] - h[idx[v]]) < 1e-12
     assert got.loc[100, "authority"] == 0.0
     assert got.loc[101, "hub"] == 0.0
+
+
+def test_pagerank_large_graph_bounded(ray_session):
+    """Scale shape check: ~300k multiset edges over 60k nodes (Zipf-ish
+    targets, 10% dangling) complete 5 iterations in bounded time, ranks
+    sum to 1, and the top node by rank has the most in-links from
+    high-degree sources (sanity, not a full dense replay)."""
+    import time
+
+    from newscrawler_ray.pipelines.graph import pagerank
+
+    rng = np.random.default_rng(31)
+    n = 60_000
+    src = rng.integers(0, int(n * 0.9), 300_000)  # top 10% of ids never emit
+    dst = (rng.zipf(1.3, 300_000) - 1) % n
+    ds = rd.from_arrow(
+        pa.table(
+            {"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())}
+        )
+    ).repartition(8)
+    t0 = time.monotonic()
+    out = pagerank(ds).to_pandas()
+    elapsed = time.monotonic() - t0
+    assert abs(out["rank"].sum() - 1.0) < 1e-6
+    assert len(out) == len(set(src.tolist()) | set(dst.tolist()))
+    # node 0 receives by far the most zipf mass -> must be top-ranked
+    assert out.sort_values("rank", ascending=False).iloc[0]["node"] == 0
+    assert elapsed < 180
