@@ -907,13 +907,20 @@ def dedup_events_windowed(sf_dir: str) -> rd.Dataset:
         _p(sf_dir, "events"), columns=["event_id", "ts", "user_id", "event_type"]
     )
 
-    def add_win(batch: pa.Table) -> pa.Table:
+    def partial(batch: pa.Table) -> pa.Table:
+        # pre-combine per block (arrow hash agg) so the shuffle ships one
+        # row per distinct (user, type, window) per block, not raw events
         win = pc.floor_temporal(batch.column("ts"), unit="hour")
-        return batch.append_column("win", win).drop_columns(["ts"])
+        t = batch.append_column("win", win).drop_columns(["ts"])
+        return (
+            t.group_by(["user_id", "event_type", "win"])
+            .aggregate([("event_id", "min"), ([], "count_all")])
+            .rename_columns(["user_id", "event_type", "win", "event_id", "n"])
+        )
 
-    ds = ds.map_batches(add_win, batch_format="pyarrow")
+    ds = ds.map_batches(partial, batch_format="pyarrow")
     out = ds.groupby(["user_id", "event_type", "win"]).aggregate(
-        Min("event_id", alias_name="event_id"), Count(alias_name="n_absorbed")
+        Min("event_id", alias_name="event_id"), Sum("n", alias_name="n_absorbed")
     )
 
     def finish(batch: pa.Table) -> pa.Table:
