@@ -274,6 +274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_near_dup_emb": _image_near_dup_emb,
         "curate_image_corpus": _curate_image_corpus,
         "image_knn": _image_knn,
+        # PQ-code visual search (rows-only: recall vs exact in tests/)
+        "image_knn_pq": _image_knn_pq,
         "image_kmeans_clusters": _image_kmeans,
         "curate_crawl_output": _curate_crawl_output,
         "audio_features": _audio_features,
@@ -553,6 +555,14 @@ def _image_knn(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.vision import image_knn
 
     return image_knn(_fixture_images(), query_image_id="img-00000097")
+
+
+def _image_knn_pq(sf_dir: str) -> Any:
+    """Rows-only: PQ-code visual search (ADC scan + exact refine over
+    the image tower; recall vs exact image_knn in tests)."""
+    from newscrawler_ray.pipelines.vision import image_knn_pq
+
+    return image_knn_pq(_fixture_images(), query_image_id="img-00000097")
 
 
 def _image_kmeans(sf_dir: str) -> Any:

@@ -447,6 +447,8 @@ def knn_pq(
     m: int = 8,
     n_codes: int = 16,
     refine: int | None = None,
+    ds: rd.Dataset | None = None,
+    query: np.ndarray | None = None,
 ) -> pa.Table:
     """Approximate top-k via asymmetric distance computation: per batch,
     approx sim = sum over subspaces of a (m, n_codes) query lookup table
@@ -456,15 +458,20 @@ def knn_pq(
     global merge. Recall vs brute force is asserted in tests.
 
     The 100 TB shape: the ADC scan touches m bytes/vector; exact
-    rescoring touches raw floats for only refine rows per batch."""
+    rescoring touches raw floats for only refine rows per batch.
+
+    Pass ``ds`` ((vec_id int64, embedding) from any vector source, e.g.
+    the image tower) and ``query`` (the query vector) to search a
+    non-sf_dir corpus."""
     refine = refine or 8 * k
-    books = pq_train(sf_dir, m=m, n_codes=n_codes)
-    q = _norm(_load_query(sf_dir, query_vec_id))
+    if ds is None:
+        ds = read_clean(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    books = pq_train(sf_dir, m=m, n_codes=n_codes, ds=ds)
+    q = _norm(query if query is not None else _load_query(sf_dir, query_vec_id))
     mm, ncod, sub = books.shape
     # lookup[j][c] = q_j . book[j][c] -> approx cosine = sum_j lookup[j][code_j]
     lut = np.einsum("jc,jkc->jk", q.reshape(mm, sub), books)
     ref = ray.put((books, lut, q))
-    ds = read_clean(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
 
     def batch_topk(batch: pa.Table) -> pa.Table:
         B, L, qv = ray.get(ref)

@@ -507,3 +507,50 @@ def image_kmeans(
         )
 
     return out.map_batches(fmt, batch_format="pyarrow")
+
+
+def image_knn_pq(
+    images_path: str | Path,
+    *,
+    query_image_id: str = "img-00000000",
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+) -> pa.Table:
+    """Visual similarity search on PQ codes: the image-tower adapter for
+    ``simsearch.knn_pq`` (codebooks trained on the tower's hash-sample,
+    ADC lookup-table scan + in-batch exact refine). The scale path for
+    10^10 images — m bytes per image stay hot, raw vectors are touched
+    only to rescore. Recall vs the exact ``image_knn`` is tested."""
+    import pyarrow.parquet as pq
+
+    from .simsearch import knn_pq
+
+    t = pq.read_table(
+        str(images_path),
+        columns=["image_id", "bytes", "fmt"],
+        filters=[("image_id", "==", query_image_id)],
+    )
+    if t.num_rows != 1:
+        raise KeyError(f"query image {query_image_id!r} not found")
+    q = PairEncoder()._embed_image(
+        t.column("bytes")[0].as_py(), t.column("fmt")[0].as_py()
+    )
+    vecs = image_embeddings(images_path).materialize()
+    qid = int(query_image_id[4:])
+
+    def drop_query(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy()
+        return batch.filter(pa.array(ids != qid))
+
+    out = knn_pq(
+        "", ds=vecs.map_batches(drop_query, batch_format="pyarrow"),
+        query=np.asarray(q, np.float64), k=k, m=m, n_codes=n_codes,
+    )
+    return pa.table(
+        {
+            "image_id": pa.array(
+                _int_to_image_id(out.column("vec_id").to_numpy())
+            ),
+        }
+    )

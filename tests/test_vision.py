@@ -253,3 +253,17 @@ def test_image_kmeans_planted_twins_cocluster(ray_session, fixture_dir):
         for r in vision.image_kmeans(path).take_all()
     }
     assert out2 == out
+
+
+def test_image_knn_pq_recall(ray_session, fixture_dir):
+    """PQ-code visual search recovers most of the exact image_knn
+    top-k (ADC + exact refine; image tower vectors are structured, so
+    recall is high) and is deterministic."""
+    from newscrawler_ray.pipelines.vision import image_knn, image_knn_pq
+
+    p = fixture_dir / "images.parquet"
+    exact = image_knn(p, query_image_id="img-00000097", k=10)["image_id"].to_pylist()
+    approx = image_knn_pq(p, query_image_id="img-00000097", k=10)["image_id"].to_pylist()
+    assert len(set(approx) & set(exact)) / len(exact) >= 0.6
+    again = image_knn_pq(p, query_image_id="img-00000097", k=10)["image_id"].to_pylist()
+    assert again == approx
