@@ -192,6 +192,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decontamination, then exact first-wins dedup — whole
         # composition SQL-oracled
         "curate_text_corpus": CS.curate_text_corpus,
+        # resumable sharded export of the curated corpus (rows-only:
+        # writes parquet; skip/rewrite semantics tested in tests/)
+        "export_training_shards": _export_training_shards,
         # training-data ops: dedup family (SURVEY D2-D5 + graft additions)
         "exact_dedup_docs": D.exact_dedup_docs,
         # incremental snapshot dedup: new snapshot vs old corpus
@@ -289,6 +292,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (rows-only; driver-set equality in tests/)
         "crawl_snapshot_diff": _crawl_snapshot_diff,
     }
+
+
+def _export_training_shards(sf_dir: str) -> Any:
+    """Rows-only: resumable sharded export manifest. A fresh scratch dir
+    per call so the driver check always sees a full write."""
+    import shutil
+
+    from newscrawler_ray.pipelines.corpusstats import export_training_shards
+
+    out = Path("/tmp/newscrawler_ray_q_export")
+    if out.exists():
+        shutil.rmtree(out)
+    return export_training_shards(sf_dir, out)
 
 
 def _link_pagerank(sf_dir: str) -> Any:

@@ -1046,3 +1046,76 @@ def mixture_sample_docs(sf_dir: str) -> rd.Dataset:
         return batch.filter(pa.array(h < t)).select(["doc_id", "source"])
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- resumable export
+
+
+def export_training_shards(
+    sf_dir: str,
+    out_dir: str | Path,
+    *,
+    n_shards: int = 8,
+) -> pa.Table:
+    """Resumable partitioned export of the curated corpus: curate once,
+    then write one parquet directory per doc_id-hash shard with an
+    atomic per-shard ``_DONE`` marker — a rerun (after a crash, or a
+    partial cluster loss) skips every finished shard and writes only the
+    missing ones. The shard assignment is a pure function of doc_id, so
+    a rewritten shard is byte-identical rows (tested).
+
+    This is the output discipline the 100 TB run needs: never one giant
+    file, never redo finished work. Returns the manifest (shard, n_rows,
+    skipped) — the op's driver-visible result.
+    """
+    from ..functions.joins import make_broadcast_semijoin_fn
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    keep_ids = curate_text_corpus(sf_dir)
+    ids = pa.concat_tables(
+        [b for b in keep_ids.iter_batches(batch_format="pyarrow") if b.num_rows]
+    ).column("doc_id").combine_chunks()
+    # curated id set is survivors-sized; broadcast once like every other
+    # small-side semi-join (at 10^10 docs swap for the hash-partition
+    # anti-aggregate in incremental_exact_dedup — same semantics)
+    keep_ref = ray.put(ids)
+
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "source", "text"])
+    kept = docs.map_batches(
+        make_broadcast_semijoin_fn("doc_id", keep_ref), batch_format="pyarrow"
+    )
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy()
+        h = (d.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return batch.append_column(
+            "shard", pa.array((h % np.uint64(n_shards)).astype(np.int64), _I64)
+        )
+
+    kept = kept.map_batches(add_shard, batch_format="pyarrow").materialize()
+
+    manifest = []
+    for s in range(n_shards):
+        sdir = out_dir / f"shard={s:04d}"
+        done = sdir / "_DONE"
+        if done.exists():
+            manifest.append((s, -1, True))
+            continue
+        if sdir.exists():  # partial from a crashed run: rewrite cleanly
+            import shutil
+
+            shutil.rmtree(sdir)
+        part = kept.filter(expr=f"shard == {s}").drop_columns(["shard"])
+        part = part.sort("doc_id")  # deterministic row order per shard
+        part.write_parquet(str(sdir))
+        n = rd.read_parquet(str(sdir)).count()
+        done.touch()  # atomic-enough marker: written only after the data
+        manifest.append((s, n, False))
+    return pa.table(
+        {
+            "shard": pa.array([m[0] for m in manifest], _I64),
+            "n_rows": pa.array([m[1] for m in manifest], _I64),
+            "skipped": pa.array([m[2] for m in manifest]),
+        }
+    )

@@ -342,3 +342,38 @@ def test_dsir_select_favors_target_lang(ray_session):
     frac_sel = (langs.loc[sel["doc_id"]] == "en").mean()
     base = (langs == "en").mean()
     assert frac_sel > base + 0.1, (frac_sel, base)
+
+
+def test_export_training_shards_resumable(ray_session, tmp_path):
+    """Sharded export: all docs land exactly once across shards; a rerun
+    skips every finished shard; a deleted shard (simulated crash) is
+    rewritten byte-identically while the others stay skipped."""
+    import shutil
+
+    import pyarrow.parquet as pqt
+
+    from newscrawler_ray.pipelines.corpusstats import (
+        curate_text_corpus,
+        export_training_shards,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    out = tmp_path / "shards"
+    m1 = export_training_shards(sf, out, n_shards=4).to_pylist()
+    assert all(not m["skipped"] for m in m1)
+    want_ids = sorted(curate_text_corpus(sf).to_pandas()["doc_id"])
+    got_ids = sorted(
+        pqt.read_table(out).column("doc_id").to_pylist()
+    )
+    assert got_ids == want_ids
+
+    m2 = export_training_shards(sf, out, n_shards=4).to_pylist()
+    assert all(m["skipped"] for m in m2)
+
+    victim = out / "shard=0002"
+    before = pqt.read_table(victim).sort_by("doc_id")
+    shutil.rmtree(victim)
+    m3 = {m["shard"]: m for m in export_training_shards(sf, out, n_shards=4).to_pylist()}
+    assert not m3[2]["skipped"] and all(m3[s]["skipped"] for s in (0, 1, 3))
+    after = pqt.read_table(victim).sort_by("doc_id")
+    assert before.equals(after)
