@@ -1109,7 +1109,11 @@ def export_training_shards(
         part = kept.filter(expr=f"shard == {s}").drop_columns(["shard"])
         part = part.sort("doc_id")  # deterministic row order per shard
         part.write_parquet(str(sdir))
-        n = rd.read_parquet(str(sdir)).count()
+        if sdir.exists():
+            n = rd.read_parquet(str(sdir)).count()
+        else:  # zero survivors hash here: no files, still a finished shard
+            sdir.mkdir(parents=True)
+            n = 0
         done.touch()  # atomic-enough marker: written only after the data
         manifest.append((s, n, False))
     return pa.table(
