@@ -1097,46 +1097,34 @@ def _snapshot_sides(sf_dir: str) -> tuple[rd.Dataset, rd.Dataset]:
     return old, new
 
 
-def _hash_flag_rows(origin: int):
-    """map_batches fn: (content_hash, origin, masked doc_id) rows — the
-    thin columns the incremental aggregate shuffles. Old rows carry
-    doc_id = int64 max so Min() never picks them as the survivor."""
-    sentinel = (1 << 63) - 1
-
-    def f(batch: pa.Table) -> pa.Table:
-        h = [content_hash64(t) for t in batch.column("text").to_pylist()]
-        ids = (
-            batch.column("doc_id").to_numpy()
-            if origin
-            else np.full(batch.num_rows, sentinel, np.int64)
-        )
-        return pa.table(
-            {
-                "content_hash": pa.array(h, pa.int64()),
-                "origin": pa.array(
-                    np.full(batch.num_rows, origin, np.int64), pa.int64()
-                ),
-                "doc_id": pa.array(ids, pa.int64()),
-            }
-        )
-
-    return f
-
-
 def incremental_exact_dedup(sf_dir: str) -> rd.Dataset:
     """Surviving doc_ids of the new snapshot after exact dedup against
     the old corpus AND first-wins within the snapshot itself.
 
-    Anti-join without a join operator: old rows (origin=0) and new rows
-    (origin=1) union into one (hash, origin, masked-id) stream; one
-    hash aggregate computes min(origin) and min(masked doc_id) per
-    content hash; groups with min(origin)=1 have no old twin and their
-    masked min is the first-wins winner. One shuffle, 24 bytes/row,
-    text never moves."""
-    old, new = _snapshot_sides(sf_dir)
-    both = old.map_batches(_hash_flag_rows(0), batch_format="pyarrow").union(
-        new.map_batches(_hash_flag_rows(1), batch_format="pyarrow")
-    )
+    Anti-join without a join operator: ONE scan emits (hash, origin,
+    masked-id) rows for both sides at once (origin comes from the
+    snapshot predicate, not a second read — branching an unmaterialized
+    Dataset re-runs the source scan); one hash aggregate computes
+    min(origin) and min(masked doc_id) per content hash; groups with
+    min(origin)=1 have no old twin and their masked min is the
+    first-wins winner. One scan, one shuffle, 24 bytes/row, text never
+    moves."""
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    sentinel = (1 << 63) - 1
+
+    def rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        new = (ids % _SNAP_MOD) >= _SNAP_NEW
+        h = [content_hash64(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "content_hash": pa.array(h, pa.int64()),
+                "origin": pa.array(new.astype(np.int64), pa.int64()),
+                "doc_id": pa.array(np.where(new, ids, sentinel), pa.int64()),
+            }
+        )
+
+    both = ds.map_batches(rows, batch_format="pyarrow")
     agg = both.groupby("content_hash").aggregate(
         Min("origin", alias_name="min_origin"),
         Min("doc_id", alias_name="doc_id"),
@@ -1233,9 +1221,13 @@ def bloom_dedup_docs(
     zero shuffle against the old corpus (compare
     ``incremental_exact_dedup``, which must move old hashes every
     run)."""
+    import pyarrow.parquet as pq
+
     old, new = _snapshot_sides(sf_dir)
-    n_old = old.count()
-    m = _bloom_size(n_old, bits_per_key)
+    # size from the parquet footer (no count scan); the total row count
+    # upper-bounds the old side, which only lowers the FP rate
+    n_total = pq.read_metadata(_p(sf_dir, "documents")).num_rows
+    m = _bloom_size(n_total, bits_per_key)
     bits_ref = ray.put(build_bloom(old, m=m))
 
     def fresh(batch: pa.Table) -> pa.Table:

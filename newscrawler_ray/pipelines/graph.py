@@ -446,7 +446,7 @@ def _pr_degrees(
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
             return pa.table(
-                {"node": pa.array([], _I64), "deg": pa.array([], pa.float64())}
+                {"node": pa.array([], _I64), "s": pa.array([], pa.float64())}
             )
         s = batch.column(src).to_numpy()
         d = batch.column(dst).to_numpy()
@@ -455,7 +455,7 @@ def _pr_degrees(
         return pa.table(
             {
                 "node": pa.array(np.concatenate([su, du]), _I64),
-                "deg": pa.array(
+                "s": pa.array(
                     np.concatenate(
                         [sc.astype(np.float64), np.zeros(len(du), np.float64)]
                     ),
@@ -464,14 +464,7 @@ def _pr_degrees(
             }
         )
 
-    keys_l, vals_l = [], []
-    for b in edges.map_batches(partial, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        if b.num_columns and b.num_rows:
-            keys_l.append(b.column("node").to_numpy())
-            vals_l.append(b.column("deg").to_numpy())
-    return _merge_key_sums(keys_l, vals_l)
+    return _fold_partials(edges, partial)
 
 
 def _make_inflow_partial(src: str, dst: str, bundle_ref):
@@ -561,14 +554,9 @@ def pagerank(
     for _ in range(n_iter):
         w = np.where(dangling, 0.0, damping * r / safe_deg)
         bundle_ref = ray.put((nodes, w))
-        keys_l, vals_l = [], []
-        for b in edges.map_batches(
-            _make_inflow_partial(src, dst, bundle_ref), batch_format="pyarrow"
-        ).iter_batches(batch_format="pyarrow"):
-            if b.num_columns and b.num_rows:
-                keys_l.append(b.column("node").to_numpy())
-                vals_l.append(b.column("s").to_numpy())
-        in_nodes, in_sums = _merge_key_sums(keys_l, vals_l)
+        in_nodes, in_sums = _fold_partials(
+            edges, _make_inflow_partial(src, dst, bundle_ref)
+        )
         base = (1.0 - damping) / n + damping * float(r[dangling].sum()) / n
         r = np.full(n, base)
         if len(in_nodes):
@@ -649,7 +637,10 @@ def crawl_pagerank(
     broadcasts the TINY top-k mapping over the crawled rows, never the
     full rank table.
 
-    Output: (url, rank) rows, rank desc / url asc, k_top rows."""
+    Output: (url, rank) rows, ordered rank desc / url asc, k_top rows.
+    Rank ties at the k_top boundary are resolved at SELECTION time by
+    url_hash asc (the node-level sort, before URLs are joined back);
+    the url-asc ordering applies within the returned set only."""
     import pyarrow.compute as pc
 
     from ..functions.joins import make_broadcast_map_fn, table_to_mapping

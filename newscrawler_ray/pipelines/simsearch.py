@@ -462,10 +462,13 @@ def knn_pq(
 
     Pass ``ds`` ((vec_id int64, embedding) from any vector source, e.g.
     the image tower) and ``query`` (the query vector) to search a
-    non-sf_dir corpus."""
+    non-sf_dir corpus — then NO id is excluded (``query_vec_id`` only
+    masks the query row when the query was loaded by id; an external
+    caller owns its own exclusion, and vec_id 0 must stay searchable)."""
     refine = refine or 8 * k
     if ds is None:
         ds = read_clean(_p(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    exclude_id = query_vec_id if query is None else None
     books = pq_train(sf_dir, m=m, n_codes=n_codes, ds=ds)
     q = _norm(query if query is not None else _load_query(sf_dir, query_vec_id))
     mm, ncod, sub = books.shape
@@ -477,8 +480,9 @@ def knn_pq(
         B, L, qv = ray.get(ref)
         ids = batch.column("vec_id").to_numpy()
         E = _norm(emb_matrix(batch.column("embedding")))
-        mask = ids != query_vec_id
-        ids, E = ids[mask], E[mask]
+        if exclude_id is not None:
+            mask = ids != exclude_id
+            ids, E = ids[mask], E[mask]
         if len(ids) == 0:
             return pa.table(
                 {"vec_id": pa.array([], pa.int64()), "sim": pa.array([], pa.float64())}

@@ -576,3 +576,25 @@ def test_knn_pq_recall(ray_session):
     sims = En @ qn
     order = [i for i in np.lexsort((np.arange(500), -sims)) if i != 0][:10]
     assert len(got & set(order)) / 10 >= 0.9
+
+
+def test_knn_pq_external_query_keeps_vec_zero(ray_session):
+    """Regression: with an external (ds, query) pair no id is excluded —
+    vec_id 0 must be returnable (the by-id mask applies only when the
+    query is loaded from the corpus by id)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(200, 64))
+    q = vecs[0] + rng.normal(scale=0.001, size=64)  # vec 0 is the nearest
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(200), pa.int64()),
+                "embedding": pa.array([v.tolist() for v in vecs]),
+            }
+        )
+    )
+    got = simsearch.knn_pq("", ds=ds, query=q, k=5)["vec_id"].to_pylist()
+    assert 0 in got

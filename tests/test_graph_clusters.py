@@ -280,9 +280,12 @@ def test_crawl_pagerank_matches_dense_reference(ray_session, fixture_dir, tmp_pa
         ((round(r + 1e-9, 8), n) for n, r in ref.items()),
         key=lambda t: (-t[0], t[1]),
     )[:30]
-    got_pairs = [
-        (float(r), hash_of[u]) for u, r in zip(got["url"], got["rank"])
-    ]
+    # selection ties break by node (url_hash); the returned rows order by
+    # url — canonicalize both sides to (-rank, node) before comparing
+    got_pairs = sorted(
+        ((float(r), hash_of[u]) for u, r in zip(got["url"], got["rank"])),
+        key=lambda t: (-t[0], t[1]),
+    )
     assert got_pairs == [(r, n) for r, n in top_ref]
 
 
