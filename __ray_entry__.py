@@ -110,6 +110,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_returnflag_agg": Q.salted_returnflag_agg,
         # search / filters (SURVEY §3.3, M1, M3)
         "search_keywords": Q.search_keywords,
+        # index-backed variant of the same search (build the inverted
+        # index once, point-lookup + verify; SAME SQL oracle as the scan)
+        "search_with_index": _search_with_index,
         "search_substring": Q.search_substring,
         "excluded_filter": Q.excluded_filter,
         # sort / top-k / pagination (SURVEY O1/O2)
@@ -292,6 +295,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (rows-only; driver-set equality in tests/)
         "crawl_snapshot_diff": _crawl_snapshot_diff,
     }
+
+
+def _search_with_index(sf_dir: str) -> Any:
+    """SQL-paired: whole-word AND search answered from the inverted
+    term index (built fresh into scratch each call; point lookups +
+    exact regex verify — identical rows to the scan search)."""
+    import shutil
+
+    from newscrawler_ray.pipelines.index import build_term_index, search_index
+
+    idx = Path("/tmp/newscrawler_ray_q_index")
+    if idx.exists():
+        shutil.rmtree(idx)
+    build_term_index(sf_dir, idx)
+    return search_index(idx, sf_dir)
 
 
 def _export_training_shards(sf_dir: str) -> Any:
@@ -667,6 +685,11 @@ def oracle_sql() -> dict[str, str]:
               AND regexp_matches(text, '(?i)\bmerge\b')
               AND n_chars >= 100""",
         "search_substring": "SELECT doc_id, lang FROM documents WHERE text ILIKE '%window%'",
+        "search_with_index": r"""
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE regexp_matches(text, '(?i)\bspark\b')
+              AND regexp_matches(text, '(?i)\bmerge\b')
+              AND n_chars >= 100""",
         "excluded_filter": """
             SELECT doc_id, source, lang FROM documents
             WHERE source NOT IN ('src0', 'src13', 'src7') AND lang <> 'zh'""",

@@ -1,0 +1,167 @@
+"""Inverted term index + index-backed search.
+
+The reference's ``/search`` endpoint (``main.py:271-294``) scans every
+stored row per query. At 100 TB a search service builds the index ONCE
+and answers queries with point lookups — this module is that rebuild:
+
+  build_term_index  — one tokenize pass emits per-doc-unique
+                      (term_hash, doc_id) posting rows; postings land in
+                      term-hash bucket directories (sorted by term so
+                      row-group stats prune point lookups), each bucket
+                      finished with an atomic ``_DONE`` marker (the
+                      resumable-export discipline — reruns skip finished
+                      buckets).
+  search_index      — per query term: read ONLY its bucket with a
+                      term_hash row filter (footer-stats pruning),
+                      intersect the posting lists (numpy), then fetch +
+                      RE-VERIFY the candidate docs with the exact
+                      whole-word regex mask the scan search uses. The
+                      verify step makes index search EQUAL the scan
+                      (and its SQL oracle) even under word-hash prefix
+                      collisions — index prunes, verify confirms.
+
+Scale shape: the index build is one map + a bucket-partitioned write
+(no global sort); postings per term are doc-list-sized and read on the
+driver exactly like a search service's point lookup; the candidate
+fetch is a broadcast semi-join over the doc table (candidate set is
+query-result-sized).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+from ..functions.hashing import tokenize_word_hashes
+from ..functions.io import read_clean
+
+_I64 = pa.int64()
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return str(Path(sf_dir) / f"{table}.parquet")
+
+
+def build_term_index(
+    sf_dir: str, out_dir: str | Path, *, n_buckets: int = 16
+) -> pa.Table:
+    """Build the bucket-partitioned posting index over documents.text.
+    Returns the manifest (bucket, n_postings, skipped)."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def postings(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokenize_word_hashes(batch.column("text"))
+        ids = batch.column("doc_id").to_numpy()
+        lens = np.diff(offsets)
+        doc_of = np.repeat(ids, lens)
+        pairs = np.stack([flat.view(np.int64), doc_of], axis=1)
+        uniq = np.unique(pairs, axis=0)  # one posting per (term, doc)
+        th = uniq[:, 0]
+        return pa.table(
+            {
+                "term_hash": pa.array(th, _I64),
+                "doc_id": pa.array(uniq[:, 1], _I64),
+                "bucket": pa.array(
+                    (th.view(np.uint64) % np.uint64(n_buckets)).astype(np.int64),
+                    _I64,
+                ),
+            }
+        )
+
+    rows = docs.map_batches(postings, batch_format="pyarrow").materialize()
+    manifest = []
+    for b in range(n_buckets):
+        bdir = out_dir / f"bucket={b:04d}"
+        done = bdir / "_DONE"
+        if done.exists():
+            manifest.append((b, -1, True))
+            continue
+        if bdir.exists():
+            import shutil
+
+            shutil.rmtree(bdir)
+        part = rows.filter(expr=f"bucket == {b}").drop_columns(["bucket"])
+        # sorted by term: parquet row-group stats prune point lookups
+        part = part.sort(["term_hash", "doc_id"])
+        part.write_parquet(str(bdir))
+        if bdir.exists():
+            n = rd.read_parquet(str(bdir)).count()
+        else:
+            bdir.mkdir(parents=True)
+            n = 0
+        done.touch()
+        manifest.append((b, n, False))
+    return pa.table(
+        {
+            "bucket": pa.array([m[0] for m in manifest], _I64),
+            "n_postings": pa.array([m[1] for m in manifest], _I64),
+            "skipped": pa.array([m[2] for m in manifest]),
+        }
+    )
+
+
+def search_index(
+    index_dir: str | Path,
+    sf_dir: str,
+    *,
+    words: tuple[str, ...] = ("spark", "merge"),
+    min_chars: int = 100,
+    n_buckets: int = 16,
+) -> rd.Dataset:
+    """Index-backed whole-word AND search — output identical to the scan
+    search (``queries.search_keywords``) and its SQL oracle."""
+    import pyarrow.compute as pc
+
+    from ..functions.joins import make_broadcast_semijoin_fn
+    from ..functions.text import keyword_search_mask
+
+    index_dir = Path(index_dir)
+    cand: np.ndarray | None = None
+    for w in words:
+        flat, _ = tokenize_word_hashes([w])
+        if len(flat) != 1:
+            return rd.from_arrow(
+                pa.table(
+                    {"doc_id": pa.array([], _I64), "source": pa.array([], pa.string()),
+                     "n_chars": pa.array([], pa.int32())}
+                )
+            )
+        h = int(flat.view(np.int64)[0])
+        bdir = index_dir / f"bucket={h % n_buckets:04d}"
+        files = sorted(bdir.glob("*.parquet"))
+        if not files:
+            ids = np.empty(0, np.int64)
+        else:
+            t = pq.read_table(
+                [str(f) for f in files],
+                columns=["doc_id"],
+                filters=[("term_hash", "==", h)],
+            )
+            ids = t.column("doc_id").to_numpy()
+        cand = ids if cand is None else np.intersect1d(cand, ids)
+        if len(cand) == 0:
+            break
+    cand = cand if cand is not None else np.empty(0, np.int64)
+    cand_ref = ray.put(pa.array(np.sort(cand), _I64))
+
+    docs = read_clean(
+        _p(sf_dir, "documents"), columns=["doc_id", "source", "n_chars", "text"]
+    )
+    semi = make_broadcast_semijoin_fn("doc_id", cand_ref)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        batch = semi(batch)
+        # exact whole-word re-check: hash collisions prune wrong, never
+        # emit wrong (same mask as the scan search)
+        mask = keyword_search_mask(batch, list(words), ["text"])
+        mask = pc.and_(mask, pc.greater_equal(batch.column("n_chars"), min_chars))
+        return batch.filter(mask).select(["doc_id", "source", "n_chars"])
+
+    return docs.map_batches(verify, batch_format="pyarrow")

@@ -377,3 +377,38 @@ def test_export_training_shards_resumable(ray_session, tmp_path):
     assert not m3[2]["skipped"] and all(m3[s]["skipped"] for s in (0, 1, 3))
     after = pqt.read_table(victim).sort_by("doc_id")
     assert before.equals(after)
+
+
+def test_term_index_search_matches_scan(ray_session, tmp_path):
+    """Index-backed search == scan search row-for-row for several
+    keyword sets; a term absent from the corpus returns nothing; the
+    index build is resumable (rerun skips all buckets)."""
+    import duckdb
+
+    from newscrawler_ray.pipelines.index import build_term_index, search_index
+
+    sf = "/root/testdata/sf0.01"
+    idx = tmp_path / "idx"
+    m1 = build_term_index(sf, idx, n_buckets=8).to_pylist()
+    assert all(not m["skipped"] for m in m1)
+    m2 = build_term_index(sf, idx, n_buckets=8).to_pylist()
+    assert all(m["skipped"] for m in m2)
+
+    for words in [("spark", "merge"), ("window",), ("spark", "merge", "the")]:
+        got = sorted(
+            search_index(idx, sf, words=words, n_buckets=8)
+            .to_pandas()["doc_id"].tolist()
+        )
+        cond = " AND ".join(
+            f"regexp_matches(text, '(?i)\\b{w}\\b')" for w in words
+        )
+        want = sorted(
+            r[0]
+            for r in duckdb.sql(
+                f"""SELECT doc_id FROM read_parquet('{sf}/documents.parquet')
+                    WHERE {cond} AND n_chars >= 100"""
+            ).fetchall()
+        )
+        assert got == want, words
+    none = search_index(idx, sf, words=("zzzqqqxyzzy",), n_buckets=8)
+    assert none.count() == 0
