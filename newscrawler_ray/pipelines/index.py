@@ -75,29 +75,37 @@ def build_term_index(
             }
         )
 
-    rows = docs.map_batches(postings, batch_format="pyarrow").materialize()
+    pending = [
+        b
+        for b in range(n_buckets)
+        if not (out_dir / f"bucket={b}" / "_DONE").exists()
+    ]
+    if pending:
+        import shutil
+
+        for b in pending:  # partials from a crashed run rewrite cleanly
+            shutil.rmtree(out_dir / f"bucket={b}", ignore_errors=True)
+        rows = docs.map_batches(postings, batch_format="pyarrow")
+        if len(pending) < n_buckets:
+            cond = " or ".join(f"bucket == {b}" for b in pending)
+            rows = rows.filter(expr=f"({cond})")
+        # ONE parallel hive-partitioned write (all buckets at once);
+        # the global sort puts term-contiguous row groups in every
+        # bucket file so footer stats prune point lookups
+        rows.sort(["bucket", "term_hash", "doc_id"]).write_parquet(
+            str(out_dir), partition_cols=["bucket"]
+        )
+        for b in pending:
+            bdir = out_dir / f"bucket={b}"
+            bdir.mkdir(parents=True, exist_ok=True)  # zero-posting bucket
+            (bdir / "_DONE").touch()  # marker written only after the data
     manifest = []
     for b in range(n_buckets):
-        bdir = out_dir / f"bucket={b:04d}"
-        done = bdir / "_DONE"
-        if done.exists():
-            manifest.append((b, -1, True))
-            continue
-        if bdir.exists():
-            import shutil
-
-            shutil.rmtree(bdir)
-        part = rows.filter(expr=f"bucket == {b}").drop_columns(["bucket"])
-        # sorted by term: parquet row-group stats prune point lookups
-        part = part.sort(["term_hash", "doc_id"])
-        part.write_parquet(str(bdir))
-        if bdir.exists():
-            n = rd.read_parquet(str(bdir)).count()
-        else:
-            bdir.mkdir(parents=True)
-            n = 0
-        done.touch()
-        manifest.append((b, n, False))
+        n = sum(
+            pq.read_metadata(f).num_rows
+            for f in (out_dir / f"bucket={b}").glob("*.parquet")
+        )
+        manifest.append((b, n, b not in pending))
     return pa.table(
         {
             "bucket": pa.array([m[0] for m in manifest], _I64),
@@ -134,7 +142,9 @@ def search_index(
                 )
             )
         h = int(flat.view(np.int64)[0])
-        bdir = index_dir / f"bucket={h % n_buckets:04d}"
+        # uint64 bucket arithmetic, matching the build side exactly
+        bucket = (h & 0xFFFFFFFFFFFFFFFF) % n_buckets
+        bdir = index_dir / f"bucket={bucket}"
         files = sorted(bdir.glob("*.parquet"))
         if not files:
             ids = np.empty(0, np.int64)
