@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_counts": Q.global_counts,
         # mergeable-sketch distinct count (rows-only: approximate)
         "approx_distinct_users": Q.approx_distinct_users,
+        # grouped mergeable-sketch distinct (rows-only; bound tests)
+        "approx_users_by_type": Q.approx_distinct_users_by_type,
         # exact order statistics via sort + boundary-row takes
         "value_quantiles": Q.value_quantiles,
         # mergeable t-digest quantiles (rows-only: approximate; accuracy

@@ -936,3 +936,53 @@ def dedup_events_windowed(sf_dir: str) -> rd.Dataset:
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def approx_distinct_users_by_type(sf_dir: str, *, p: int = 12) -> rd.Dataset:
+    """Per-group approximate distinct via GROUPED mergeable sketches: one
+    HLL per (event_type, block) inside map_batches (kilobytes), then a
+    per-group merge — the distinct-count-per-key shape that never
+    shuffles raw keys (a GROUP BY + COUNT(DISTINCT) exchanges every
+    (key, user) row; this exchanges ~4 KB per group per block).
+    Accuracy bound vs the exact counts is asserted in tests; rows-only
+    for the driver (approximate != SQL-exact)."""
+    from ..functions.sketches import HyperLogLog
+
+    ds = read_clean(_p(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        keys = batch.column("event_type").to_numpy(zero_copy_only=False)
+        users = batch.column("user_id").to_numpy()
+        order = np.argsort(keys, kind="stable")
+        keys, users = keys[order], users[order]
+        uniq, starts = np.unique(keys, return_index=True)
+        blobs, out_keys = [], []
+        bounds = np.append(starts, len(keys))
+        for i, k in enumerate(uniq):
+            h = HyperLogLog(p)
+            h.add_ints(users[bounds[i] : bounds[i + 1]])
+            blobs.append(h.serialize())
+            out_keys.append(str(k))
+        return pa.table(
+            {"event_type": pa.array(out_keys), "sketch": pa.array(blobs, pa.binary())}
+        )
+
+    sketches = ds.map_batches(sketch_batch, batch_format="pyarrow")
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        merged = None
+        for blob in group.column("sketch").to_pylist():
+            s = HyperLogLog.deserialize(blob)
+            merged = s if merged is None else merged.merge(s)
+        return pa.table(
+            {
+                "event_type": pa.array([group.column("event_type")[0].as_py()]),
+                "approx_users": pa.array(
+                    [int(round(merged.estimate()))], pa.int64()
+                ),
+            }
+        )
+
+    return sketches.groupby("event_type").map_groups(
+        merge_group, batch_format="pyarrow"
+    )

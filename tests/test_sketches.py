@@ -195,3 +195,26 @@ def test_frequent_users_sketch_vs_exact(ray_session):
     for key, e in est.items():
         assert truth[key] - e <= bound
         assert e <= truth[key]
+
+
+def test_grouped_hll_distinct_bounds(ray_session):
+    """Per-group HLL estimates land within the p=12 error envelope of
+    the exact per-group distincts."""
+    import duckdb
+
+    from newscrawler_ray.pipelines.queries import approx_distinct_users_by_type
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in approx_distinct_users_by_type(sf).take_all()
+    }
+    want = dict(
+        duckdb.sql(
+            f"""SELECT event_type, count(DISTINCT user_id)
+                FROM read_parquet('{sf}/events.parquet') GROUP BY event_type"""
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for k, exact in want.items():
+        assert abs(got[k] - exact) <= max(3, 0.05 * exact), (k, got[k], exact)
