@@ -262,6 +262,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed blocking; invariants + determinism tested in tests/)
         "pack_token_bins": T.pack_token_bins,
         "quality_score_docs": T.quality_score,
+        # distilled quality classifier (train-on-engine, rows-only:
+        # loss-decrease / agreement / determinism oracles in tests/)
+        "quality_classifier_docs": _quality_classifier_docs,
         "fingerprint_docs": T.fingerprint_docs,
         # HTML selector-cascade article extraction (SURVEY M6; rows-only:
         # golden parity vs the generator's ground truth in tests/)
@@ -297,6 +300,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (rows-only; driver-set equality in tests/)
         "crawl_snapshot_diff": _crawl_snapshot_diff,
     }
+
+
+def _quality_classifier_docs(sf_dir: str) -> Any:
+    """Rows-only: hashed-BoW logistic regression distilled from the
+    composite quality gate (full-batch GD on the engine; oracles in
+    tests/test_textstats_multimodal.py)."""
+    from newscrawler_ray.pipelines.classify import quality_classifier_scores
+
+    return quality_classifier_scores(sf_dir)
 
 
 def _search_with_index(sf_dir: str) -> Any:

@@ -253,3 +253,27 @@ def test_bloom_dedup_images_matches_exact(ray_session, fixture_dir):
     assert got <= exact_ids  # bloom never keeps what exact drops
     assert len(exact_ids - got) <= max(2, int(0.05 * len(exact_ids)))
     assert len(got) > 0
+
+
+def test_quality_classifier_distills_gate(ray_session):
+    """Training on the engine: per-epoch mean log-loss decreases from
+    the ln(2) start, the trained model agrees with the weak labels far
+    above the majority-class rate, and reruns are bit-identical
+    (bkey-ordered gradient folds)."""
+    from newscrawler_ray.pipelines.classify import quality_classifier_scores
+
+    sf = "/root/testdata/sf0.01"
+    out, hist = quality_classifier_scores(sf, return_history=True)
+    df = out.to_pandas()
+    assert len(hist) == 30
+    assert hist[0] <= 0.6932  # first step from w=0: exactly ln 2
+    assert hist[-1] < hist[0] * 0.9  # loss actually fell
+    pred = (df["prob"] >= 0.5).astype(int)
+    acc = (pred == df["weak_label"]).mean()
+    majority = max(df["weak_label"].mean(), 1 - df["weak_label"].mean())
+    assert acc >= max(0.8, majority), (acc, majority)
+
+    df2 = quality_classifier_scores(sf).to_pandas()
+    m1 = df.sort_values("doc_id", ignore_index=True)
+    m2 = df2.sort_values("doc_id", ignore_index=True)
+    assert (m1["prob"].values == m2["prob"].values).all()
