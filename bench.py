@@ -90,6 +90,8 @@ QUERY_NAMES = [
     "link_hits",
     "knn_pq_topk",
     "mixture_sample_docs",
+    "search_with_index",
+    "quality_classifier_docs",
 ]
 
 
