@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # index-backed variant of the same search (build the inverted
         # index once, point-lookup + verify; SAME SQL oracle as the scan)
         "search_with_index": _search_with_index,
+        # ... and the RANKING half: tf-idf-scored AND retrieval
+        "ranked_search": Q.ranked_search,
         "search_substring": Q.search_substring,
         "excluded_filter": Q.excluded_filter,
         # sort / top-k / pagination (SURVEY O1/O2)
@@ -704,6 +706,27 @@ def oracle_sql() -> dict[str, str]:
             WHERE regexp_matches(text, '(?i)\bspark\b')
               AND regexp_matches(text, '(?i)\bmerge\b')
               AND n_chars >= 100""",
+        "ranked_search": r"""
+            WITH w AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                       '\W+'), x -> x <> '')) AS w
+              FROM documents
+            ), tf AS (
+              SELECT doc_id, w, count(*)::DOUBLE AS c FROM w
+              WHERE w IN ('spark', 'merge') GROUP BY doc_id, w
+            ), df AS (
+              SELECT w, count(DISTINCT doc_id)::DOUBLE AS df FROM w
+              WHERE w IN ('spark', 'merge') GROUP BY w
+            ), n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            s AS (
+              SELECT tf.doc_id,
+                     sum(tf.c * ln((SELECT n FROM n) / df.df)) AS score,
+                     count(DISTINCT tf.w) AS nt
+              FROM tf JOIN df USING (w) GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(score + 1e-9, 4) AS score
+            FROM s WHERE nt = 2 ORDER BY score DESC, doc_id LIMIT 20""",
         "excluded_filter": """
             SELECT doc_id, source, lang FROM documents
             WHERE source NOT IN ('src0', 'src13', 'src7') AND lang <> 'zh'""",

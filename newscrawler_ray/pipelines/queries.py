@@ -986,3 +986,88 @@ def approx_distinct_users_by_type(sf_dir: str, *, p: int = 12) -> rd.Dataset:
     return sketches.groupby("event_type").map_groups(
         merge_group, batch_format="pyarrow"
     )
+
+
+def ranked_search(
+    sf_dir: str, *, words: tuple[str, ...] = ("spark", "merge"), k: int = 20
+) -> rd.Dataset:
+    """Ranked retrieval: the whole-word AND search ordered by tf-idf
+    relevance (the ranking half a search endpoint needs beyond the
+    boolean match) — score(d) = sum over query terms of
+    tf(t, d) * ln(N / df(t)).
+
+    Two streaming passes: (1) per-block partial document frequencies for
+    the query terms (a |words|-sized fold — tiny); (2) per-block
+    vectorized tf via hashed-token equality + bincount, AND filter,
+    score, then a top-k sort of the thin (doc_id, score) rows."""
+    from ..functions.hashing import tokenize_word_hashes
+
+    term_h = []
+    for w in words:
+        flat, _ = tokenize_word_hashes([w])
+        if len(flat) != 1:
+            return rd.from_arrow(
+                pa.table({"doc_id": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+            )
+        term_h.append(np.uint64(flat[0]))
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokenize_word_hashes(batch.column("text"))
+        lens = np.diff(offsets)
+        doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+        out = []
+        for h in term_h:
+            hit_docs = np.unique(doc_of[flat == h])
+            out.append(len(hit_docs))
+        return pa.table(
+            {
+                "term": pa.array(range(len(term_h)), pa.int64()),
+                "df": pa.array(out, pa.int64()),
+                "n": pa.array([batch.num_rows] * len(term_h), pa.int64()),
+            }
+        )
+
+    df = np.zeros(len(term_h), np.int64)
+    n_docs = 0
+    for b in docs.map_batches(df_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            terms = b.column("term").to_numpy()
+            # add.at, NOT fancy-index +=: iter_batches coalesces multiple
+            # block outputs, so term indices repeat within one batch and
+            # `df[idx] += v` would keep only one addition per index
+            np.add.at(df, terms, b.column("df").to_numpy())
+            n_docs += int(b.column("n").to_numpy()[terms == 0].sum())
+    if (df == 0).any() or n_docs == 0:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.float64())})
+        )
+    idf = np.log(float(n_docs) / df.astype(np.float64))
+    idf_ref = (term_h, idf)
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokenize_word_hashes(batch.column("text"))
+        lens = np.diff(offsets)
+        n = batch.num_rows
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        hs, w_idf = idf_ref
+        total = np.zeros(n, np.float64)
+        all_hit = np.ones(n, bool)
+        for h, wi in zip(hs, w_idf):
+            tf = np.bincount(doc_of[flat == h], minlength=n).astype(np.float64)
+            all_hit &= tf > 0
+            total += tf * wi
+        keep = all_hit
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "score": pa.array(np.round(total[keep] + 1e-9, 4), pa.float64()),
+            }
+        )
+
+    out = docs.map_batches(score, batch_format="pyarrow")
+    return out.sort(["score", "doc_id"], descending=[True, False]).limit(k)
