@@ -52,8 +52,20 @@ def build_term_index(
 ) -> pa.Table:
     """Build the bucket-partitioned posting index over documents.text.
     Returns the manifest (bucket, n_postings, skipped)."""
+    import json
+
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    meta_path = out_dir / "_meta.json"
+    if meta_path.exists():
+        prev = json.loads(meta_path.read_text()).get("n_buckets")
+        if prev != n_buckets:
+            raise ValueError(
+                f"index at {out_dir} was built with n_buckets={prev}; "
+                f"rebuild into a fresh directory to change it to {n_buckets}"
+            )
+    else:
+        meta_path.write_text(json.dumps({"n_buckets": n_buckets}))
     docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
     def postings(batch: pa.Table) -> pa.Table:
@@ -121,30 +133,42 @@ def search_index(
     *,
     words: tuple[str, ...] = ("spark", "merge"),
     min_chars: int = 100,
-    n_buckets: int = 16,
 ) -> rd.Dataset:
     """Index-backed whole-word AND search — output identical to the scan
-    search (``queries.search_keywords``) and its SQL oracle."""
+    search (``queries.search_keywords``) and its SQL oracle.
+
+    The bucket count comes from the index's own ``_meta.json`` (never a
+    caller guess — a mismatched modulus silently probed empty buckets in
+    an earlier version). A multi-token query word ("spark-merge") prunes
+    on the intersection of its tokens' posting lists — a superset of the
+    phrase matches — and the exact regex verify confirms adjacency; a
+    word with NO tokens contributes no pruning and is enforced by the
+    verify regex alone."""
+    import json
+
     import pyarrow.compute as pc
 
     from ..functions.joins import make_broadcast_semijoin_fn
     from ..functions.text import keyword_search_mask
 
     index_dir = Path(index_dir)
+    meta_path = index_dir / "_meta.json"
+    if not meta_path.exists():
+        raise ValueError(f"no term index at {index_dir} (missing _meta.json)")
+    n_buckets = int(json.loads(meta_path.read_text())["n_buckets"])
+
+    empty = pa.table(
+        {"doc_id": pa.array([], _I64), "source": pa.array([], pa.string()),
+         "n_chars": pa.array([], _I64)}
+    )
     cand: np.ndarray | None = None
-    for w in words:
-        flat, _ = tokenize_word_hashes([w])
-        if len(flat) != 1:
-            return rd.from_arrow(
-                pa.table(
-                    {"doc_id": pa.array([], _I64), "source": pa.array([], pa.string()),
-                     "n_chars": pa.array([], pa.int32())}
-                )
-            )
-        h = int(flat.view(np.int64)[0])
+    tokens = tokenize_word_hashes(list(words))[0].view(np.int64)
+    for h in (int(t) for t in tokens):
         # uint64 bucket arithmetic, matching the build side exactly
         bucket = (h & 0xFFFFFFFFFFFFFFFF) % n_buckets
         bdir = index_dir / f"bucket={bucket}"
+        if not (bdir / "_DONE").exists():
+            raise ValueError(f"index bucket {bucket} at {index_dir} is not built")
         files = sorted(bdir.glob("*.parquet"))
         if not files:
             ids = np.empty(0, np.int64)
@@ -157,17 +181,20 @@ def search_index(
             ids = t.column("doc_id").to_numpy()
         cand = ids if cand is None else np.intersect1d(cand, ids)
         if len(cand) == 0:
-            break
-    cand = cand if cand is not None else np.empty(0, np.int64)
-    cand_ref = ray.put(pa.array(np.sort(cand), _I64))
+            return rd.from_arrow(empty)  # no co-occurrence: skip the scan
 
     docs = read_clean(
         _p(sf_dir, "documents"), columns=["doc_id", "source", "n_chars", "text"]
     )
-    semi = make_broadcast_semijoin_fn("doc_id", cand_ref)
+    if cand is not None:
+        cand_ref = ray.put(pa.array(np.sort(cand), _I64))
+        semi = make_broadcast_semijoin_fn("doc_id", cand_ref)
+    else:  # no query word produced a token: index can't prune
+        semi = None
 
     def verify(batch: pa.Table) -> pa.Table:
-        batch = semi(batch)
+        if semi is not None:
+            batch = semi(batch)
         # exact whole-word re-check: hash collisions prune wrong, never
         # emit wrong (same mask as the scan search)
         mask = keyword_search_mask(batch, list(words), ["text"])

@@ -1,6 +1,7 @@
 import math
 
 import numpy as np
+import pytest
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -394,9 +395,16 @@ def test_term_index_search_matches_scan(ray_session, tmp_path):
     m2 = build_term_index(sf, idx, n_buckets=8).to_pylist()
     assert all(m["skipped"] for m in m2)
 
+    # bucket count comes from the index's _meta.json — a conflicting
+    # rebuild and a search against a dir with no index both fail loudly
+    with pytest.raises(ValueError, match="n_buckets"):
+        build_term_index(sf, idx, n_buckets=16)
+    with pytest.raises(ValueError, match="no term index"):
+        search_index(tmp_path / "nowhere", sf, words=("spark",))
+
     for words in [("spark", "merge"), ("window",), ("spark", "merge", "the")]:
         got = sorted(
-            search_index(idx, sf, words=words, n_buckets=8)
+            search_index(idx, sf, words=words)
             .to_pandas()["doc_id"].tolist()
         )
         cond = " AND ".join(
@@ -410,5 +418,32 @@ def test_term_index_search_matches_scan(ray_session, tmp_path):
             ).fetchall()
         )
         assert got == want, words
-    none = search_index(idx, sf, words=("zzzqqqxyzzy",), n_buckets=8)
+    none = search_index(idx, sf, words=("zzzqqqxyzzy",))
     assert none.count() == 0
+    assert none.schema().base_schema.field("n_chars").type == pa.int64()
+
+
+def test_term_index_multitoken_word(ray_session, tmp_path):
+    """A query word that tokenizes to several tokens ('spark merge')
+    prunes on the token intersection and the regex verify enforces
+    adjacency — identical to the scan search, not silently empty."""
+    import duckdb
+
+    from newscrawler_ray.pipelines.index import build_term_index, search_index
+
+    sf = "/root/testdata/sf0.01"
+    idx = tmp_path / "idx"
+    build_term_index(sf, idx, n_buckets=8)
+    got = sorted(
+        search_index(idx, sf, words=("spark merge",))
+        .to_pandas()["doc_id"].tolist()
+    )
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            f"""SELECT doc_id FROM read_parquet('{sf}/documents.parquet')
+                WHERE regexp_matches(text, '(?i)\\bspark merge\\b')
+                  AND n_chars >= 100"""
+        ).fetchall()
+    )
+    assert got == want and len(got) > 0
