@@ -91,9 +91,12 @@ class CrawlState:
     stages/fetch.build_web_index) and broadcast; workers resolve it
     zero-copy, so per-worker setup stays O(ms) at any worker count."""
 
-    def __init__(self, fixture_dir: Path, n_seen: int, n_frontier: int):
+    def __init__(self, fixture_dir: Path, n_seen: int, n_frontier: int,
+                 seen_filter: str = "bloom"):
         self.intervals, self.robots, self.blocklist = _load_config(fixture_dir)
-        self.seen = [SeenShard.remote(i) for i in range(n_seen)]
+        self.seen = [
+            SeenShard.remote(i, filter_kind=seen_filter) for i in range(n_seen)
+        ]
         self.frontier = [
             FrontierShard.remote(i, self.intervals) for i in range(n_frontier)
         ]
@@ -201,6 +204,7 @@ def run_crawl(
     resume: bool = False,
     pipeline_waves: int = 1,
     collect_seen: bool = True,
+    seen_filter: str = "bloom",
 ) -> dict:
     """``pipeline_waves > 1`` overlaps wave executions: while wave K's
     Dataset is still streaming, newly-routed URLs are popped and launched
@@ -217,7 +221,9 @@ def run_crawl(
     waves_dir = out_dir / "waves"
     ckpt_dir = out_dir / "checkpoint"
 
-    state = CrawlState(fixture_dir, n_seen_shards, n_frontier_shards)
+    state = CrawlState(
+        fixture_dir, n_seen_shards, n_frontier_shards, seen_filter=seen_filter
+    )
     try:
         start_wave = 0
         if resume and (ckpt_dir / "MANIFEST.json").exists():

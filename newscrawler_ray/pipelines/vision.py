@@ -314,6 +314,7 @@ def curate_image_corpus(
     tau_dup: float = 0.999,
     n_cells: int = 8,
     n_probe: int = 2,
+    num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Flagship image-corpus curation composition — the full LAION-style
     pre-training pass in one pipeline:
@@ -342,7 +343,9 @@ def curate_image_corpus(
     from .graph import connected_components
     from .simsearch import ivf_build
 
-    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    nparts = num_partitions or max(
+        2, int(ray.cluster_resources().get("CPU", 4)) // 2
+    )
 
     # one encoder pass: scores + image embeddings (txt tower dropped —
     # only the alignment score survives the decode stage)
@@ -379,7 +382,8 @@ def curate_image_corpus(
     good = (
         qual.join(clip, join_type="left_semi",
                   num_partitions=nparts, on=("vec_id",))
-        .materialize()
+        .repartition(nparts)  # good is reused as a join side below —
+        .materialize()        # coalesce its own empty 0-column blocks
     )
     if good.count() == 0:
         return rd.from_arrow(empty)
@@ -405,6 +409,11 @@ def curate_image_corpus(
                 good.rename_columns([side]),
                 join_type="left_semi", num_partitions=nparts, on=(side,),
             )
+            # the semi join emits 0-COLUMN blocks for empty partitions,
+            # which the NEXT join rejects ("no match for FieldRef id_b");
+            # coalesce them away before rejoining (join-quirk rule —
+            # surfaced only at high partition counts, 32-CPU sweep)
+            pairs = pairs.repartition(nparts)
         # select (not rename): join output column order is not guaranteed
         pairs = pairs.select_columns(["id_a", "id_b"]).repartition(nparts).materialize()
         if pairs.count():

@@ -113,6 +113,23 @@ def test_pipelined_waves_match_oracle(ray_session, fixture_dir, tmp_path_factory
     assert res["dedup_hits"] == oracle.metrics["dedup_hits"]
 
 
+def test_cuckoo_seen_filter_matches_oracle(
+    ray_session, fixture_dir, tmp_path_factory, crawl_run
+):
+    """The cuckoo fast-reject tier (north_rule "bloom/cuckoo URL-seen")
+    is decision-identical to bloom: same seen-set, ordering and dedup
+    counts — the exact set stays the authority under either filter."""
+    _, _, oracle = crawl_run
+    out = tmp_path_factory.mktemp("crawl_ck") / "out"
+    res = run_crawl(
+        fixture_dir, out, n_seen_shards=3, n_frontier_shards=3,
+        checkpoint=False, seen_filter="cuckoo",
+    )
+    assert res["seen"] == oracle.seen
+    assert crawl_order(out) == oracle.order
+    assert res["dedup_hits"] == oracle.metrics["dedup_hits"]
+
+
 def test_per_partition_metrics_written(crawl_run):
     import pyarrow.parquet as pq
 

@@ -230,6 +230,26 @@ def test_curate_image_corpus_empty_gate(ray_session, fixture_dir):
     assert out.schema().names == ["image_id"]
 
 
+def test_curate_image_corpus_at_high_partition_count(ray_session, fixture_dir):
+    """Production partition counts leave many hash partitions EMPTY on
+    small pair sets; joins reject the resulting zero-column blocks
+    unless each join output is coalesced before the next (this crashed
+    curate_crawl_output at 32 CPUs while 4-CPU runs passed). Survivor
+    set must match the default-partition run exactly. 8 partitions on a
+    handful of pairs leaves most partitions empty — the crash shape —
+    while staying schedulable at the 4-CPU test session (chained
+    16-partition joins oversubscribe the aggregator actors there)."""
+    path = fixture_dir / "images.parquet"
+    want = sorted(
+        r["image_id"] for r in vision.curate_image_corpus(path).take_all()
+    )
+    got = sorted(
+        r["image_id"]
+        for r in vision.curate_image_corpus(path, num_partitions=8).take_all()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_image_kmeans_planted_twins_cocluster(ray_session, fixture_dir):
     """Pixel-identical planted dups have identical embeddings, so they
     MUST land in the same cluster; output covers every decodable image,
