@@ -31,6 +31,9 @@ def main(argv: list[str] | None = None) -> int:
                         "requires --no-checkpoint)")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="only for standalone runs; ignored under ray job submit")
+    p.add_argument("--seen-filter", choices=("bloom", "cuckoo"), default="bloom",
+                   help="fast-reject tier of the URL-seen shards (cuckoo "
+                        "supports deletion for recrawl churn)")
     args = p.parse_args(argv)
 
     import ray
@@ -55,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
         checkpoint=not args.no_checkpoint,
         resume=args.resume,
         pipeline_waves=args.pipeline_waves,
+        seen_filter=args.seen_filter,
         collect_seen=False,  # the seen-set lives in the shards/output table
     )
     res.pop("seen", None)
