@@ -223,6 +223,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crossmodal_dedup_docs": lambda sf: D.crossmodal_dedup_docs(
             sf, tau=0.4, threshold=0.5
         ),
+        # SemDeDup semantic corpus dedup (Abbas et al. 2023): k-means +
+        # within-cluster cosine pruning, keep the farthest-from-centroid
+        # member per near-dup group (rows-only: iterative — brute-force
+        # survivor-set equality oracle in tests/test_dedup_simsearch.py)
+        "semdedup_docs": lambda sf: D.semdedup_docs(sf, tau=0.4),
         "simhash_docs": D.simhash_docs,
         "simhash_near_dup": lambda sf: D.simhash_near_dup_pairs(sf),
         "embedding_near_dup": lambda sf: D.embedding_near_dup(sf, tau=0.4),

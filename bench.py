@@ -92,6 +92,10 @@ QUERY_NAMES = [
     "mixture_sample_docs",
     "search_with_index",
     "quality_classifier_docs",
+    # round-3 tail additions
+    "ranked_search",
+    "stratified_sample_events",
+    "semdedup_docs",
 ]
 
 

@@ -1037,6 +1037,165 @@ def crossmodal_dedup_docs(
     return _survivors(docs, emb_pairs.union(txt_pairs), num_partitions)
 
 
+def semdedup_docs(
+    sf_dir: str,
+    *,
+    tau: float = 0.4,
+    n_cells: int = 16,
+    full_iters: int = 3,
+    seed: int = 42,
+    num_partitions: int | None = None,
+    ds: rd.Dataset | None = None,
+    id_col: str = "vec_id",
+) -> rd.Dataset:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", 2023): semantic corpus
+    dedup via k-means clustering + within-cluster cosine pruning — the
+    sub-quadratic scale shape where pairwise similarity is only ever
+    computed INSIDE a cluster (corpus/K vectors), never corpus-wide.
+
+    Stages:
+      1. ``simsearch.kmeans_assign`` trains spherical k-means over the
+         full table (streaming Lloyd passes, centroid-sized driver
+         folds) and hands back the final centroids.
+      2. One map assigns every vector to its centroid (single probe —
+         clusters partition the corpus, unlike IVF's multi-probe) and
+         carries (cell, id, sim-to-centroid, embedding).
+      3. ``groupby(cell).map_groups`` emits within-cluster pairs with
+         cosine >= tau; cells are disjoint so no pair dedupe is needed.
+      4. Pairs -> connected components; per component the paper KEEPS
+         the member with the LOWEST centroid similarity ("keep examples
+         far from the centroid" — low-sim members are the informative
+         ones), ties by min id. Winner selection is a vectorized
+         segment-argmin inside coarse component partitions (no
+         per-component Python), and the drop set leaves as thin id rows
+         through a hash anti-join — the ``_survivors`` shape with the
+         paper's keep-rule instead of min-id.
+
+    Rows-only for the driver (iterative k-means); the pytest oracle
+    recomputes the whole pipeline brute-force from the returned-
+    centroid assignment and asserts exact survivor-set equality.
+    """
+    from .graph import connected_components
+    from .simsearch import _norm, emb_matrix, kmeans_assign
+
+    if ds is None:
+        ds = read_clean(_p(sf_dir, "embeddings"), columns=[id_col, "embedding"])
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    _, cents = kmeans_assign(
+        sf_dir, n_cells=n_cells, full_iters=full_iters, seed=seed,
+        return_centroids=True, ds=ds, id_col=id_col,
+    )
+    cents_ref = ray.put(cents)
+
+    def assign_with_emb(batch: pa.Table) -> pa.Table:
+        C = ray.get(cents_ref)
+        E = _norm(emb_matrix(batch.column("embedding")))
+        if len(E) == 0:
+            return pa.table(
+                {"cell": pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64()),
+                 "embedding": batch.column("embedding")}
+            )
+        sims = E @ C.T
+        a = np.argmax(sims, axis=1)
+        # same rounding as kmeans_assign's emitted sim (repo convention)
+        best = np.round(sims[np.arange(len(E)), a] + 1e-9, 4)
+        return pa.table(
+            {
+                "cell": pa.array(a.astype(np.int64)),
+                id_col: batch.column(id_col),
+                "sim": pa.array(best, pa.float64()),
+                "embedding": batch.column("embedding"),
+            }
+        )
+
+    cells = ds.map_batches(assign_with_emb, batch_format="pyarrow")
+
+    def cell_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy()
+        E = _norm(emb_matrix(group.column("embedding")))
+        sims = E @ E.T
+        rows, cols = np.nonzero(sims >= tau)
+        keep = ids[rows] < ids[cols]
+        return pa.table(
+            {
+                "id_a": pa.array(ids[rows[keep]], pa.int64()),
+                "id_b": pa.array(ids[cols[keep]], pa.int64()),
+            }
+        )
+
+    pairs = cells.groupby("cell").map_groups(cell_pairs, batch_format="pyarrow")
+    assign = connected_components(pairs)
+    assign = assign.repartition(num_partitions).materialize()
+    ids = ds.map_batches(
+        lambda b: pa.table({"doc_id": b.column(id_col)}), batch_format="pyarrow"
+    )
+    if assign.count() == 0:
+        return ids
+
+    # node -> centroid sim (thin rows both sides; join-quirk repartition).
+    # Projection + rename folded into ONE map: select_columns().
+    # rename_columns() consults a lazily-derived schema that can still
+    # report unprojected columns at high partition counts (round-2 crash)
+    def thin_sims(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": batch.column(id_col), "sim": batch.column("sim")}
+        )
+
+    sims_thin = cells.map_batches(thin_sims, batch_format="pyarrow").repartition(
+        num_partitions
+    )
+    joined = assign.join(
+        sims_thin, join_type="inner", num_partitions=num_partitions, on=("node",)
+    ).repartition(num_partitions)
+
+    coarse = num_partitions * 4
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"part": pa.array([], pa.int32()),
+                 "component": pa.array([], pa.int64()),
+                 "node": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        comp = batch.column("component").to_numpy()
+        part = (_splitmix(comp.view(_U64)) % _U64(coarse)).astype(np.int32)
+        return pa.table(
+            {"part": pa.array(part), "component": batch.column("component"),
+             "node": batch.column("node"), "sim": batch.column("sim")}
+        )
+
+    def drop_rows(group: pa.Table) -> pa.Table:
+        # vectorized per coarse part: sort by (component, sim, node); the
+        # first row of each component segment is the kept winner
+        comp = group.column("component").to_numpy()
+        node = group.column("node").to_numpy()
+        sim = group.column("sim").to_numpy()
+        order = np.lexsort((node, sim, comp))
+        cs, ns = comp[order], node[order]
+        first = np.r_[True, cs[1:] != cs[:-1]]
+        return pa.table({"doc_id": pa.array(ns[~first], pa.int64())})
+
+    drop = (
+        joined.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(drop_rows, batch_format="pyarrow")
+    )
+    drop = drop.repartition(num_partitions).materialize()
+    if drop.count() == 0:
+        return ids
+    return ids.join(
+        drop.rename_columns(["doc_id"]),
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+
+
 def minhash_dedup_docs(
     sf_dir: str, *, threshold: float = 0.5, docs: rd.Dataset | None = None
 ) -> rd.Dataset:

@@ -598,3 +598,48 @@ def test_knn_pq_external_query_keeps_vec_zero(ray_session):
     )
     got = simsearch.knn_pq("", ds=ds, query=q, k=5)["vec_id"].to_pylist()
     assert 0 in got
+
+
+def test_semdedup_matches_brute_force(ray_session):
+    """SemDeDup survivor set equals a driver brute-force recompute from
+    the SAME deterministic centroids: per-cluster pairs at cos >= tau,
+    union-find closure, keep the min-(centroid-sim, id) member per
+    component (the paper's keep-farthest-from-centroid rule)."""
+    tau = 0.4
+    got = sorted(r["doc_id"] for r in dedup.semdedup_docs(SF, tau=tau).take_all())
+
+    _, cents = simsearch.kmeans_assign(SF, return_centroids=True)
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    sims = En @ cents.T
+    a = sims.argmax(axis=1)
+    best = np.round(sims[np.arange(len(En)), a] + 1e-9, 4)
+
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for c in np.unique(a):
+        idx = np.nonzero(a == c)[0]
+        S = En[idx] @ En[idx].T
+        for p in range(len(idx)):
+            for q in range(p + 1, len(idx)):
+                if S[p, q] >= tau:
+                    ra, rb = find(int(ids[idx[p]])), find(int(ids[idx[q]]))
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[int, list[int]] = {}
+    pos = {int(v): k for k, v in enumerate(ids)}
+    for i in ids:
+        groups.setdefault(find(int(i)), []).append(int(i))
+    keep = sorted(
+        min(members, key=lambda m: (best[pos[m]], m))
+        for members in groups.values()
+    )
+    assert got == keep
+    assert len(got) < len(ids)  # non-vacuous: fixtures plant near-dups

@@ -70,5 +70,6 @@ def test_every_query_has_oracle_or_is_marked():
                                        "fingerprint", "phash", "image", "crawl",
                                        "sample", "audio", "approx", "extract",
                                        "headline", "clip", "curate", "pack",
-                                       "kmeans", "bloom", "pq", "export"))
+                                       "kmeans", "bloom", "pq", "export",
+                                       "semdedup"))
     }
