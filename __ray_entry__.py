@@ -306,6 +306,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental recrawl delta between two crawl snapshots
         # (rows-only; driver-set equality in tests/)
         "crawl_snapshot_diff": _crawl_snapshot_diff,
+        # change-rate-driven recrawl scheduling (rows-only; per-host
+        # driver recompute + priority-mapping tests in tests/)
+        "recrawl_schedule": _recrawl_schedule,
+        "recrawl_seed_urls": _recrawl_seed_urls,
     }
 
 
@@ -428,6 +432,42 @@ def _crawl_snapshot_diff(sf_dir: str) -> Any:
               out_new, n_seen_shards=2, n_frontier_shards=2,
               checkpoint=False, collect_seen=False)
     return crawl_snapshot_diff(out_old, out_new)
+
+
+def _recrawl_snapshots() -> tuple[Path, Path]:
+    """The 600-world and 1200-world crawl outputs the recrawl ops diff
+    (same snapshot pair as ``crawl_snapshot_diff``; fixtures cached)."""
+    from newscrawler_ray.pipelines.crawl import run_crawl
+    from newscrawler_ray.synth import default_fixture_dir, gen_fixtures
+
+    out_old = Path("/tmp/newscrawler_ray_q_sched_old")
+    out_new = Path("/tmp/newscrawler_ray_q_sched_new")
+    run_crawl(gen_fixtures(default_fixture_dir(600), n_urls=600, seed=42),
+              out_old, n_seen_shards=2, n_frontier_shards=2,
+              checkpoint=False, collect_seen=False)
+    run_crawl(gen_fixtures(default_fixture_dir(1200), n_urls=1200, seed=42),
+              out_new, n_seen_shards=2, n_frontier_shards=2,
+              checkpoint=False, collect_seen=False)
+    return out_old, out_new
+
+
+def _recrawl_schedule(sf_dir: str) -> Any:
+    """Rows-only: per-host change-rate recrawl schedule between two crawl
+    snapshots (sf_dir-independent input by design; per-host recompute
+    oracle in tests/test_crawl_e2e.py)."""
+    from newscrawler_ray.pipelines.crawl import schedule_recrawl
+
+    out_old, out_new = _recrawl_snapshots()
+    return schedule_recrawl(out_old, out_new)
+
+
+def _recrawl_seed_urls(sf_dir: str) -> Any:
+    """Rows-only: the next pass's priority-tagged seed list (top-100 by
+    recrawl_priority DESC, url ASC)."""
+    from newscrawler_ray.pipelines.crawl import recrawl_seed_urls
+
+    out_old, out_new = _recrawl_snapshots()
+    return recrawl_seed_urls(out_old, out_new, k_top=100)
 
 
 def _crawl_pagerank(sf_dir: str) -> Any:

@@ -604,3 +604,160 @@ def crawl_snapshot_diff(
         )
 
     return agg.map_batches(classify, batch_format="pyarrow")
+
+
+def schedule_recrawl(old_dir: str | Path, new_dir: str | Path) -> rd.Dataset:
+    """Per-host recrawl schedule from two crawl snapshots — the
+    change-rate signal a scheduled crawler feeds back into its frontier
+    priorities (the reference re-crawls everything at the same priority,
+    ``services/news_service.py`` crawl loop; a 10^10-URL frontier must
+    spend its politeness budget on hosts that actually change).
+
+    Per host: page count in the new snapshot, added / changed / removed
+    page counts between the snapshots (same classification as
+    ``crawl_snapshot_diff``), the change rate (added+changed)/pages, and
+    an integer ``recrawl_priority`` in [0, 9] (0 = host vanished; hot
+    hosts rank first in the next pass — the frontier orders waves by
+    priority DESC).
+
+    Shape: join-free — both wave outputs union into thin (url_hash,
+    host, origin, masked phash) rows, ONE url-level hash aggregate
+    classifies each page, ONE host-level aggregate sums the indicator
+    columns. Payload bytes are never read; nothing lands on the driver.
+
+    Output: (host, n_pages, n_added, n_changed, n_removed, change_rate,
+    recrawl_priority) rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    sentinel = -(1 << 62)
+
+    def rows(origin: int):
+        def f(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(batch.column("stored"))
+            ph = pc.fill_null(batch.column("phash"), sentinel).to_numpy(
+                zero_copy_only=False
+            )
+            n = batch.num_rows
+            fill = np.full(n, sentinel, np.int64)
+            return pa.table(
+                {
+                    "url_hash": batch.column("url_hash"),
+                    "host": batch.column("host"),
+                    "origin": pa.array(np.full(n, origin, np.int64)),
+                    "ph_old": pa.array(np.where(origin == 0, ph, fill)),
+                    "ph_new": pa.array(np.where(origin == 1, ph, fill)),
+                }
+            )
+
+        return f
+
+    cols = ["url_hash", "host", "phash", "stored"]
+    old = rd.read_parquet(str(Path(old_dir) / "waves"), columns=cols).map_batches(
+        rows(0), batch_format="pyarrow"
+    )
+    new = rd.read_parquet(str(Path(new_dir) / "waves"), columns=cols).map_batches(
+        rows(1), batch_format="pyarrow"
+    )
+    per_url = (
+        old.union(new)
+        .groupby("url_hash")
+        .aggregate(
+            Min("origin", alias_name="min_o"),
+            Max("origin", alias_name="max_o"),
+            Max("ph_old", alias_name="ph_old"),
+            Max("ph_new", alias_name="ph_new"),
+            Min("host", alias_name="host"),
+        )
+    )
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        mn = batch.column("min_o").to_numpy()
+        mx = batch.column("max_o").to_numpy()
+        po = batch.column("ph_old").to_numpy()
+        pn = batch.column("ph_new").to_numpy()
+        return pa.table(
+            {
+                "host": batch.column("host"),
+                "n_pages": pa.array((mx == 1).astype(np.int64)),
+                "n_added": pa.array((mn == 1).astype(np.int64)),
+                "n_changed": pa.array(
+                    ((mn == 0) & (mx == 1) & (po != pn)).astype(np.int64)
+                ),
+                "n_removed": pa.array((mx == 0).astype(np.int64)),
+            }
+        )
+
+    per_host = (
+        per_url.map_batches(indicators, batch_format="pyarrow")
+        .groupby("host")
+        .aggregate(
+            Sum("n_pages", alias_name="n_pages"),
+            Sum("n_added", alias_name="n_added"),
+            Sum("n_changed", alias_name="n_changed"),
+            Sum("n_removed", alias_name="n_removed"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pages = batch.column("n_pages").to_numpy()
+        hot = (
+            batch.column("n_added").to_numpy()
+            + batch.column("n_changed").to_numpy()
+        )
+        rate = hot / np.maximum(pages, 1)
+        prio = np.where(
+            pages > 0, 1 + np.floor(rate * 8 + 1e-9).astype(np.int64), 0
+        )
+        return batch.append_column(
+            "change_rate", pa.array(np.round(rate + 1e-9, 4), pa.float64())
+        ).append_column("recrawl_priority", pa.array(prio, pa.int64()))
+
+    return per_host.map_batches(finish, batch_format="pyarrow")
+
+
+def recrawl_seed_urls(
+    old_dir: str | Path, new_dir: str | Path, *, k_top: int = 100
+) -> rd.Dataset:
+    """The next pass's seed list: every page stored in the NEW snapshot
+    tagged with its host's ``recrawl_priority``, top ``k_top`` by
+    (priority DESC, url ASC) — ready to feed back into ``run_crawl``'s
+    frontier (wave order is priority DESC).
+
+    The host->priority table is one row per host (the same driver-state
+    class as the pagerank rank bundle — fine to ~10^8 hosts; shard by
+    host-hash range beyond) and broadcasts once via ``ray.put``; page
+    rows take a shuffle-free vectorized lookup, so payloads and URL rows
+    never move for the join."""
+    import numpy as np
+
+    from ..functions.joins import make_broadcast_map_fn
+
+    sched_rows = schedule_recrawl(old_dir, new_dir).take_all()
+    host_keys = np.array([r["host"] for r in sched_rows], dtype=str)
+    prios = np.array(
+        [r["recrawl_priority"] for r in sched_rows], dtype=np.int64
+    )
+    order = np.argsort(host_keys)
+    map_ref = ray.put(
+        (np.ascontiguousarray(host_keys[order]), np.ascontiguousarray(prios[order]))
+    )
+
+    pages = rd.read_parquet(
+        str(Path(new_dir) / "waves"), columns=["url", "host", "stored"]
+    ).map_batches(
+        lambda t: t.filter(t.column("stored")).select(["url", "host"]),
+        batch_format="pyarrow",
+    )
+    tagged = pages.map_batches(
+        make_broadcast_map_fn(
+            "host", "recrawl_priority", map_ref, out_type=pa.int64()
+        ),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: t.select(["url", "recrawl_priority"]), batch_format="pyarrow"
+    )
+    return tagged.sort(
+        ["recrawl_priority", "url"], descending=[True, False]
+    ).limit(k_top)

@@ -244,3 +244,123 @@ def test_crawl_snapshot_diff_between_worlds(ray_session, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_schedule_recrawl_per_host(ray_session, tmp_path):
+    """All categories across three hosts: per-host counts, change rate,
+    and the integer priority mapping (hot hosts high, vanished hosts 0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from newscrawler_ray.pipelines.crawl import (
+        recrawl_seed_urls,
+        schedule_recrawl,
+    )
+
+    def write(root, rows):
+        d = root / "waves" / "wave=0000"
+        d.mkdir(parents=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "url_hash": pa.array([r[0] for r in rows], pa.int64()),
+                    "url": pa.array([r[1] for r in rows]),
+                    "host": pa.array([r[2] for r in rows]),
+                    "phash": pa.array([r[3] for r in rows], pa.int64()),
+                    "stored": pa.array([r[4] for r in rows]),
+                }
+            ),
+            d / "part.parquet",
+        )
+
+    old = tmp_path / "old"
+    new = tmp_path / "new"
+    write(old, [
+        (1, "u1", "a.com", 100, True),   # unchanged
+        (2, "u2", "a.com", 200, True),   # removed
+        (3, "u3", "b.com", 300, True),   # changed in new
+        (6, "u6", "c.com", 600, True),   # host vanishes entirely
+    ])
+    write(new, [
+        (1, "u1", "a.com", 100, True),
+        (5, "u5", "a.com", 500, True),   # added
+        (3, "u3", "b.com", 333, True),   # changed
+        (4, "u4", "b.com", 400, True),   # added
+    ])
+    got = {
+        r["host"]: r for r in schedule_recrawl(old, new).take_all()
+    }
+    assert got["a.com"]["n_pages"] == 2
+    assert got["a.com"]["n_added"] == 1
+    assert got["a.com"]["n_changed"] == 0
+    assert got["a.com"]["n_removed"] == 1
+    assert got["a.com"]["change_rate"] == 0.5
+    assert got["a.com"]["recrawl_priority"] == 5  # 1 + floor(0.5 * 8)
+    assert got["b.com"]["n_pages"] == 2
+    assert got["b.com"]["n_added"] == 1
+    assert got["b.com"]["n_changed"] == 1
+    assert got["b.com"]["n_removed"] == 0
+    assert got["b.com"]["change_rate"] == 1.0
+    assert got["b.com"]["recrawl_priority"] == 9
+    assert got["c.com"]["n_pages"] == 0
+    assert got["c.com"]["n_removed"] == 1
+    assert got["c.com"]["recrawl_priority"] == 0  # nothing left to recrawl
+
+    seeds = recrawl_seed_urls(old, new, k_top=10).take_all()
+    # hot host first (priority DESC), url ASC inside a host tier
+    assert [(r["url"], r["recrawl_priority"]) for r in seeds] == [
+        ("u3", 9), ("u4", 9), ("u1", 5), ("u5", 5),
+    ]
+
+
+def test_schedule_recrawl_between_worlds(ray_session, tmp_path):
+    """600-world vs 1200-world crawls: the distributed per-host schedule
+    equals a driver recompute from the raw wave parquet."""
+    import collections
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from newscrawler_ray.pipelines.crawl import run_crawl, schedule_recrawl
+    from newscrawler_ray.synth import gen_fixtures
+
+    dirs = {}
+    for n in (600, 1200):
+        out = tmp_path / f"c{n}"
+        run_crawl(gen_fixtures(tmp_path / f"fx{n}", n_urls=n, seed=42), out,
+                  n_seen_shards=2, n_frontier_shards=2,
+                  checkpoint=False, collect_seen=False)
+        dirs[n] = out
+
+    def stored_map(out):
+        m = {}
+        for f in glob.glob(str(out / "waves" / "**" / "*.parquet"), recursive=True):
+            t = pq.read_table(f, columns=["url", "host", "phash", "stored"])
+            for r in t.to_pylist():
+                if r["stored"]:
+                    m[r["url"]] = (r["host"], r["phash"])
+        return m
+
+    mo, mn = stored_map(dirs[600]), stored_map(dirs[1200])
+    want = collections.defaultdict(lambda: [0, 0, 0, 0])  # pages, add, chg, rm
+    for u, (h, _) in mn.items():
+        want[h][0] += 1
+        if u not in mo:
+            want[h][1] += 1
+        elif mo[u][1] != mn[u][1]:
+            want[h][2] += 1
+    for u, (h, _) in mo.items():
+        if u not in mn:
+            want[h][3] += 1
+    got = {r["host"]: r for r in schedule_recrawl(dirs[600], dirs[1200]).take_all()}
+    assert set(got) == set(want)
+    for h, (pages, add, chg, rm) in want.items():
+        r = got[h]
+        assert (r["n_pages"], r["n_added"], r["n_changed"], r["n_removed"]) == (
+            pages, add, chg, rm
+        ), h
+        rate = (add + chg) / max(pages, 1)
+        assert r["change_rate"] == pytest.approx(round(rate + 1e-9, 4))
+        assert r["recrawl_priority"] == (
+            1 + int(rate * 8 + 1e-9) if pages > 0 else 0
+        )

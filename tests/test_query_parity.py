@@ -71,5 +71,5 @@ def test_every_query_has_oracle_or_is_marked():
                                        "sample", "audio", "approx", "extract",
                                        "headline", "clip", "curate", "pack",
                                        "kmeans", "bloom", "pq", "export",
-                                       "semdedup"))
+                                       "semdedup", "recrawl"))
     }
