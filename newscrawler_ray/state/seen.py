@@ -114,49 +114,77 @@ class CuckooFilter:
         caller keeps exact-set authority for those). Idempotence is the
         CALLER's job (a seen shard only inserts novel keys), matching
         bloom semantics where double-add is harmless but here would
-        consume a second slot."""
+        consume a second slot.
+
+        Vectorized fast path: one pass per candidate bucket places every
+        key whose target bucket is unique WITHIN the pass (same-bucket
+        batch collisions defer — rare: birthday bound over 4M buckets)
+        and has an empty slot, via a first-empty argmax gather/scatter.
+        Only batch-conflicting keys and keys needing eviction chains
+        drop to the per-key Python loop (round-3 measurement: the old
+        all-Python loop capped a shard at ~0.2M keys/s)."""
         fp, i1, i2 = self._fp_and_buckets(hashes)
         rng_state = np.uint64(0x2545F4914F6CDD1D)
         ok = np.ones(len(fp), dtype=bool)
         mask = np.uint64(self.n_buckets - 1)
-        for j in range(len(fp)):
-            f = fp[j]
-            placed = False
-            for b in (i1[j], i2[j]):
-                row = self.table[b]
-                empty = np.nonzero(row == 0)[0]
-                if len(empty):
-                    row[empty[0]] = f
-                    placed = True
-                    break
-            if placed:
-                self.n_items += 1
-                continue
-            b = int(i1[j])
-            chain: list[tuple[int, int]] = []  # (bucket, slot) swaps made
-            for kick in range(max_kicks):
-                # deterministic slot choice (no global RNG: repo rule)
-                rng_state = _splitmix64(rng_state + np.uint64(kick + 1))
-                slot = int(rng_state & np.uint64(self.bucket_size - 1))
-                f, self.table[b, slot] = self.table[b, slot], f
-                chain.append((b, slot))
-                alt = _splitmix64(np.uint64(f)) & mask
-                b = int(np.uint64(b) ^ alt)
-                row = self.table[b]
-                empty = np.nonzero(row == 0)[0]
-                if len(empty):
-                    row[empty[0]] = f
-                    placed = True
-                    break
-            if placed:
-                self.n_items += 1
-            else:
-                # table full: UNDO the eviction chain so no other key's
-                # fingerprint is lost (no-false-negative contract), then
-                # report failure for THIS key only
-                for cb, cs in reversed(chain):
-                    f, self.table[cb, cs] = self.table[cb, cs], f
-                ok[j] = False
+        done = np.zeros(len(fp), dtype=bool)
+        for target in (i1, i2):
+            pend = np.nonzero(~done)[0]
+            if len(pend) == 0:
+                break
+            t = target[pend]
+            _, first_idx, counts = np.unique(
+                t, return_index=True, return_counts=True
+            )
+            cand = pend[first_idx[counts == 1]]
+            is_empty = self.table[target[cand]] == 0
+            has_empty = is_empty.any(axis=1)
+            cand = cand[has_empty]
+            slot = is_empty[has_empty].argmax(axis=1)
+            self.table[target[cand], slot] = fp[cand]
+            done[cand] = True
+            self.n_items += int(len(cand))
+        # scalar uint64 ops below wrap intentionally (splitmix mixing);
+        # numpy warns on SCALAR overflow only — suppress for the loop
+        with np.errstate(over="ignore"):
+            for j in np.nonzero(~done)[0]:
+                f = fp[j]
+                placed = False
+                for b in (i1[j], i2[j]):
+                    row = self.table[b]
+                    empty = np.nonzero(row == 0)[0]
+                    if len(empty):
+                        row[empty[0]] = f
+                        placed = True
+                        break
+                if placed:
+                    self.n_items += 1
+                    continue
+                b = int(i1[j])
+                chain: list[tuple[int, int]] = []  # (bucket, slot) swaps made
+                for kick in range(max_kicks):
+                    # deterministic slot choice (no global RNG: repo rule)
+                    rng_state = _splitmix64(rng_state + np.uint64(kick + 1))
+                    slot = int(rng_state & np.uint64(self.bucket_size - 1))
+                    f, self.table[b, slot] = self.table[b, slot], f
+                    chain.append((b, slot))
+                    alt = _splitmix64(np.uint64(f)) & mask
+                    b = int(np.uint64(b) ^ alt)
+                    row = self.table[b]
+                    empty = np.nonzero(row == 0)[0]
+                    if len(empty):
+                        row[empty[0]] = f
+                        placed = True
+                        break
+                if placed:
+                    self.n_items += 1
+                else:
+                    # table full: UNDO the eviction chain so no other key's
+                    # fingerprint is lost (no-false-negative contract), then
+                    # report failure for THIS key only
+                    for cb, cs in reversed(chain):
+                        f, self.table[cb, cs] = self.table[cb, cs], f
+                    ok[j] = False
         return ok
 
     def delete(self, hashes: np.ndarray) -> np.ndarray:
@@ -201,6 +229,10 @@ class SeenShard:
 
         Bloom fast-path: keys the bloom says are absent are definitely
         novel; 'maybe present' keys are resolved against the exact set.
+        (Measured: this plain loop beats an Arrow dictionary_encode
+        rewrite ~2x — ``maybe[i] and`` already short-circuits the string
+        lookup on the novel path, and Python set probes are cheaper than
+        the Arrow round-trip at wave batch sizes.)
         """
         hashes = np.asarray(hashes, dtype=np.int64)
         maybe = self.bloom.maybe_contains(hashes)
