@@ -434,20 +434,29 @@ def _crawl_snapshot_diff(sf_dir: str) -> Any:
     return crawl_snapshot_diff(out_old, out_new)
 
 
+_RECRAWL_SNAPSHOTS: list = []
+
+
 def _recrawl_snapshots() -> tuple[Path, Path]:
     """The 600-world and 1200-world crawl outputs the recrawl ops diff
-    (same snapshot pair as ``crawl_snapshot_diff``; fixtures cached)."""
+    (same snapshot pair as ``crawl_snapshot_diff``; fixtures cached).
+    Memoized per process — the crawls are deterministic, so the second
+    recrawl query reuses the pair instead of re-crawling both worlds."""
     from newscrawler_ray.pipelines.crawl import run_crawl
     from newscrawler_ray.synth import default_fixture_dir, gen_fixtures
 
     out_old = Path("/tmp/newscrawler_ray_q_sched_old")
     out_new = Path("/tmp/newscrawler_ray_q_sched_new")
-    run_crawl(gen_fixtures(default_fixture_dir(600), n_urls=600, seed=42),
-              out_old, n_seen_shards=2, n_frontier_shards=2,
-              checkpoint=False, collect_seen=False)
-    run_crawl(gen_fixtures(default_fixture_dir(1200), n_urls=1200, seed=42),
-              out_new, n_seen_shards=2, n_frontier_shards=2,
-              checkpoint=False, collect_seen=False)
+    if not _RECRAWL_SNAPSHOTS or not (
+        out_old.exists() and out_new.exists()
+    ):
+        run_crawl(gen_fixtures(default_fixture_dir(600), n_urls=600, seed=42),
+                  out_old, n_seen_shards=2, n_frontier_shards=2,
+                  checkpoint=False, collect_seen=False)
+        run_crawl(gen_fixtures(default_fixture_dir(1200), n_urls=1200, seed=42),
+                  out_new, n_seen_shards=2, n_frontier_shards=2,
+                  checkpoint=False, collect_seen=False)
+        _RECRAWL_SNAPSHOTS.append(True)
     return out_old, out_new
 
 

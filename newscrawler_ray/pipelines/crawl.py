@@ -526,49 +526,49 @@ def crawl_error_rows(out_dir: str | Path) -> pa.Table:
     return pa.Table.from_pylist(ds.take_all())
 
 
-def crawl_snapshot_diff(
-    old_dir: str | Path, new_dir: str | Path
+def _snapshot_page_classes(
+    old_dir: str | Path, new_dir: str | Path, key_col: str
 ) -> rd.Dataset:
-    """Incremental recrawl report: what changed between two crawl
-    snapshots (the op a scheduled crawler runs after every pass —
-    the reference re-crawls and upserts blindly; this makes the delta a
-    first-class result).
+    """Per-stored-URL classification between two crawl snapshots,
+    shared by ``crawl_snapshot_diff`` (key_col='url') and
+    ``schedule_recrawl`` (key_col='host'). Anti-join-free: both wave
+    outputs union into thin (url_hash, key, origin, phash) rows and ONE
+    hash aggregate resolves presence + change — payload bytes are never
+    read (column-pruned parquet scan), nothing lands on the driver.
 
-    Per stored URL: ``added`` (new snapshot only), ``removed`` (old
-    only), ``changed`` (present in both, stored payload phash differs).
-    Unchanged pages are not emitted. Anti-join-free shape: both wave
-    outputs union into thin (url_hash, url, origin, masked phashes)
-    rows and ONE hash aggregate resolves every category — payload bytes
-    never read (column-pruned parquet scan), nothing on the driver.
+    Change detection aggregates the UNMASKED phash with Min AND Max:
+    a page present in both snapshots changed iff min != max. (The
+    earlier masked-Max-with-sentinel scheme silently misread any phash
+    BELOW the sentinel — ~25% of the signed-int64 range — as unchanged;
+    round-3 review finding, regression-tested with below-sentinel
+    phashes.) Null phashes map to one fixed stand-in, so null==null is
+    unchanged and null-vs-value is changed.
 
-    Output: (url, change) rows."""
+    Output: (``key_col``, in_old, in_new, changed) bool rows, one per
+    distinct stored URL."""
     import numpy as np
     import pyarrow.compute as pc
     from ray.data.aggregate import Max, Min
 
-    sentinel = -(1 << 62)
+    null_ph = -(1 << 62)  # null-phash stand-in (collision odds 2^-64)
 
     def rows(origin: int):
         def f(batch: pa.Table) -> pa.Table:
             batch = batch.filter(batch.column("stored"))
-            ph = pc.fill_null(batch.column("phash"), sentinel).to_numpy(
-                zero_copy_only=False
-            )
-            n = batch.num_rows
-            fill = np.full(n, sentinel, np.int64)
             return pa.table(
                 {
                     "url_hash": batch.column("url_hash"),
-                    "url": batch.column("url"),
-                    "origin": pa.array(np.full(n, origin, np.int64)),
-                    "ph_old": pa.array(np.where(origin == 0, ph, fill)),
-                    "ph_new": pa.array(np.where(origin == 1, ph, fill)),
+                    key_col: batch.column(key_col),
+                    "origin": pa.array(
+                        np.full(batch.num_rows, origin, np.int64)
+                    ),
+                    "ph": pc.fill_null(batch.column("phash"), null_ph),
                 }
             )
 
         return f
 
-    cols = ["url_hash", "url", "phash", "stored"]
+    cols = ["url_hash", key_col, "phash", "stored"]
     old = rd.read_parquet(str(Path(old_dir) / "waves"), columns=cols).map_batches(
         rows(0), batch_format="pyarrow"
     )
@@ -581,19 +581,56 @@ def crawl_snapshot_diff(
         .aggregate(
             Min("origin", alias_name="min_o"),
             Max("origin", alias_name="max_o"),
-            Max("ph_old", alias_name="ph_old"),
-            Max("ph_new", alias_name="ph_new"),
-            Min("url", alias_name="url"),
+            Min("ph", alias_name="ph_min"),
+            Max("ph", alias_name="ph_max"),
+            Min(key_col, alias_name=key_col),
         )
     )
 
     def classify(batch: pa.Table) -> pa.Table:
-        mn = batch.column("min_o").to_numpy()
-        mx = batch.column("max_o").to_numpy()
-        po = batch.column("ph_old").to_numpy()
-        pn = batch.column("ph_new").to_numpy()
+        in_old = batch.column("min_o").to_numpy() == 0
+        in_new = batch.column("max_o").to_numpy() == 1
+        changed = (
+            in_old
+            & in_new
+            & (batch.column("ph_min").to_numpy() != batch.column("ph_max").to_numpy())
+        )
+        return pa.table(
+            {
+                key_col: batch.column(key_col),
+                "in_old": pa.array(in_old),
+                "in_new": pa.array(in_new),
+                "changed": pa.array(changed),
+            }
+        )
+
+    return agg.map_batches(classify, batch_format="pyarrow")
+
+
+def crawl_snapshot_diff(
+    old_dir: str | Path, new_dir: str | Path
+) -> rd.Dataset:
+    """Incremental recrawl report: what changed between two crawl
+    snapshots (the op a scheduled crawler runs after every pass —
+    the reference re-crawls and upserts blindly; this makes the delta a
+    first-class result).
+
+    Per stored URL: ``added`` (new snapshot only), ``removed`` (old
+    only), ``changed`` (present in both, stored payload phash differs).
+    Unchanged pages are not emitted. Execution shape + sentinel
+    semantics: see ``_snapshot_page_classes``.
+
+    Output: (url, change) rows."""
+    import numpy as np
+
+    classes = _snapshot_page_classes(old_dir, new_dir, "url")
+
+    def to_change(batch: pa.Table) -> pa.Table:
+        in_old = batch.column("in_old").to_numpy()
+        in_new = batch.column("in_new").to_numpy()
+        changed = batch.column("changed").to_numpy()
         change = np.where(
-            mn == 1, "added", np.where(mx == 0, "removed", np.where(po != pn, "changed", ""))
+            ~in_old, "added", np.where(~in_new, "removed", np.where(changed, "changed", ""))
         )
         keep = change != ""
         return pa.table(
@@ -603,7 +640,7 @@ def crawl_snapshot_diff(
             }
         )
 
-    return agg.map_batches(classify, batch_format="pyarrow")
+    return classes.map_batches(to_change, batch_format="pyarrow")
 
 
 def schedule_recrawl(old_dir: str | Path, new_dir: str | Path) -> rd.Dataset:
@@ -620,72 +657,29 @@ def schedule_recrawl(old_dir: str | Path, new_dir: str | Path) -> rd.Dataset:
     hosts rank first in the next pass — the frontier orders waves by
     priority DESC).
 
-    Shape: join-free — both wave outputs union into thin (url_hash,
-    host, origin, masked phash) rows, ONE url-level hash aggregate
-    classifies each page, ONE host-level aggregate sums the indicator
-    columns. Payload bytes are never read; nothing lands on the driver.
+    Shape: join-free — ONE url-level hash aggregate classifies each
+    page (shared ``_snapshot_page_classes`` stage, keyed by host), ONE
+    host-level aggregate sums the indicator columns. Payload bytes are
+    never read; nothing lands on the driver.
 
     Output: (host, n_pages, n_added, n_changed, n_removed, change_rate,
     recrawl_priority) rows."""
     import numpy as np
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Max, Min, Sum
+    from ray.data.aggregate import Sum
 
-    sentinel = -(1 << 62)
-
-    def rows(origin: int):
-        def f(batch: pa.Table) -> pa.Table:
-            batch = batch.filter(batch.column("stored"))
-            ph = pc.fill_null(batch.column("phash"), sentinel).to_numpy(
-                zero_copy_only=False
-            )
-            n = batch.num_rows
-            fill = np.full(n, sentinel, np.int64)
-            return pa.table(
-                {
-                    "url_hash": batch.column("url_hash"),
-                    "host": batch.column("host"),
-                    "origin": pa.array(np.full(n, origin, np.int64)),
-                    "ph_old": pa.array(np.where(origin == 0, ph, fill)),
-                    "ph_new": pa.array(np.where(origin == 1, ph, fill)),
-                }
-            )
-
-        return f
-
-    cols = ["url_hash", "host", "phash", "stored"]
-    old = rd.read_parquet(str(Path(old_dir) / "waves"), columns=cols).map_batches(
-        rows(0), batch_format="pyarrow"
-    )
-    new = rd.read_parquet(str(Path(new_dir) / "waves"), columns=cols).map_batches(
-        rows(1), batch_format="pyarrow"
-    )
-    per_url = (
-        old.union(new)
-        .groupby("url_hash")
-        .aggregate(
-            Min("origin", alias_name="min_o"),
-            Max("origin", alias_name="max_o"),
-            Max("ph_old", alias_name="ph_old"),
-            Max("ph_new", alias_name="ph_new"),
-            Min("host", alias_name="host"),
-        )
-    )
+    per_url = _snapshot_page_classes(old_dir, new_dir, "host")
 
     def indicators(batch: pa.Table) -> pa.Table:
-        mn = batch.column("min_o").to_numpy()
-        mx = batch.column("max_o").to_numpy()
-        po = batch.column("ph_old").to_numpy()
-        pn = batch.column("ph_new").to_numpy()
+        in_old = batch.column("in_old").to_numpy()
+        in_new = batch.column("in_new").to_numpy()
+        changed = batch.column("changed").to_numpy()
         return pa.table(
             {
                 "host": batch.column("host"),
-                "n_pages": pa.array((mx == 1).astype(np.int64)),
-                "n_added": pa.array((mn == 1).astype(np.int64)),
-                "n_changed": pa.array(
-                    ((mn == 0) & (mx == 1) & (po != pn)).astype(np.int64)
-                ),
-                "n_removed": pa.array((mx == 0).astype(np.int64)),
+                "n_pages": pa.array(in_new.astype(np.int64)),
+                "n_added": pa.array((in_new & ~in_old).astype(np.int64)),
+                "n_changed": pa.array(changed.astype(np.int64)),
+                "n_removed": pa.array((~in_new).astype(np.int64)),
             }
         )
 

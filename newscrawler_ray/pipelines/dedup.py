@@ -891,6 +891,27 @@ def embedding_near_dup_ivf(
     return ivf_pair_mine(ds, cents, tau=tau, n_probe=n_probe)
 
 
+def _make_cell_pairs(tau: float, id_col: str):
+    """Within-cell cosine pair emission (id_a < id_b, cos >= tau) —
+    shared by ``ivf_pair_mine`` and ``semdedup_docs``."""
+    from .simsearch import _norm, emb_matrix
+
+    def cell_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy()
+        E = _norm(emb_matrix(group.column("embedding")))
+        sims = E @ E.T
+        rows, cols = np.nonzero(sims >= tau)
+        keep = ids[rows] < ids[cols]
+        return pa.table(
+            {
+                "id_a": pa.array(ids[rows[keep]], pa.int64()),
+                "id_b": pa.array(ids[cols[keep]], pa.int64()),
+            }
+        )
+
+    return cell_pairs
+
+
 def ivf_pair_mine(
     ds: rd.Dataset,
     cents: np.ndarray,
@@ -924,21 +945,9 @@ def ivf_pair_mine(
         )
 
     cells = ds.map_batches(assign, batch_format="pyarrow")
-
-    def cell_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_numpy()
-        E = _norm(emb_matrix(group.column("embedding")))
-        sims = E @ E.T
-        rows, cols = np.nonzero(sims >= tau)
-        keep = ids[rows] < ids[cols]
-        return pa.table(
-            {
-                "id_a": pa.array(ids[rows[keep]], pa.int64()),
-                "id_b": pa.array(ids[cols[keep]], pa.int64()),
-            }
-        )
-
-    pairs = cells.groupby("cell").map_groups(cell_pairs, batch_format="pyarrow")
+    pairs = cells.groupby("cell").map_groups(
+        _make_cell_pairs(tau, id_col), batch_format="pyarrow"
+    )
     # a pair can share up to n_probe cells — dedupe
     return _distinct_pairs(pairs)
 
@@ -1112,22 +1121,14 @@ def semdedup_docs(
             }
         )
 
-    cells = ds.map_batches(assign_with_emb, batch_format="pyarrow")
-
-    def cell_pairs(group: pa.Table) -> pa.Table:
-        ids = group.column(id_col).to_numpy()
-        E = _norm(emb_matrix(group.column("embedding")))
-        sims = E @ E.T
-        rows, cols = np.nonzero(sims >= tau)
-        keep = ids[rows] < ids[cols]
-        return pa.table(
-            {
-                "id_a": pa.array(ids[rows[keep]], pa.int64()),
-                "id_b": pa.array(ids[cols[keep]], pa.int64()),
-            }
-        )
-
-    pairs = cells.groupby("cell").map_groups(cell_pairs, batch_format="pyarrow")
+    # one materialized assignment pass feeds BOTH the pair mining and the
+    # winner-rule sim lookup (the curate_image_corpus shared-encoder
+    # precedent) — without it the lazy lineage re-runs the full read +
+    # normalize + GEMM assignment for each consumer
+    cells = ds.map_batches(assign_with_emb, batch_format="pyarrow").materialize()
+    pairs = cells.groupby("cell").map_groups(
+        _make_cell_pairs(tau, id_col), batch_format="pyarrow"
+    )
     assign = connected_components(pairs)
     assign = assign.repartition(num_partitions).materialize()
     ids = ds.map_batches(
@@ -1189,7 +1190,7 @@ def semdedup_docs(
     if drop.count() == 0:
         return ids
     return ids.join(
-        drop.rename_columns(["doc_id"]),
+        drop,
         join_type="left_anti",
         num_partitions=num_partitions,
         on=("doc_id",),

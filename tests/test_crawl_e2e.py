@@ -364,3 +364,55 @@ def test_schedule_recrawl_between_worlds(ray_session, tmp_path):
         assert r["recrawl_priority"] == (
             1 + int(rate * 8 + 1e-9) if pages > 0 else 0
         )
+
+
+def test_snapshot_diff_handles_extreme_phashes(ray_session, tmp_path):
+    """Regression (round-3 review): a phash below the old masked-Max
+    sentinel -(1<<62) — ~25% of the signed-int64 range — must still
+    classify as changed/unchanged correctly in BOTH snapshot ops."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from newscrawler_ray.pipelines.crawl import (
+        crawl_snapshot_diff,
+        schedule_recrawl,
+    )
+
+    lo = -(1 << 62)
+
+    def write(root, rows):
+        d = root / "waves" / "wave=0000"
+        d.mkdir(parents=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "url_hash": pa.array([r[0] for r in rows], pa.int64()),
+                    "url": pa.array([r[1] for r in rows]),
+                    "host": pa.array([r[2] for r in rows]),
+                    "phash": pa.array([r[3] for r in rows], pa.int64()),
+                    "stored": pa.array([r[4] for r in rows]),
+                }
+            ),
+            d / "part.parquet",
+        )
+
+    old = tmp_path / "old"
+    new = tmp_path / "new"
+    write(old, [
+        (1, "u1", "a.com", lo - 5, True),   # changes below the sentinel
+        (2, "u2", "a.com", lo - 9, True),   # unchanged below the sentinel
+        (3, "u3", "a.com", 300, True),      # changes across the sentinel
+    ])
+    write(new, [
+        (1, "u1", "a.com", lo - 7, True),
+        (2, "u2", "a.com", lo - 9, True),
+        (3, "u3", "a.com", lo - 3, True),
+    ])
+    got = {r["url"]: r["change"] for r in crawl_snapshot_diff(old, new).take_all()}
+    assert got == {"u1": "changed", "u3": "changed"}
+
+    (sched,) = schedule_recrawl(old, new).take_all()
+    assert sched["host"] == "a.com"
+    assert sched["n_pages"] == 3
+    assert sched["n_changed"] == 2
+    assert sched["n_added"] == 0 and sched["n_removed"] == 0
