@@ -696,7 +696,7 @@ def _audio_features(sf_dir: str) -> Any:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "q1_lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -1540,3 +1540,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ) GROUP BY user_id""",
     }
+    # The MinHash family earns the EXACT operators' oracles (VERDICT r2
+    # item 3): every LSH candidate is exact-Jaccard-verified, so emitted
+    # pairs are always a subset of the prefix-filter join's; on the
+    # driver corpus the 16x4 banding's measured recall is 1.0, making
+    # the outputs EQUAL — asserted in
+    # tests/test_dedup_simsearch.py::test_minhash_family_equals_exact
+    # so any fixture or kernel drift trips the suite before the driver.
+    out["minhash_near_dup"] = out["ngram_jaccard_pairs"]
+    out["minhash_dedup_docs"] = out["jaccard_dedup_docs"]
+    return out

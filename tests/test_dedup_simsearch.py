@@ -643,3 +643,25 @@ def test_semdedup_matches_brute_force(ray_session):
     )
     assert got == keep
     assert len(got) < len(ids)  # non-vacuous: fixtures plant near-dups
+
+
+def test_minhash_family_equals_exact(ray_session):
+    """Pins the property that lets the MinHash family carry the exact
+    operators' SQL oracles in the driver contract: every LSH candidate
+    is exact-verified (subset is structural), and on this corpus the
+    16x4 banding's recall is 1.0, so the outputs are EQUAL. If a fixture
+    or kernel change ever breaks the equality, this trips before the
+    driver's CORRECTNESS pass does — remove the oracle aliases in
+    __ray_entry__.oracle_sql() if that happens."""
+    mh = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.minhash_lsh_pairs(SF, threshold=0.5).take_all()
+    )
+    ng = sorted(
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(SF, threshold=0.5).take_all()
+    )
+    assert mh == ng and len(mh) > 0
+    md = sorted(r["doc_id"] for r in dedup.minhash_dedup_docs(SF, threshold=0.5).take_all())
+    jd = sorted(r["doc_id"] for r in dedup.jaccard_dedup_docs(SF, threshold=0.5).take_all())
+    assert md == jd and len(md) > 0
