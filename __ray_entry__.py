@@ -268,6 +268,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequence packing (rows-only: bin layout is a function of the
         # fixed blocking; invariants + determinism tested in tests/)
         "pack_token_bins": T.pack_token_bins,
+        # BPE tokenizer training on the corpus + corpus-wide encoding
+        # (rows-only: iterative merge loop; exact brute-force-retrain
+        # and reference-encode oracles in tests/test_tokenizer.py)
+        "train_bpe_merges": _train_bpe_merges,
+        "bpe_encode_docs": _bpe_encode_docs,
         "quality_score_docs": T.quality_score,
         # distilled quality classifier (train-on-engine, rows-only:
         # loss-decrease / agreement / determinism oracles in tests/)
@@ -311,6 +316,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_schedule": _recrawl_schedule,
         "recrawl_seed_urls": _recrawl_seed_urls,
     }
+
+
+def _train_bpe_merges(sf_dir: str) -> Any:
+    from newscrawler_ray.pipelines.tokenizer import train_bpe_merges
+
+    return train_bpe_merges(sf_dir, n_merges=64)
+
+
+def _bpe_encode_docs(sf_dir: str) -> Any:
+    from newscrawler_ray.pipelines.tokenizer import bpe_encode_docs
+
+    return bpe_encode_docs(sf_dir, n_merges=64)
 
 
 def _quality_classifier_docs(sf_dir: str) -> Any:

@@ -135,9 +135,9 @@ def word_hashes(words: list[str]) -> np.ndarray:
     return hash_string_array(pa.array(words, pa.string()))
 
 
-def tokenize_word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+def tokenize_words(texts) -> "tuple[object, np.ndarray]":
     """Arrow-native batch tokenizer: lowercase -> RE2 ``\\W+`` split ->
-    drop empties -> hash. Returns (flat uint64 word hashes, int64 doc
+    drop empties. Returns (flat Arrow string array of words, int64 doc
     offsets[n_docs+1]). ``texts`` is an Arrow string array/chunked array
     or a list of str. The whole path is C/vectorized — zero Python per
     word. Note RE2 ``\\W`` is ASCII: unsegmented CJK text yields no
@@ -163,7 +163,15 @@ def tokenize_word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
     counts = np.bincount(doc_of_word[keep_np], minlength=n_docs)
     offsets = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
-    return hash_string_array(flat.filter(keep)), offsets
+    return flat.filter(keep), offsets
+
+
+def tokenize_word_hashes(texts) -> tuple[np.ndarray, np.ndarray]:
+    """(flat uint64 word hashes, int64 doc offsets[n_docs+1]) — the
+    hashed form of ``tokenize_words`` (one shared token definition for
+    every text stage in the engine)."""
+    words, offsets = tokenize_words(texts)
+    return hash_string_array(words), offsets
 
 
 def shingle_hashes(wh: np.ndarray, k: int) -> np.ndarray:

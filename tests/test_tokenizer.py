@@ -1,0 +1,156 @@
+"""BPE tokenizer training + corpus encoding.
+
+Oracle strategy: the merge loop is a pure function of the word-frequency
+table, so the tests (a) hand-check the classic Sennrich example, (b)
+retrain brute-force from DuckDB-computed word counts at sf0.001 and
+assert the pipeline's merge table is EXACTLY equal, and (c) re-encode
+every doc with a reference encoder and assert per-doc token counts are
+exactly equal.
+"""
+
+import duckdb
+import numpy as np
+import pytest
+import ray.data as rd
+
+from newscrawler_ray.pipelines import tokenizer as tk
+
+SF = "/root/testdata/sf0.001"
+
+
+# -------------------------------------------------- brute-force reference
+
+
+def _brute_learn(words, freqs, n_merges, min_count=2):
+    """Textbook O(rounds * table) trainer — no indexed updates, used to
+    check the incremental implementation."""
+    syms = [list(w) for w in words]
+    merges = []
+    for _ in range(n_merges):
+        stats = {}
+        for s, f in zip(syms, freqs):
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                stats[p] = stats.get(p, 0) + int(f)
+        if not stats:
+            break
+        pair, count = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+        if count < min_count:
+            break
+        merges.append((pair[0], pair[1], count))
+        for wi, s in enumerate(syms):
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and (s[i], s[i + 1]) == pair:
+                    out.append(pair[0] + pair[1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[wi] = out
+    return merges
+
+
+def _duckdb_word_counts(sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        r"""
+        WITH w AS (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                 x -> x <> '')) AS w
+          FROM read_parquet(?)
+        )
+        SELECT w, count(*)::BIGINT c FROM w GROUP BY w ORDER BY c DESC, w
+        """,
+        [f"{sf_dir}/documents.parquet"],
+    ).fetchall()
+    con.close()
+    return [r[0] for r in rows], np.array([r[1] for r in rows], np.int64)
+
+
+# ------------------------------------------------------------- unit tests
+
+
+def test_learn_bpe_classic_example():
+    # Sennrich's example vocabulary (no end-of-word marker variant)
+    words = ["low", "lower", "newest", "widest"]
+    freqs = np.array([5, 2, 6, 3], np.int64)
+    merges = tk.learn_bpe(words, freqs, 4)
+    # 'es' appears in newest(6) + widest(3) = 9 — the top pair; then
+    # ('es','t') 9; then ('l','o') 7; then ('lo','w') 7
+    assert merges[0] == ("e", "s", 9)
+    assert merges[1] == ("es", "t", 9)
+    assert merges[2] == ("l", "o", 7)
+    assert merges[3] == ("lo", "w", 7)
+
+
+def test_learn_bpe_matches_brute_force_and_tiebreak():
+    words = ["abab", "baba", "aa", "bb", "ab"]
+    freqs = np.array([3, 3, 2, 2, 1], np.int64)
+    got = tk.learn_bpe(words, freqs, 10)
+    want = _brute_learn(words, freqs, 10)
+    assert got == want and len(got) > 0
+    # deterministic tie-break: equal-count pairs pick lexicographic min
+    w2 = ["cd", "ab"]
+    f2 = np.array([4, 4], np.int64)
+    assert tk.learn_bpe(w2, f2, 1)[0] == ("a", "b", 4)
+
+
+def test_encode_word_applies_rank_order():
+    merges = [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")]
+    ranks = {m: i for i, m in enumerate(merges)}
+    assert tk.encode_word("newest", ranks) == ["n", "e", "w", "est"]
+    assert tk.encode_word("lowest", ranks) == ["low", "est"]
+    assert tk.encode_word("xyz", ranks) == ["x", "y", "z"]
+    assert tk.encode_word("", ranks) == []
+
+
+def test_min_count_stops_training():
+    words, freqs = ["ab"], np.array([1], np.int64)
+    assert tk.learn_bpe(words, freqs, 5) == []  # best pair count 1 < 2
+    assert tk.learn_bpe(words, freqs, 5, min_count=1) == [("a", "b", 1)]
+
+
+# -------------------------------------------------------- pipeline oracle
+
+
+def test_train_bpe_merges_equals_duckdb_retrain(ray_session):
+    got = tk.train_bpe_merges(SF, n_merges=48).take_all()
+    words, freqs = _duckdb_word_counts(SF)
+    want = _brute_learn(words, freqs, 48)
+    assert [(r["left"], r["right"], r["pair_count"]) for r in got] == want
+    assert [r["rank"] for r in got] == list(range(len(want)))
+    assert len(want) > 0
+
+
+def test_bpe_encode_docs_matches_reference(ray_session):
+    words, freqs = _duckdb_word_counts(SF)
+    merges = [(l, r) for l, r, _ in _brute_learn(words, freqs, 48)]
+    ranks = {m: i for i, m in enumerate(merges)}
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in tk.bpe_encode_docs(SF, n_merges=48).take_all()
+    }
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchall()
+    con.close()
+    import re
+
+    wre = re.compile(r"\w+", re.ASCII)
+    assert len(got) == len(rows)
+    for doc_id, text in rows:
+        ws = [w for w in wre.findall(text.lower()) if w]
+        n_tokens = sum(len(tk.encode_word(w, ranks)) for w in ws)
+        assert got[doc_id] == (len(ws), n_tokens), doc_id
+    # merges genuinely compress: fewer tokens than characters-in-words
+    assert sum(t for _, t in got.values()) < sum(w for w, _ in got.values()) * 4
+
+
+def test_more_merges_never_increase_tokens(ray_session):
+    t16 = sum(r["n_tokens"] for r in tk.bpe_encode_docs(SF, n_merges=16).take_all())
+    t64 = sum(r["n_tokens"] for r in tk.bpe_encode_docs(SF, n_merges=64).take_all())
+    n_words = sum(r["n_words"] for r in tk.bpe_encode_docs(SF, n_merges=16).take_all())
+    assert t64 <= t16
+    assert t64 >= n_words  # a word is never fewer than 1 token
