@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_sample_docs": CS.mixture_sample_docs,
         # unigram-LM mean NLL per doc (CCNet perplexity-filter stand-in)
         "unigram_logprob_docs": CS.unigram_logprob_docs,
+        # bigram-LM mean NLL per doc (order-aware rung toward KenLM)
+        "bigram_logprob_docs": CS.bigram_logprob_docs,
         # distributed spherical k-means over the full embeddings table
         # (SemDeDup-style corpus clustering; rows-only: iterative — the
         # pytest oracle checks exact argmax optimality under the final
@@ -1257,6 +1259,47 @@ def oracle_sql() -> dict[str, str]:
                          / greatest(coalesce(n_words, 0), 1)
                          + 1e-9, 4) AS mean_nll
             FROM documents d LEFT JOIN s USING (doc_id)""",
+        # bigram model = corpus bigram counts (lead() window); mean_nll
+        # = first-word unigram term + conditional bigram terms, exact
+        # arithmetic over counts (ln is libm-identical in both engines)
+        "bigram_logprob_docs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                       '\W+'), x -> x <> '')) AS w,
+                     generate_subscripts(list_filter(string_split_regex(
+                       lower(text), '\W+'), x -> x <> ''), 1) AS i
+              FROM documents
+            ), u AS (
+              SELECT w, count(*)::DOUBLE AS c FROM w GROUP BY w
+            ), t AS (
+              SELECT sum(c) AS t FROM u
+            ), b AS (
+              SELECT doc_id, i, w AS w1,
+                     lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+              FROM w QUALIFY w2 IS NOT NULL
+            ), bc AS (
+              SELECT w1, w2, count(*)::DOUBLE AS c FROM b GROUP BY w1, w2
+            ), n AS (
+              SELECT doc_id, count(*)::BIGINT AS n_words FROM w GROUP BY doc_id
+            ), f AS (
+              SELECT fw.doc_id, ln((SELECT t FROM t) / u.c) AS nll
+              FROM (SELECT doc_id, w FROM w WHERE i = 1) fw JOIN u USING (w)
+            ), s AS (
+              SELECT b.doc_id, sum(ln(u.c / bc.c)) AS nll
+              FROM b JOIN bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+                     JOIN u ON u.w = b.w1
+              GROUP BY b.doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n.n_words, 0) AS n_words,
+                   round((coalesce(f.nll, 0) + coalesce(s.nll, 0))
+                         / greatest(coalesce(n.n_words, 0), 1)
+                         + 1e-9, 4) AS mean_nll
+            FROM documents d
+            LEFT JOIN n USING (doc_id)
+            LEFT JOIN f USING (doc_id)
+            LEFT JOIN s USING (doc_id)""",
         # the full curation composition is the AND of four SQL-expressible
         # gates plus a group-by-text dedup; every threshold compares the
         # rounded values both engines compute identically

@@ -569,6 +569,120 @@ def unigram_logprob_docs(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+# ------------------------------------------------------ bigram LM score
+
+
+def _bigram_rows(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(bigram key uint64, left-word hash uint64, doc index per bigram,
+    words-per-doc) for an Arrow string batch — adjacent word pairs
+    within docs, vectorized over the whole batch (pairs crossing a doc
+    boundary are masked out). The key is a splitmix chain of the two
+    word hashes, the same construction as ``shingle_hashes(k=2)``."""
+    flat, offsets = tokenize_word_hashes(texts)
+    lens = np.diff(offsets)
+    n = len(flat)
+    if n < 2:
+        e = np.empty(0, _U64)
+        return e, e, np.empty(0, np.int64), lens
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    same = doc_of[:-1] == doc_of[1:]
+    left = flat[:-1][same]
+    key = splitmix64(splitmix64(left) ^ flat[1:][same])
+    return key, left, doc_of[:-1][same], lens
+
+
+def _bigram_model(docs: rd.Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted bigram-key array, float64 counts): corpus bigram counts
+    via per-batch partials + one hash groupby — ``_unigram_model``'s
+    shape one order up. Bigram vocabulary is still model-sized for real
+    corpora (it grows slower than corpus size and is cappable exactly
+    like the df map if it ever weren't)."""
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        key, _, _, _ = _bigram_rows(batch.column("text"))
+        if len(key) == 0:
+            return pa.table({"h": pa.array([], _I64), "cnt": pa.array([], _I64)})
+        hu, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(hu.view(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64), _I64),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        docs.map_batches(count_rows, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    hs, cs = [], []
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        if b.num_rows:
+            hs.append(b.column("h").to_numpy())
+            cs.append(b.column("cnt").to_numpy())
+    if not hs:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+    h_all = np.concatenate(hs)
+    c_all = np.concatenate(cs).astype(np.float64)
+    order = np.argsort(h_all)
+    return h_all[order], c_all[order]
+
+
+def bigram_logprob_docs(sf_dir: str) -> rd.Dataset:
+    """Bigram-LM quality scoring — the next rung up from
+    ``unigram_logprob_docs`` toward CCNet's KenLM filter: score every
+    doc by its mean NLL under the corpus-trained bigram model,
+    NLL = ln(T / c(w_1)) + Σ_{i>=2} ln(c(w_{i-1}) / c(w_{i-1}, w_i)),
+    mean over n words. Formulaic word sequences (high bigram counts)
+    score low; unusual transitions score high — a sharper signal than
+    unigram rarity because it sees ORDER.
+
+    Output: (doc_id, n_words, mean_nll). Both models ship as sorted
+    (hash, count) numpy bundles via ``ray.put`` (model-sized, see
+    ``unigram_logprob_docs``); scoring is one streaming map with two
+    vectorized searchsorted lookups. Trained on the corpus it scores,
+    every bigram is in the model — no backoff term fires (the guard
+    only matters for foreign text). String-based SQL parity (lead()
+    window bigrams) checked by the driver at sf0.01."""
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    uh, uc, total = _unigram_model(docs)
+    bh, bc = _bigram_model(docs)
+    ref = ray.put((uh, uc, bh, bc))
+
+    def _lookup(model_h: np.ndarray, model_c: np.ndarray, keys64: np.ndarray):
+        pos = np.minimum(np.searchsorted(model_h, keys64), len(model_h) - 1)
+        return np.where(model_h[pos] == keys64, model_c[pos], 1.0)
+
+    def score(batch: pa.Table) -> pa.Table:
+        model_uh, model_uc, model_bh, model_bc = ray.get(ref)
+        key, left, bdoc, lens = _bigram_rows(batch.column("text"))
+        flat, offsets = tokenize_word_hashes(batch.column("text"))
+        n_docs = batch.num_rows
+        nll_sum = np.zeros(n_docs, dtype=np.float64)
+        if len(flat) and len(model_uh):
+            # first word of each non-empty doc: unigram NLL
+            first_pos = offsets[:-1][lens > 0]
+            cu = _lookup(model_uh, model_uc, flat[first_pos].view(np.int64))
+            nll_sum[lens > 0] = np.log(total / cu)
+        if len(key) and len(model_bh):
+            c_left = _lookup(model_uh, model_uc, left.view(np.int64))
+            c_bi = _lookup(model_bh, model_bc, key.view(np.int64))
+            nll = np.log(c_left / c_bi)
+            nll_sum += np.bincount(bdoc, weights=nll, minlength=n_docs)
+        mean_nll = np.round(nll_sum / np.maximum(lens, 1) + 1e-9, 4)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(lens, _I64),
+                "mean_nll": pa.array(mean_nll, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 # -------------------------------------------------- curation composition
 
 

@@ -190,6 +190,41 @@ def test_unigram_logprob_brute_force(ray_session, tmp_path):
     assert out[1]["mean_nll"] > out[2]["mean_nll"]
 
 
+def test_bigram_logprob_brute_force(ray_session, tmp_path):
+    """Bigram mean_nll = first-word unigram term + conditional bigram
+    terms, vs a pure-Python model — empty, single-word, and repeated-
+    bigram docs included."""
+    texts = [
+        "",
+        "solo",
+        "a b a b a b",
+        "a b c d",
+        "b a d c",
+    ]
+    d = _write_docs(tmp_path, texts)
+    out = {
+        r["doc_id"]: r for r in corpusstats.bigram_logprob_docs(d).take_all()
+    }
+    from collections import Counter
+    all_words = [w for t in texts for w in t.split()]
+    uni = Counter(all_words)
+    total = float(len(all_words))
+    bi = Counter(
+        (a, b) for t in texts for a, b in zip(t.split(), t.split()[1:])
+    )
+    for i, t in enumerate(texts):
+        ws = t.split()
+        nll = math.log(total / uni[ws[0]]) if ws else 0.0
+        nll += sum(
+            math.log(uni[a] / bi[(a, b)]) for a, b in zip(ws, ws[1:])
+        )
+        want = round(nll / max(len(ws), 1) + 1e-9, 4)
+        assert out[i]["n_words"] == len(ws)
+        assert out[i]["mean_nll"] == want, (i, out[i]["mean_nll"], want)
+    # the common a-b chain scores lower than the unseen-order d-c doc
+    assert out[2]["mean_nll"] < out[4]["mean_nll"]
+
+
 def test_curate_text_corpus_consistent_with_components(ray_session):
     """The composition's survivors pass every individual gate, as
     reported by the standalone operators on the same corpus."""
