@@ -96,6 +96,8 @@ QUERY_NAMES = [
     "ranked_search",
     "stratified_sample_events",
     "semdedup_docs",
+    "bigram_logprob_docs",
+    "bpe_encode_docs",
 ]
 
 
