@@ -591,12 +591,22 @@ def _bigram_rows(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]
     return key, left, doc_of[:-1][same], lens
 
 
-def _bigram_model(docs: rd.Dataset) -> tuple[np.ndarray, np.ndarray]:
+def _bigram_model(
+    docs: rd.Dataset, *, cap: int = 4_000_000
+) -> tuple[np.ndarray, np.ndarray]:
     """(sorted bigram-key array, float64 counts): corpus bigram counts
     via per-batch partials + one hash groupby — ``_unigram_model``'s
-    shape one order up. Bigram vocabulary is still model-sized for real
-    corpora (it grows slower than corpus size and is cappable exactly
-    like the df map if it ever weren't)."""
+    shape one order up, with the df-map driver discipline because the
+    bigram vocabulary grows faster than the unigram one:
+
+    - count-1 bigrams are NEVER shipped — the scoring fallback count
+      (1.0) IS their true count, so dropping them is exact, and on
+      natural corpora they are most of the tail (Zipf);
+    - of the rest, a running top-``cap`` trim bounds driver memory at
+      2*cap rows; the stream is post-groupby (each key arrives once,
+      final), so the trim is an exact selection, and only keys beyond
+      the cap score approximately (their count reads as 1). Below the
+      cap — every sandbox run — the model is EXACT."""
 
     def count_rows(batch: pa.Table) -> pa.Table:
         key, _, _, _ = _bigram_rows(batch.column("text"))
@@ -617,17 +627,23 @@ def _bigram_model(docs: rd.Dataset) -> tuple[np.ndarray, np.ndarray]:
         .groupby("h")
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
-    hs, cs = [], []
+    h_all = np.empty(0, np.int64)
+    c_all = np.empty(0, np.int64)
     for b in agg.iter_batches(batch_format="pyarrow"):
-        if b.num_rows:
-            hs.append(b.column("h").to_numpy())
-            cs.append(b.column("cnt").to_numpy())
-    if not hs:
-        return np.empty(0, np.int64), np.empty(0, np.float64)
-    h_all = np.concatenate(hs)
-    c_all = np.concatenate(cs).astype(np.float64)
+        if not b.num_rows:
+            continue
+        c = b.column("cnt").to_numpy().astype(np.int64)
+        keep = c >= 2  # count-1 drop is exact (see docstring)
+        h_all = np.concatenate([h_all, b.column("h").to_numpy()[keep]])
+        c_all = np.concatenate([c_all, c[keep]])
+        if len(h_all) > 2 * cap:  # running exact top-cap trim
+            top = np.argpartition(-c_all, cap - 1)[:cap]
+            h_all, c_all = h_all[top], c_all[top]
+    if len(h_all) > cap:
+        top = np.argpartition(-c_all, cap - 1)[:cap]
+        h_all, c_all = h_all[top], c_all[top]
     order = np.argsort(h_all)
-    return h_all[order], c_all[order]
+    return h_all[order], c_all[order].astype(np.float64)
 
 
 def bigram_logprob_docs(sf_dir: str) -> rd.Dataset:
@@ -652,6 +668,10 @@ def bigram_logprob_docs(sf_dir: str) -> rd.Dataset:
     ref = ray.put((uh, uc, bh, bc))
 
     def _lookup(model_h: np.ndarray, model_c: np.ndarray, keys64: np.ndarray):
+        # empty model / missing key both score count 1.0 (exact for the
+        # count-1 entries _bigram_model drops; backoff guard otherwise)
+        if len(model_h) == 0:
+            return np.ones(len(keys64), np.float64)
         pos = np.minimum(np.searchsorted(model_h, keys64), len(model_h) - 1)
         return np.where(model_h[pos] == keys64, model_c[pos], 1.0)
 
@@ -666,7 +686,7 @@ def bigram_logprob_docs(sf_dir: str) -> rd.Dataset:
             first_pos = offsets[:-1][lens > 0]
             cu = _lookup(model_uh, model_uc, flat[first_pos].view(np.int64))
             nll_sum[lens > 0] = np.log(total / cu)
-        if len(key) and len(model_bh):
+        if len(key):
             c_left = _lookup(model_uh, model_uc, left.view(np.int64))
             c_bi = _lookup(model_bh, model_bc, key.view(np.int64))
             nll = np.log(c_left / c_bi)

@@ -90,19 +90,29 @@ def _word_count_table(
         .groupby("word")
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
+
+    def _trim(ws: list[str], cnt: np.ndarray, k: int):
+        order = np.lexsort((np.array(ws), -cnt))[:k]
+        return [ws[i] for i in order], cnt[order]
+
+    # running-cap fold (the df-map discipline): the stream is
+    # post-groupby, so each word type arrives EXACTLY ONCE with its
+    # final count — a running top-K trim is therefore an EXACT
+    # selection, and driver memory stays bounded by 2*cap rows at any
+    # corpus size
     words: list[str] = []
-    counts: list[np.ndarray] = []
+    cnt = np.empty(0, np.int64)
     for b in agg.iter_batches(batch_format="pyarrow"):
-        if b.num_rows:
-            words.extend(b.column("word").to_pylist())
-            counts.append(b.column("cnt").to_numpy())
+        if not b.num_rows:
+            continue
+        words.extend(b.column("word").to_pylist())
+        cnt = np.concatenate([cnt, b.column("cnt").to_numpy().astype(np.int64)])
+        if len(words) > 2 * max_word_types:
+            words, cnt = _trim(words, cnt, max_word_types)
     if not words:
         return [], np.empty(0, np.int64)
-    cnt = np.concatenate(counts).astype(np.int64)
-    # frequency desc, word asc — the deterministic training order; the
-    # cap keeps the most frequent types (exact below the cap)
-    order = np.lexsort((np.array(words), -cnt))[:max_word_types]
-    return [words[i] for i in order], cnt[order]
+    # frequency desc, word asc — the deterministic training order
+    return _trim(words, cnt, max_word_types)
 
 
 # ---------------------------------------------------------- the merge loop

@@ -225,6 +225,27 @@ def test_bigram_logprob_brute_force(ray_session, tmp_path):
     assert out[2]["mean_nll"] < out[4]["mean_nll"]
 
 
+def test_bigram_model_count1_drop_is_exact(ray_session, tmp_path):
+    """Every bigram in this corpus is count-1, so the broadcast model is
+    EMPTY after the exact count-1 drop — scoring must still produce the
+    true NLL (the lookup fallback count 1.0 IS the true count)."""
+    texts = ["p q r", "s t u", "v w"]
+    d = _write_docs(tmp_path, texts)
+    out = {
+        r["doc_id"]: r for r in corpusstats.bigram_logprob_docs(d).take_all()
+    }
+    from collections import Counter
+    all_words = [w for t in texts for w in t.split()]
+    uni = Counter(all_words)
+    total = float(len(all_words))
+    for i, t in enumerate(texts):
+        ws = t.split()
+        nll = math.log(total / uni[ws[0]])
+        nll += sum(math.log(uni[a] / 1.0) for a, b in zip(ws, ws[1:]))
+        want = round(nll / max(len(ws), 1) + 1e-9, 4)
+        assert out[i]["mean_nll"] == want, (i, out[i]["mean_nll"], want)
+
+
 def test_curate_text_corpus_consistent_with_components(ray_session):
     """The composition's survivors pass every individual gate, as
     reported by the standalone operators on the same corpus."""

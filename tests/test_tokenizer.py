@@ -148,6 +148,16 @@ def test_bpe_encode_docs_matches_reference(ray_session):
     assert sum(t for _, t in got.values()) < sum(w for w, _ in got.values()) * 4
 
 
+def test_word_type_cap_keeps_most_frequent(ray_session):
+    """With the cap far below the vocabulary, training still runs and
+    equals brute-force training on the top-cap word types (the running
+    trim is an exact selection over the post-groupby stream)."""
+    got = tk.train_bpe_merges(SF, n_merges=8, max_word_types=10).take_all()
+    words, freqs = _duckdb_word_counts(SF)
+    want = _brute_learn(words[:10], freqs[:10], 8)
+    assert [(r["left"], r["right"], r["pair_count"]) for r in got] == want
+
+
 def test_more_merges_never_increase_tokens(ray_session):
     t16 = sum(r["n_tokens"] for r in tk.bpe_encode_docs(SF, n_merges=16).take_all())
     t64 = sum(r["n_tokens"] for r in tk.bpe_encode_docs(SF, n_merges=64).take_all())
