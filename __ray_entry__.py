@@ -204,6 +204,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # resumable sharded export of the curated corpus (rows-only:
         # writes parquet; skip/rewrite semantics tested in tests/)
         "export_training_shards": _export_training_shards,
+        # end-to-end LLM-data tier: curate -> train BPE on survivors ->
+        # encode -> pack <=capacity-token bins -> resumable sharded
+        # export (rows-only: component-consistency + invariants + resume
+        # semantics in tests/test_tokenizer.py)
+        "prepare_training_data": _prepare_training_data,
         # training-data ops: dedup family (SURVEY D2-D5 + graft additions)
         "exact_dedup_docs": D.exact_dedup_docs,
         # incremental snapshot dedup: new snapshot vs old corpus
@@ -367,6 +372,19 @@ def _export_training_shards(sf_dir: str) -> Any:
     if out.exists():
         shutil.rmtree(out)
     return export_training_shards(sf_dir, out)
+
+
+def _prepare_training_data(sf_dir: str) -> Any:
+    """Rows-only: end-to-end curate->tokenize->pack->shard manifest.
+    Fresh scratch dir per call so the driver check sees a full write."""
+    import shutil
+
+    from newscrawler_ray.pipelines.corpusstats import prepare_training_data
+
+    out = Path("/tmp/newscrawler_ray_q_traindata")
+    if out.exists():
+        shutil.rmtree(out)
+    return prepare_training_data(sf_dir, out)
 
 
 def _link_pagerank(sf_dir: str) -> Any:

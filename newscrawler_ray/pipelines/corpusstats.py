@@ -1228,7 +1228,17 @@ def export_training_shards(
         )
 
     kept = kept.map_batches(add_shard, batch_format="pyarrow").materialize()
+    return _resumable_shard_write(kept, out_dir, n_shards)
 
+
+def _resumable_shard_write(
+    kept: rd.Dataset, out_dir: Path, n_shards: int
+) -> pa.Table:
+    """Write one parquet dir per shard with atomic ``_DONE`` markers
+    (``kept`` is materialized and carries an int64 ``shard`` column);
+    reruns skip finished shards, crashed partials rewrite byte-identical
+    rows. Returns the (shard, n_rows, skipped) manifest. Shared by
+    ``export_training_shards`` and ``prepare_training_data``."""
     manifest = []
     for s in range(n_shards):
         sdir = out_dir / f"shard={s:04d}"
@@ -1257,3 +1267,128 @@ def export_training_shards(
             "skipped": pa.array([m[2] for m in manifest]),
         }
     )
+
+
+def prepare_training_data(
+    sf_dir: str,
+    out_dir: str | Path,
+    *,
+    n_merges: int = 64,
+    capacity: int = 256,
+    n_shards: int = 8,
+    num_blocks: int = 8,
+    max_word_types: int = 1_000_000,
+) -> pa.Table:
+    """The end-to-end LLM-data tier, one pipeline: curate the corpus
+    (C4/RefinedWeb gates + dedup), train the BPE tokenizer ON the
+    curated corpus, encode every surviving doc under the trained
+    vocabulary, pack docs into <= ``capacity``-token training bins, and
+    export one resumable parquet shard dir per bin-hash bucket — rows
+    (doc_id, source, text, n_tokens, bin_id), a bin never split across
+    shards. This is the artifact an actual pretraining run reads.
+
+    Shape: curate's survivor ids broadcast once (semi-join, no shuffle);
+    ONE word-count pass over survivors trains the merges (driver loop is
+    word-TYPE-sized — see ``tokenizer.py``); ONE streaming pass per
+    block encodes (dictionary-encode: distinct words merge once) and
+    packs (first-fit-decreasing, ``pack_token_bins``'s per-block
+    contract — bin ids namespaced by block min doc_id); shard write
+    reuses the ``_DONE``-marker resume discipline. Text never shuffles
+    anywhere. Rows-only for the driver (iterative trainer inside);
+    pytest asserts component-consistency (survivors == curate output,
+    token counts == reference encode under the survivor-trained merges),
+    packing invariants, bin-shard integrity, and resume semantics.
+    """
+    from ..functions.joins import make_broadcast_semijoin_fn
+    from .tokenizer import _word_count_table, encode_word, learn_bpe
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    keep_ids = curate_text_corpus(sf_dir)
+    ids = pa.concat_tables(
+        [b for b in keep_ids.iter_batches(batch_format="pyarrow") if b.num_rows]
+    ).column("doc_id").combine_chunks()
+    keep_ref = ray.put(ids)
+    docs = read_clean(
+        _p(sf_dir, "documents"),
+        columns=["doc_id", "source", "text"],
+        override_num_blocks=num_blocks,
+    )
+    kept = docs.map_batches(
+        make_broadcast_semijoin_fn("doc_id", keep_ref), batch_format="pyarrow"
+    )
+    # tokenizer trains on the CURATED corpus (the order a real run uses)
+    words, freqs = _word_count_table(kept, max_word_types)
+    merges = [(l, r) for l, r, _ in learn_bpe(words, freqs, n_merges)]
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def encode_pack(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import tokenize_words
+
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], _I64),
+                    "source": pa.array([], pa.string()),
+                    "text": pa.array([], pa.string()),
+                    "n_tokens": pa.array([], _I64),
+                    "bin_id": pa.array([], _I64),
+                }
+            )
+        ws, offsets = tokenize_words(batch.column("text"))
+        n_docs = batch.num_rows
+        n_words = np.diff(offsets)
+        if len(ws):
+            d = ws.dictionary_encode()
+            lens = np.fromiter(
+                (len(encode_word(w, ranks)) for w in d.dictionary.to_pylist()),
+                dtype=np.int64,
+                count=len(d.dictionary),
+            )
+            per_word = lens[d.indices.to_numpy(zero_copy_only=False)]
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
+            nt = np.bincount(doc_of, weights=per_word, minlength=n_docs).astype(
+                np.int64
+            )
+        else:
+            nt = np.zeros(n_docs, np.int64)
+        # first-fit-decreasing pack within the block (pack_token_bins
+        # contract: per-block bins, ids namespaced by block min doc_id)
+        ids_np = batch.column("doc_id").to_numpy()
+        order = np.lexsort((ids_np, -nt))
+        bins: list[int] = []
+        local = np.empty(n_docs, np.int64)
+        for row in order:
+            need = int(nt[row])
+            for bno, rem in enumerate(bins):
+                if rem >= need:
+                    bins[bno] = rem - need
+                    local[row] = bno
+                    break
+            else:
+                local[row] = len(bins)
+                bins.append(max(capacity - need, 0))
+        block_key = int(ids_np.min())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "text": batch.column("text"),
+                "n_tokens": pa.array(nt, _I64),
+                "bin_id": pa.array(block_key * 100_000 + local, _I64),
+            }
+        )
+
+    packed = kept.map_batches(encode_pack, batch_size=None, batch_format="pyarrow")
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        # shard by BIN hash so a training bin never splits across shards
+        b = batch.column("bin_id").to_numpy()
+        h = (b.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        return batch.append_column(
+            "shard", pa.array((h % np.uint64(n_shards)).astype(np.int64), _I64)
+        )
+
+    packed = packed.map_batches(add_shard, batch_format="pyarrow").materialize()
+    return _resumable_shard_write(packed, out_dir, n_shards)
