@@ -303,6 +303,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_quality_filter": _image_quality_filter,
         "image_near_dup_emb": _image_near_dup_emb,
         "curate_image_corpus": _curate_image_corpus,
+        # ... and its resumable sharded export (rows-only: survivor +
+        # payload-intact + resume semantics in tests/test_vision.py)
+        "export_image_shards": _export_image_shards,
         "image_knn": _image_knn,
         # PQ-code visual search (rows-only: recall vs exact in tests/)
         "image_knn_pq": _image_knn_pq,
@@ -721,6 +724,19 @@ def _curate_image_corpus(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.vision import curate_image_corpus
 
     return curate_image_corpus(_fixture_images())
+
+
+def _export_image_shards(sf_dir: str) -> Any:
+    """Rows-only: sharded curated image-pair export manifest. Fresh
+    scratch dir per call so the driver check sees a full write."""
+    import shutil
+
+    from newscrawler_ray.pipelines.vision import export_image_shards
+
+    out = Path("/tmp/newscrawler_ray_q_imgexport")
+    if out.exists():
+        shutil.rmtree(out)
+    return export_image_shards(_fixture_images(), out)
 
 
 def _audio_features(sf_dir: str) -> Any:

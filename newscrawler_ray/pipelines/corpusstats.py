@@ -1232,13 +1232,16 @@ def export_training_shards(
 
 
 def _resumable_shard_write(
-    kept: rd.Dataset, out_dir: Path, n_shards: int
+    kept: rd.Dataset, out_dir: Path, n_shards: int, *, key: str = "doc_id"
 ) -> pa.Table:
     """Write one parquet dir per shard with atomic ``_DONE`` markers
     (``kept`` is materialized and carries an int64 ``shard`` column);
     reruns skip finished shards, crashed partials rewrite byte-identical
-    rows. Returns the (shard, n_rows, skipped) manifest. Shared by
-    ``export_training_shards`` and ``prepare_training_data``."""
+    rows (per-shard sort on ``key`` pins the row order — the sort
+    exchange is bounded to one shard's rows). Returns the
+    (shard, n_rows, skipped) manifest. Shared by
+    ``export_training_shards``, ``prepare_training_data`` and
+    ``vision.export_image_shards``."""
     manifest = []
     for s in range(n_shards):
         sdir = out_dir / f"shard={s:04d}"
@@ -1251,7 +1254,7 @@ def _resumable_shard_write(
 
             shutil.rmtree(sdir)
         part = kept.filter(expr=f"shard == {s}").drop_columns(["shard"])
-        part = part.sort("doc_id")  # deterministic row order per shard
+        part = part.sort(key)  # deterministic row order per shard
         part.write_parquet(str(sdir))
         if sdir.exists():
             n = rd.read_parquet(str(sdir)).count()

@@ -563,3 +563,59 @@ def image_knn_pq(
             ),
         }
     )
+
+
+# ------------------------------------------------------- curated export
+
+
+def export_image_shards(
+    images_path: "str | Path",
+    out_dir: "str | Path",
+    *,
+    n_shards: int = 8,
+    **curate_kwargs,
+) -> pa.Table:
+    """Resumable sharded export of the CURATED image-text corpus — the
+    image-tower twin of ``corpusstats.export_training_shards`` and the
+    artifact a contrastive pre-training run reads: one parquet dir per
+    image_id-hash shard carrying the full pair rows (image_id, bytes,
+    w, h, fmt, caption, phash), atomic ``_DONE`` markers, crashed
+    partials rewritten byte-identically (shard assignment and row order
+    are pure functions of image_id).
+
+    Payload discipline: curation's survivor ids broadcast once (string
+    semi-join via ``pc.is_in`` — no shuffle); payload bytes move only
+    through the per-shard sort, which is bounded to one shard's rows
+    (1/n_shards of the corpus) — never a corpus-wide exchange.
+    """
+    from ..functions.hashing import hash_string_array
+    from ..functions.joins import make_broadcast_semijoin_fn
+    from .corpusstats import _resumable_shard_write
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    import ray
+
+    keep = curate_image_corpus(images_path, **curate_kwargs)
+    ids = pa.concat_tables(
+        [b for b in keep.iter_batches(batch_format="pyarrow") if b.num_rows]
+        or [pa.table({"image_id": pa.array([], pa.string())})]
+    ).column("image_id").combine_chunks()
+    keep_ref = ray.put(ids)
+    src = _images_source(
+        images_path,
+        ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
+    )
+    kept = src.map_batches(
+        make_broadcast_semijoin_fn("image_id", keep_ref), batch_format="pyarrow"
+    )
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        h = hash_string_array(batch.column("image_id"))
+        return batch.append_column(
+            "shard",
+            pa.array((h % np.uint64(n_shards)).astype(np.int64), pa.int64()),
+        )
+
+    kept = kept.map_batches(add_shard, batch_format="pyarrow").materialize()
+    return _resumable_shard_write(kept, out_dir, n_shards, key="image_id")

@@ -287,3 +287,46 @@ def test_image_knn_pq_recall(ray_session, fixture_dir):
     assert len(set(approx) & set(exact)) / len(exact) >= 0.6
     again = image_knn_pq(p, query_image_id="img-00000097", k=10)["image_id"].to_pylist()
     assert again == approx
+
+
+def test_export_image_shards_resumable(ray_session, fixture_dir, tmp_path):
+    """Sharded curated-pair export: rows == curation survivors with full
+    payload columns, shard assignment pure in image_id, rerun skips all,
+    and a shard with its _DONE removed rewrites byte-identically."""
+    path = fixture_dir / "images.parquet"
+    out = tmp_path / "imgshards"
+    man = vision.export_image_shards(path, out, n_shards=4).to_pylist()
+    assert not any(r["skipped"] for r in man)
+
+    surv = sorted(
+        r["image_id"] for r in vision.curate_image_corpus(path).take_all()
+    )
+    rows = {}
+    for s in range(4):
+        sdir = out / f"shard={s:04d}"
+        assert (sdir / "_DONE").exists()
+        for f in sorted(sdir.glob("*.parquet")):
+            for r in pq.read_table(f).to_pylist():
+                rows[r["image_id"]] = (s, r)
+    assert sorted(rows) == surv and len(surv) > 0
+    # payload columns survive intact vs the source table
+    src = {r["image_id"]: r for r in _read_images(fixture_dir).to_pylist()}
+    for iid, (_, r) in rows.items():
+        for col in ("bytes", "w", "h", "fmt", "caption", "phash"):
+            assert r[col] == src[iid][col], (iid, col)
+
+    # rerun: everything skipped
+    man2 = vision.export_image_shards(path, out, n_shards=4).to_pylist()
+    assert all(r["skipped"] for r in man2)
+
+    # crash-resume: drop one shard's marker, rerun rewrites identical
+    # rows (same contract as export_training_shards — the parquet file
+    # layout may differ, the sorted row content may not)
+    redo = next(s for s in range(4) if any(v[0] == s for v in rows.values()))
+    sdir = out / f"shard={redo:04d}"
+    before = pq.read_table(sdir).sort_by("image_id")
+    (sdir / "_DONE").unlink()
+    man3 = {r["shard"]: r for r in vision.export_image_shards(path, out, n_shards=4).to_pylist()}
+    assert not man3[redo]["skipped"]
+    after = pq.read_table(sdir).sort_by("image_id")
+    assert before.equals(after)
