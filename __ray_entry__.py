@@ -307,6 +307,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # payload-intact + resume semantics in tests/test_vision.py)
         "export_image_shards": _export_image_shards,
         "image_knn": _image_knn,
+        # contrastive-training hard negatives: distributed all-pairs
+        # top-k between the image and text towers (rows-only: exact
+        # brute-force parity in tests/test_vision.py)
+        "mine_hard_negatives": _mine_hard_negatives,
         # PQ-code visual search (rows-only: recall vs exact in tests/)
         "image_knn_pq": _image_knn_pq,
         "image_kmeans_clusters": _image_kmeans,
@@ -724,6 +728,14 @@ def _curate_image_corpus(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.vision import curate_image_corpus
 
     return curate_image_corpus(_fixture_images())
+
+
+def _mine_hard_negatives(sf_dir: str) -> Any:
+    """Rows-only: per-image top-k hard negative captions (block-pair
+    GEMM tasks + coarse per-query segment top-k)."""
+    from newscrawler_ray.pipelines.vision import mine_hard_negatives
+
+    return mine_hard_negatives(_fixture_images(), k=5)
 
 
 def _export_image_shards(sf_dir: str) -> Any:

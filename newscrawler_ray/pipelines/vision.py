@@ -619,3 +619,149 @@ def export_image_shards(
 
     kept = kept.map_batches(add_shard, batch_format="pyarrow").materialize()
     return _resumable_shard_write(kept, out_dir, n_shards, key="image_id")
+
+
+# --------------------------------------------------- hard-negative mining
+
+
+def _ray_remote_neg_task():
+    """Lazy ``@ray.remote`` wrapper (vision.py imports ray.data only)."""
+    import ray
+
+    @ray.remote
+    def neg_block_task(qa: pa.Table, tb: pa.Table, k: int) -> pa.Table:
+        """LOCAL top-k hard negatives between one image-embedding block
+        (queries) and one text-embedding block (candidates): GEMM, self
+        pairs masked, per-query partial top-k. Sims round to 9 decimals
+        BEFORE selection so ties (planted identical captions) break by
+        candidate id identically under any BLAS blocking."""
+        from .simsearch import emb_matrix
+
+        if qa.num_rows == 0 or tb.num_rows == 0:
+            return pa.table(
+                {"qid": pa.array([], pa.int64()),
+                 "cand": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        qi = qa.column("vec_id").to_numpy()
+        ci = tb.column("vec_id").to_numpy()
+        A = emb_matrix(qa.column("img_emb"))
+        B = emb_matrix(tb.column("txt_emb"))
+        sims = np.round(A @ B.T, 9)
+        sims[qi[:, None] == ci[None, :]] = -np.inf  # a row's OWN caption
+        kk = min(k, sims.shape[1])
+        # per query: top-kk by (sim desc, cand id asc)
+        order = np.lexsort((np.broadcast_to(ci, sims.shape), -sims), axis=1)[:, :kk]
+        rows = np.repeat(np.arange(len(qi)), kk)
+        cols = order.ravel()
+        keep = np.isfinite(sims[rows, cols])
+        return pa.table(
+            {
+                "qid": pa.array(qi[rows[keep]], pa.int64()),
+                "cand": pa.array(ci[cols[keep]], pa.int64()),
+                "sim": pa.array(sims[rows[keep], cols[keep]], pa.float64()),
+            }
+        )
+
+    return neg_block_task
+
+
+def mine_hard_negatives(
+    images_path: "str | Path | rd.Dataset",
+    *,
+    k: int = 5,
+    n_blocks: int | None = None,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Hard-negative mining for contrastive (CLIP-style) training: for
+    every image, the ``k`` captions of OTHER rows whose text-tower
+    embedding is most cosine-similar to the image's image-tower
+    embedding — the negatives an InfoNCE trainer wants in-batch.
+    Output: (image_id, neg_image_id, rank, sim), rank 0 = hardest.
+
+    Shape — distributed all-pairs top-k, the ``embedding_near_dup``
+    block-pair pattern with a per-query k-prune instead of a threshold:
+    one encoder pass materializes both towers; one Ray task per
+    (image-block, text-block) pair emits LOCAL per-query top-k rows
+    (each task holds 2/B of the corpus, k rows per query per block —
+    thin); a coarse groupby(query) segment-sort keeps the global top-k.
+    Nothing broadcasts, payload bytes never leave the encoder.
+    """
+    import ray
+
+    from ..functions.hashing import splitmix64
+
+    if n_blocks is None:
+        n_blocks = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    enc = pair_embeddings(images_path)
+
+    def ok_rows(batch: pa.Table) -> pa.Table:
+        good = batch.filter(pc.is_null(batch.column("encode_error")))
+        return pa.table(
+            {
+                "vec_id": _image_id_to_int(good.column("image_id")),
+                "img_emb": good.column("img_emb"),
+                "txt_emb": good.column("txt_emb"),
+            }
+        )
+
+    vecs = (
+        enc.map_batches(ok_rows, batch_format="pyarrow")
+        .repartition(n_blocks)
+        .materialize()
+    )
+    refs = vecs.to_arrow_refs()
+    task = _ray_remote_neg_task()
+    parts = [
+        task.remote(refs[i], refs[j], k)
+        for i in range(len(refs))
+        for j in range(len(refs))
+    ]
+    local = rd.from_arrow_refs(parts)
+
+    coarse = num_partitions * 4
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"part": pa.array([], pa.int32()),
+                 "qid": pa.array([], pa.int64()),
+                 "cand": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        q = batch.column("qid").to_numpy()
+        part = (splitmix64(q.view(np.uint64)) % np.uint64(coarse)).astype(np.int32)
+        return pa.table(
+            {"part": pa.array(part), "qid": batch.column("qid"),
+             "cand": batch.column("cand"), "sim": batch.column("sim")}
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        # vectorized per coarse part: sort (qid, sim desc, cand asc),
+        # keep each qid segment's first k
+        q = group.column("qid").to_numpy()
+        c = group.column("cand").to_numpy()
+        s = group.column("sim").to_numpy()
+        order = np.lexsort((c, -s, q))
+        qs, cs, ss = q[order], c[order], s[order]
+        first = np.r_[True, qs[1:] != qs[:-1]]
+        seg = np.cumsum(first) - 1
+        starts = np.nonzero(first)[0]
+        rank = np.arange(len(qs)) - starts[seg]
+        keep = rank < k
+        return pa.table(
+            {
+                "image_id": pa.array(_int_to_image_id(qs[keep])),
+                "neg_image_id": pa.array(_int_to_image_id(cs[keep])),
+                "rank": pa.array(rank[keep], pa.int64()),
+                "sim": pa.array(ss[keep], pa.float64()),
+            }
+        )
+
+    return (
+        local.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topk, batch_format="pyarrow")
+    )

@@ -5,6 +5,7 @@ makes them safe to swap for a real model."""
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
 
@@ -330,3 +331,36 @@ def test_export_image_shards_resumable(ray_session, fixture_dir, tmp_path):
     assert not man3[redo]["skipped"]
     after = pq.read_table(sdir).sort_by("image_id")
     assert before.equals(after)
+
+
+def test_mine_hard_negatives_matches_brute_force(ray_session, fixture_dir):
+    """Distributed all-pairs top-k == driver brute force exactly: same
+    (image -> ranked negative captions) under the same 9-decimal sim
+    rounding and (sim desc, cand asc) tie-break; a row's own caption
+    never appears; every image with a valid encode gets exactly
+    min(k, n-1) negatives."""
+    path = fixture_dir / "images.parquet"
+    k = 4
+    got = {}
+    for r in vision.mine_hard_negatives(path, k=k).take_all():
+        got.setdefault(r["image_id"], []).append(
+            (r["rank"], r["neg_image_id"], r["sim"])
+        )
+    for v in got.values():
+        v.sort()
+
+    enc = vision.PairEncoder()(_read_images(fixture_dir))
+    ok = enc.filter(pc.is_null(enc.column("encode_error")))
+    ids = ok.column("image_id").to_pylist()
+    A = np.array(ok.column("img_emb").to_pylist())
+    B = np.array(ok.column("txt_emb").to_pylist())
+    sims = np.round(A @ B.T, 9)
+    n = len(ids)
+    assert set(got) == set(ids)
+    for i in range(n):
+        cands = sorted(
+            ((-sims[i, j], ids[j]) for j in range(n) if j != i),
+        )[:k]
+        want = [(rk, cid, -negsim) for rk, (negsim, cid) in enumerate(cands)]
+        assert got[ids[i]] == want, ids[i]
+        assert len(got[ids[i]]) == min(k, n - 1)
