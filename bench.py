@@ -98,6 +98,9 @@ QUERY_NAMES = [
     "semdedup_docs",
     "bigram_logprob_docs",
     "bpe_encode_docs",
+    "prepare_training_data",
+    "mine_hard_negatives",
+    "export_image_shards",
 ]
 
 
