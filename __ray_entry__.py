@@ -21,6 +21,7 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 from newscrawler_ray.pipelines import corpusstats as CS  # noqa: E402
 from newscrawler_ray.pipelines import dedup as D  # noqa: E402
+from newscrawler_ray.pipelines import ordering as ORD  # noqa: E402
 from newscrawler_ray.pipelines import queries as Q  # noqa: E402
 from newscrawler_ray.pipelines import simsearch as S  # noqa: E402
 from newscrawler_ray.pipelines import sources as SRC  # noqa: E402
@@ -187,6 +188,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ... and the mixture MATERIALIZED: deterministic per-source
         # hash sample at the damped rates (SQL-exact)
         "mixture_sample_docs": CS.mixture_sample_docs,
+        # deterministic global training shuffle: distributed dense row
+        # numbering (bucket histogram -> offset broadcast -> per-bucket
+        # rank) over a seeded multiplicative-hash key (SQL-exact)
+        "shuffled_training_order": ORD.shuffled_training_order,
         # unigram-LM mean NLL per doc (CCNet perplexity-filter stand-in)
         "unigram_logprob_docs": CS.unigram_logprob_docs,
         # bigram-LM mean NLL per doc (order-aware rung toward KenLM)
@@ -1237,6 +1242,20 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN c USING (doc_id)""",
         # sqrt-damped mixture weights over per-source token sums; sqrt
         # is IEEE-correctly-rounded in both engines, so parity is exact
+        # seeded multiplicative-hash shuffle key (seed XORed in before
+        # the multiply) + dense global rank; HUGEINT keeps the multiply
+        # from overflowing BIGINT
+        "shuffled_training_order": r"""
+            WITH keyed AS (
+              SELECT doc_id,
+                     CAST((CAST(xor(doc_id, 17 * 2654435769) AS HUGEINT)
+                           * 2654435761) % 4294967296 AS BIGINT) AS skey
+              FROM documents
+            )
+            SELECT doc_id, skey,
+                   CAST(row_number() OVER (ORDER BY skey, doc_id)
+                        AS BIGINT) - 1 AS pos
+            FROM keyed""",
         "mixture_sample_docs": r"""
             WITH d AS (
               SELECT source,

@@ -1,0 +1,180 @@
+"""Global ordering primitives: distributed dense row numbering and the
+deterministic training shuffle built on it.
+
+Ray Data has no zipWithIndex: ``sort()`` range-partitions blocks into
+global order but exposes no block offsets, so "give every row its
+global position" needs a primitive. ``global_rank`` supplies it with
+one histogram pass + one bucketed shuffle:
+
+  1. per-block bucket histograms (bucket = key * B // key_max, monotone
+     in the key, so bucket order == key order) — one thin (bucket, n)
+     row per nonzero bucket per block reaches the driver;
+  2. the driver folds B counters into exclusive prefix offsets
+     (B ints, broadcast via ``ray.put``);
+  3. ``groupby(bucket).map_groups`` sorts each bucket by
+     (key, tiebreak) and assigns ``offset[bucket] + arange(n)`` — one
+     Python call per COARSE bucket (~2 per CPU, the repo's
+     coarse-partition discipline), vectorized inside.
+
+Only the rank key + tiebreak + caller-selected columns enter the
+shuffle; at 10^10 rows each bucket holds N/B thin rows and the driver
+holds B int64s — both independent of corpus payload size.
+
+``shuffled_training_order`` is the op a training-data pipeline runs
+last: a seeded multiplicative-hash key (Knuth 1998 §6.4; the same
+``hash_sample_events`` family the repo already oracles) gives every doc
+a pseudo-random but fully deterministic global position — retried
+partitions, reruns and the DuckDB ``row_number()`` oracle all agree
+row-for-row. The reference stores crawl results in insertion order and
+pages them out (``services/news_service.py`` list endpoints); a
+pretraining consumer instead needs a reproducible global shuffle, which
+is this operator.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from ..functions.io import read_clean
+
+_I64 = pa.int64()
+
+# multiplicative-hash constants shared verbatim with the SQL oracle
+_SHUF_MUL = 2654435761  # Knuth's 2^32 / phi
+_SHUF_SEED_MIX = 2654435769  # seed spreader, XORed in BEFORE the multiply
+_B32 = 4294967296  # 2^32
+
+
+def _p(sf_dir: str, table: str) -> str:
+    return str(Path(sf_dir) / f"{table}.parquet")
+
+
+def _nbuckets(n_buckets: int | None) -> int:
+    if n_buckets is not None:
+        return n_buckets
+    return max(4, int(ray.cluster_resources().get("CPU", 4)) * 2)
+
+
+def global_rank(
+    ds: rd.Dataset,
+    key_col: str,
+    tiebreak_col: str,
+    *,
+    key_max: int = _B32,
+    n_buckets: int | None = None,
+    out_col: str = "pos",
+) -> rd.Dataset:
+    """Append ``out_col``: the dense 0-based global rank of every row
+    ordered by (``key_col`` asc, ``tiebreak_col`` asc). ``key_col`` must
+    be int64 in [0, key_max); (key, tiebreak) must be unique for a
+    well-defined total order (ties would still get distinct consecutive
+    ranks, in within-bucket lexsort order). All other columns pass
+    through; thin inputs (select before ranking) keep the shuffle thin.
+    """
+    B = _nbuckets(n_buckets)
+
+    def bucket_of(keys: np.ndarray) -> np.ndarray:
+        # int64-safe: key < 2^32 and B <= ~2^20 keeps key*B < 2^63
+        return (keys * B) // key_max
+
+    def hist(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"b": pa.array([], _I64), "n": pa.array([], _I64)})
+        cnt = np.bincount(
+            bucket_of(batch.column(key_col).to_numpy()), minlength=B
+        )
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"b": pa.array(nz, _I64), "n": pa.array(cnt[nz], _I64)}
+        )
+
+    counts = np.zeros(B, dtype=np.int64)
+    for part in ds.map_batches(hist, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if part.num_rows:
+            # iter_batches may coalesce several blocks' partials into one
+            # batch, repeating bucket ids — np.add.at, not fancy +=
+            np.add.at(
+                counts, part.column("b").to_numpy(), part.column("n").to_numpy()
+            )
+    total = int(counts.sum())
+    empty = pa.table(
+        {
+            **{f.name: pa.array([], f.type) for f in ds.schema().base_schema},
+            out_col: pa.array([], _I64),
+        }
+    )
+    if total == 0:
+        return rd.from_arrow(empty)
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return empty.append_column("_bucket", pa.array([], _I64)).drop_columns([out_col])
+        return batch.append_column(
+            "_bucket",
+            pa.array(bucket_of(batch.column(key_col).to_numpy()), _I64),
+        )
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        keys = group.column(key_col).to_numpy()
+        ties = group.column(tiebreak_col).to_numpy()
+        order = np.lexsort((ties, keys))
+        base = ray.get(off_ref)[int(group.column("_bucket")[0].as_py())]
+        out = group.take(pa.array(order)).drop_columns(["_bucket"])
+        return out.append_column(
+            out_col, pa.array(base + np.arange(len(order), dtype=np.int64), _I64)
+        )
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        # map_groups emits 0-column blocks for empty hash-shuffle
+        # partitions (join-quirk rule); normalize to the output schema
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return empty
+        return batch
+
+    keyed = ds.map_batches(add_bucket, batch_format="pyarrow")
+    ranked = keyed.groupby("_bucket").map_groups(rank_bucket, batch_format="pyarrow")
+    return ranked.map_batches(normalize, batch_format="pyarrow")
+
+
+def shuffle_key(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Deterministic per-id shuffle key in [0, 2^32) — a pure function
+    of (id, seed), identical to the SQL oracle's HUGEINT arithmetic.
+    The seed XORs in BEFORE the multiply (adding it after would shift
+    every key by a constant mod 2^32, leaving the ORDER unchanged except
+    at the wrap boundary — caught by the seed-variation test)."""
+    mixed = ids.astype(np.uint64) ^ np.uint64((seed * _SHUF_SEED_MIX) % 2**64)
+    h = mixed * np.uint64(_SHUF_MUL)
+    return (h % np.uint64(_B32)).astype(np.int64)
+
+
+def shuffled_training_order(
+    sf_dir: str, *, seed: int = 17, n_buckets: int | None = None
+) -> rd.Dataset:
+    """Deterministic global training shuffle of the document corpus:
+    (doc_id, skey, pos) where ``pos`` is the doc's position in the
+    seeded pseudo-random order (skey asc, doc_id asc on hash ties).
+    Reading the corpus back sorted by ``pos`` replays the exact same
+    epoch order on any cluster size, after any retry. Only (doc_id,
+    skey) — 16 bytes/row — enter the ranking shuffle."""
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "skey": pa.array(shuffle_key(ids, seed), _I64),
+            }
+        )
+
+    ds = docs.map_batches(keyed, batch_format="pyarrow")
+    return global_rank(ds, "skey", "doc_id", n_buckets=n_buckets)

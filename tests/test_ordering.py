@@ -1,0 +1,70 @@
+"""global_rank / shuffled_training_order: exact-permutation parity with a
+driver-side numpy oracle, partition-count regression, empty input."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from newscrawler_ray.pipelines.ordering import (
+    global_rank,
+    shuffle_key,
+    shuffled_training_order,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _expected(seed: int) -> dict[int, int]:
+    ids = pq.read_table(
+        SF_DIR + "/documents.parquet", columns=["doc_id"]
+    ).column("doc_id").to_numpy()
+    sk = shuffle_key(ids, seed)
+    order = np.lexsort((ids, sk))
+    return {int(ids[order[i]]): i for i in range(len(ids))}
+
+
+def test_shuffled_order_is_exact_permutation(ray_session):
+    exp = _expected(17)
+    got = {r["doc_id"]: r["pos"] for r in shuffled_training_order(SF_DIR).take_all()}
+    assert got == exp
+
+
+def test_shuffled_order_many_buckets(ray_session):
+    # bucket-count-dependent regressions (the round-2 jaccard lesson):
+    # far more buckets than rows per bucket, including empty buckets
+    exp = _expected(17)
+    out = shuffled_training_order(SF_DIR, n_buckets=256).take_all()
+    assert {r["doc_id"]: r["pos"] for r in out} == exp
+
+
+def test_seed_changes_order(ray_session):
+    a = _expected(17)
+    b = {
+        r["doc_id"]: r["pos"]
+        for r in shuffled_training_order(SF_DIR, seed=18).take_all()
+    }
+    assert set(a) == set(b) and a != b
+    assert sorted(b.values()) == list(range(len(b)))
+
+
+def test_global_rank_passthrough_and_empty(ray_session):
+    t = pa.table(
+        {
+            "k": pa.array([5, 1, 3, 1], pa.int64()),
+            "tb": pa.array([0, 1, 0, 0], pa.int64()),
+            "payload": pa.array(["a", "b", "c", "d"]),
+        }
+    )
+    out = global_rank(
+        rd.from_arrow(t), "k", "tb", key_max=8, n_buckets=4
+    ).take_all()
+    by_pos = sorted(out, key=lambda r: r["pos"])
+    assert [r["payload"] for r in by_pos] == ["d", "b", "c", "a"]
+    assert [r["pos"] for r in by_pos] == [0, 1, 2, 3]
+
+    empty = global_rank(
+        rd.from_arrow(t.slice(0, 0)), "k", "tb", key_max=8, n_buckets=4
+    )
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"k", "tb", "payload", "pos"}

@@ -71,5 +71,9 @@ def test_every_query_has_oracle_or_is_marked():
                                        "sample", "audio", "approx", "extract",
                                        "headline", "clip", "curate", "pack",
                                        "kmeans", "bloom", "pq", "export",
-                                       "semdedup", "recrawl"))
+                                       "semdedup", "recrawl",
+                                       # iterative BPE / composed tiers /
+                                       # model-based mining: no SQL analog
+                                       "train_bpe", "bpe_encode",
+                                       "prepare_training", "mine_hard"))
     }
