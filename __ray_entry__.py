@@ -188,6 +188,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ... and the mixture MATERIALIZED: deterministic per-source
         # hash sample at the damped rates (SQL-exact)
         "mixture_sample_docs": CS.mixture_sample_docs,
+        # ... and the upsampling half: per-source repetition rates >= 1
+        # (epochs relative to the largest source), floor copies + hash-
+        # selected fractional copy (SQL-exact via a range() cross join)
+        "upsample_mixture_docs": CS.upsample_mixture_docs,
+        # deterministic held-out split: seeded-hash doc -> train/val/test
+        # (pure function of (doc_id, seed); no leakage across recrawls)
+        "train_val_test_split": CS.train_val_test_split,
+        # C4-style blocklist scrub: whole-word RE2 hit count + in-place
+        # masking (byte-exact vs DuckDB's RE2 regexp_replace)
+        "scrub_blocklist_docs": T.scrub_blocklist_docs,
         # deterministic global training shuffle: distributed dense row
         # numbering (bucket histogram -> offset broadcast -> per-bucket
         # rank) over a seeded multiplicative-hash key (SQL-exact)
@@ -1301,6 +1311,55 @@ def oracle_sql() -> dict[str, str]:
                          / (SELECT sum(sqrt(share)) FROM s)
                          + 1e-9, 4) AS weight
             FROM s""",
+        # repetition rate = sqrt(max_tokens / source_tokens): a pure
+        # ratio of integer sums (no float-sum-order hazard); epochs via
+        # a bounded range() cross join; the fractional copy shares the
+        # mixture_sample_docs hash predicate
+        "upsample_mixture_docs": r"""
+            WITH d AS (
+              SELECT source,
+                     len(list_filter(string_split_regex(lower(text),
+                       '\W+'), x -> x <> ''))::BIGINT AS n_tokens
+              FROM documents
+            ), a AS (
+              SELECT source, sum(n_tokens)::BIGINT AS n_tokens
+              FROM d GROUP BY source
+            ), r AS (
+              SELECT source,
+                     sqrt((SELECT max(n_tokens)::DOUBLE FROM a)
+                          / n_tokens::DOUBLE) AS rate
+              FROM a
+            )
+            SELECT doc_id, documents.source, epoch
+            FROM documents
+            JOIN r ON r.source = documents.source
+            CROSS JOIN range(1024) e(epoch)
+            WHERE epoch < floor(rate)
+               OR (epoch = floor(rate)
+                   AND (doc_id * 2654435761) % 4294967296
+                       < (rate - floor(rate)) * 4294967296)""",
+        # same seeded multiplicative hash as shuffled_training_order;
+        # cut points are exact doubles (frac * 2^32) in both engines
+        "train_val_test_split": r"""
+            SELECT doc_id,
+                   CASE WHEN h < 0.05 * 4294967296 THEN 'test'
+                        WHEN h < 0.10 * 4294967296 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM (
+              SELECT doc_id,
+                     CAST((CAST(xor(doc_id, 7 * 2654435769) AS HUGEINT)
+                           * 2654435761) % 4294967296 AS BIGINT) AS h
+              FROM documents
+            )""",
+        # RE2 on both sides: \b word boundaries + alternation behave
+        # identically in pyarrow.compute and DuckDB regexp_* kernels
+        "scrub_blocklist_docs": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\b(slow|fast)\b'))::BIGINT
+                     AS n_flagged,
+                   regexp_replace(text, '\b(slow|fast)\b', '[SCRUBBED]', 'g')
+                     AS clean_text
+            FROM documents""",
         # unigram model = corpus word counts; mean_nll is exact
         # arithmetic over them (ln is libm-identical in both engines)
         "unigram_logprob_docs": r"""

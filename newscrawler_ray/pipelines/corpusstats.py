@@ -1182,6 +1182,101 @@ def mixture_sample_docs(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(keep, batch_format="pyarrow")
 
 
+def upsample_mixture_docs(sf_dir: str) -> rd.Dataset:
+    """Materialize the mixture with per-source repetition rates >= 1
+    (the GPT-3 / LLaMA recipe's other half: small sources are not just
+    kept, they are REPEATED for multiple epochs). Rate per source is
+    sqrt(n_tokens_max / n_tokens_s) — the sqrt-damped mixture expressed
+    as epochs relative to the largest source (which gets exactly 1.0),
+    a pure ratio of integer token sums, so no float-summation-order
+    hazard enters the oracle. Each doc emits floor(rate) full copies
+    (epoch 0..floor-1) plus one more iff its multiplicative hash falls
+    under the fractional remainder — a pure function of (doc_id,
+    source rates): retried tasks re-emit identical rows and the DuckDB
+    ``range()`` cross-join oracle checks row-for-row.
+
+    Shape: one tiny per-source aggregate, rates broadcast as a numpy
+    bundle, then a shuffle-free vectorized expand map (np.repeat).
+    Output: (doc_id, source, epoch)."""
+    from ..functions.joins import make_broadcast_map_fn, table_to_mapping
+
+    w = source_mix_weights(sf_dir)
+    nt = w.column("n_tokens").to_numpy().astype(np.float64)
+    rate = np.sqrt(nt.max() / nt)
+    # the SQL oracle's epoch generator is bounded; a >1024x repetition
+    # rate means a pathological mixture, not a bigger cross join
+    assert rate.max() < 1024, "repetition rate exceeds the oracle bound"
+    rates = pa.table(
+        {"source": w.column("source"), "rate": pa.array(rate, pa.float64())}
+    )
+    ref = ray.put(table_to_mapping(rates, "source", "rate"))
+    add_rate = make_broadcast_map_fn("source", "rate", ref, out_type=pa.float64())
+
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "source"])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], _I64),
+                "source": pa.array([], pa.string()),
+                "epoch": pa.array([], _I64),
+            }
+        )
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return empty
+        batch = add_rate(batch)
+        ids = batch.column("doc_id").to_numpy()
+        r = batch.column("rate").to_numpy()
+        nfull = np.floor(r)
+        frac = r - nfull
+        h = ((ids * 2654435761) % 4294967296).astype(np.float64)
+        ncopies = (nfull + (h < frac * 4294967296.0)).astype(np.int64)
+        total = int(ncopies.sum())
+        if total == 0:
+            return empty
+        idx = np.repeat(np.arange(len(ids), dtype=np.int64), ncopies)
+        starts = np.cumsum(ncopies) - ncopies
+        epoch = np.arange(total, dtype=np.int64) - np.repeat(starts, ncopies)
+        out = batch.select(["doc_id", "source"]).take(pa.array(idx))
+        return out.append_column("epoch", pa.array(epoch, _I64))
+
+    return docs.map_batches(expand, batch_format="pyarrow")
+
+
+def train_val_test_split(
+    sf_dir: str, *, val_frac: float = 0.05, test_frac: float = 0.05, seed: int = 7
+) -> rd.Dataset:
+    """Deterministic held-out split of the corpus: (doc_id, split) with
+    split in {train, val, test} assigned by the seeded multiplicative
+    hash (same kernel as ``shuffled_training_order``). A pure function
+    of (doc_id, seed): every rerun, every cluster size and the SQL
+    oracle agree doc-for-doc, and val/test never leak into train across
+    incremental recrawls because membership never depends on which other
+    docs exist. Shuffle-free single map over a thin projection."""
+    from .ordering import shuffle_key
+
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id"])
+    test_cut = test_frac * 4294967296.0
+    val_cut = (test_frac + val_frac) * 4294967296.0
+    names = np.array(["train", "val", "test"], dtype=object)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], _I64), "split": pa.array([], pa.string())}
+            )
+        h = shuffle_key(batch.column("doc_id").to_numpy(), seed).astype(np.float64)
+        code = (h < val_cut).astype(np.int64) + (h < test_cut)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "split": pa.array(names[code], pa.string()),
+            }
+        )
+
+    return docs.map_batches(assign, batch_format="pyarrow")
+
+
 # ----------------------------------------------------- resumable export
 
 

@@ -45,6 +45,43 @@ def bpe_token_stats(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(toks, batch_format="pyarrow")
 
 
+def scrub_blocklist_docs(
+    sf_dir: str,
+    *,
+    blocklist: tuple[str, ...] = ("slow", "fast"),
+    mask: str = "[SCRUBBED]",
+) -> rd.Dataset:
+    """C4-style blocklist scrubbing (reference: the crawler stores raw
+    extracted text with no content policy pass; a training-data pipeline
+    needs one — C4 dropped any page containing a blocklisted term,
+    Dolma/FineWeb mask PII spans in place). Emits per doc: the hit count
+    and the text with every whole-word blocklist match replaced by
+    ``mask`` — downstream either filters ``n_flagged > 0`` (the C4 drop
+    rule) or keeps the scrubbed text (the masking rule).
+
+    Both kernels are single RE2 passes (``pc.count_substring_regex`` /
+    ``pc.replace_substring_regex``) — the same regex engine DuckDB uses,
+    so the oracle is byte-exact. In production the default pattern set
+    is the PII family (emails, IPv4s, phone numbers); the word blocklist
+    is the sandbox-visible instance (the fixture corpus is letters-only
+    by construction). Shuffle-free single map; no Python touches a row.
+    """
+    pat = r"\b(" + "|".join(blocklist) + r")\b"
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_flagged": pc.cast(pc.count_substring_regex(txt, pat), pa.int64()),
+                "clean_text": pc.replace_substring_regex(txt, pat, mask),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ lang id
 
 # tiny built-in stopword profiles (public common-word lists)
