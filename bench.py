@@ -101,6 +101,10 @@ QUERY_NAMES = [
     "prepare_training_data",
     "mine_hard_negatives",
     "export_image_shards",
+    "shuffled_training_order",
+    "upsample_mixture_docs",
+    "train_val_test_split",
+    "scrub_blocklist_docs",
 ]
 
 

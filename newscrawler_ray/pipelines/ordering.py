@@ -77,6 +77,11 @@ def global_rank(
     through; thin inputs (select before ranking) keep the shuffle thin.
     """
     B = _nbuckets(n_buckets)
+    # two passes (histogram, then rank) read the input twice; pin it
+    # once instead — the ranking shuffle already holds a full copy of
+    # these rows, so this adds no new memory class, and the caller's
+    # thin projection (see above) keeps it bytes-per-row small
+    ds = ds.materialize()
 
     def bucket_of(keys: np.ndarray) -> np.ndarray:
         # int64-safe: key < 2^32 and B <= ~2^20 keeps key*B < 2^63
