@@ -202,6 +202,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # numbering (bucket histogram -> offset broadcast -> per-bucket
         # rank) over a seeded multiplicative-hash key (SQL-exact)
         "shuffled_training_order": ORD.shuffled_training_order,
+        # length-curriculum schedule: shortest-first, seeded shuffle
+        # within equal lengths — composite-key global rank over the
+        # count-quantile-balanced partitioner (SQL-exact)
+        "curriculum_training_order": ORD.curriculum_training_order,
         # unigram-LM mean NLL per doc (CCNet perplexity-filter stand-in)
         "unigram_logprob_docs": CS.unigram_logprob_docs,
         # bigram-LM mean NLL per doc (order-aware rung toward KenLM)
@@ -1264,6 +1268,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, skey,
                    CAST(row_number() OVER (ORDER BY skey, doc_id)
+                        AS BIGINT) - 1 AS pos
+            FROM keyed""",
+        # same seeded hash; three-key row_number() is the curriculum
+        "curriculum_training_order": r"""
+            WITH keyed AS (
+              SELECT doc_id, n_chars,
+                     CAST((CAST(xor(doc_id, 17 * 2654435769) AS HUGEINT)
+                           * 2654435761) % 4294967296 AS BIGINT) AS skey
+              FROM documents
+            )
+            SELECT doc_id, n_chars, skey,
+                   CAST(row_number() OVER (ORDER BY n_chars, skey, doc_id)
                         AS BIGINT) - 1 AS pos
             FROM keyed""",
         "mixture_sample_docs": r"""

@@ -102,6 +102,7 @@ QUERY_NAMES = [
     "mine_hard_negatives",
     "export_image_shards",
     "shuffled_training_order",
+    "curriculum_training_order",
     "upsample_mixture_docs",
     "train_val_test_split",
     "scrub_blocklist_docs",

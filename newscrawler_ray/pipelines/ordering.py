@@ -6,19 +6,21 @@ global order but exposes no block offsets, so "give every row its
 global position" needs a primitive. ``global_rank`` supplies it with
 one histogram pass + one bucketed shuffle:
 
-  1. per-block bucket histograms (bucket = key * B // key_max, monotone
-     in the key, so bucket order == key order) — one thin (bucket, n)
-     row per nonzero bucket per block reaches the driver;
-  2. the driver folds B counters into exclusive prefix offsets
-     (B ints, broadcast via ``ray.put``);
-  3. ``groupby(bucket).map_groups`` sorts each bucket by
-     (key, tiebreak) and assigns ``offset[bucket] + arange(n)`` — one
-     Python call per COARSE bucket (~2 per CPU, the repo's
-     coarse-partition discipline), vectorized inside.
+  1. per-block FINE bucket histograms (fine = key * F // key_max,
+     monotone in the key, F >= 4096) — one thin (bucket, n) row per
+     nonzero bucket per block reaches the driver;
+  2. the driver folds F counters, then groups contiguous fine buckets
+     into C ≈ 2-per-CPU coarse partitions of roughly EQUAL row count
+     (count-quantile cuts, so skewed key distributions still balance)
+     and broadcasts (fine→coarse map, coarse offsets) via ``ray.put``;
+  3. ``groupby(coarse).map_groups`` sorts each partition by
+     (key, tiebreak) and assigns ``offset[coarse] + arange(n)`` — one
+     Python call per COARSE partition (the repo's coarse-partition
+     discipline), vectorized inside.
 
 Only the rank key + tiebreak + caller-selected columns enter the
-shuffle; at 10^10 rows each bucket holds N/B thin rows and the driver
-holds B int64s — both independent of corpus payload size.
+shuffle; at 10^10 rows each partition holds ~N/C thin rows and the
+driver holds F+C int64s — both independent of corpus payload size.
 
 ``shuffled_training_order`` is the op a training-data pipeline runs
 last: a seeded multiplicative-hash key (Knuth 1998 §6.4; the same
@@ -76,29 +78,37 @@ def global_rank(
     ranks, in within-bucket lexsort order). All other columns pass
     through; thin inputs (select before ranking) keep the shuffle thin.
     """
-    B = _nbuckets(n_buckets)
+    C = _nbuckets(n_buckets)
+    # histogram at much finer resolution than the partition count, then
+    # group CONTIGUOUS fine buckets into C roughly-equal-count coarse
+    # partitions on the driver — balanced shuffle partitions for ANY key
+    # distribution (uniform hash keys, skewed lengths, zipfian counts),
+    # not just uniform ones. A single fine bucket is never split, so a
+    # pileup on ONE key value still lands in one partition (documented;
+    # callers with duplicate-heavy keys should widen the key).
+    F = max(C, min(max(4096, C * 64), (1 << 62) // max(key_max, 1)))
     # two passes (histogram, then rank) read the input twice; pin it
     # once instead — the ranking shuffle already holds a full copy of
     # these rows, so this adds no new memory class, and the caller's
     # thin projection (see above) keeps it bytes-per-row small
     ds = ds.materialize()
 
-    def bucket_of(keys: np.ndarray) -> np.ndarray:
-        # int64-safe: key < 2^32 and B <= ~2^20 keeps key*B < 2^63
-        return (keys * B) // key_max
+    def fine_of(keys: np.ndarray) -> np.ndarray:
+        # int64-safe by construction: F <= 2^62 / key_max
+        return (keys * F) // key_max
 
     def hist(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
             return pa.table({"b": pa.array([], _I64), "n": pa.array([], _I64)})
         cnt = np.bincount(
-            bucket_of(batch.column(key_col).to_numpy()), minlength=B
+            fine_of(batch.column(key_col).to_numpy()), minlength=F
         )
         nz = np.flatnonzero(cnt)
         return pa.table(
             {"b": pa.array(nz, _I64), "n": pa.array(cnt[nz], _I64)}
         )
 
-    counts = np.zeros(B, dtype=np.int64)
+    counts = np.zeros(F, dtype=np.int64)
     for part in ds.map_batches(hist, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow"
     ):
@@ -117,22 +127,31 @@ def global_rank(
     )
     if total == 0:
         return rd.from_arrow(empty)
-    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    off_ref = ray.put(offsets)
+    # exclusive prefix per fine bucket == global rank of its first row;
+    # coarse id = which C-quantile of the row count that prefix falls in
+    # (monotone, so each coarse partition is a contiguous key range)
+    cumx = np.cumsum(counts) - counts
+    # clip: zero-count fine buckets after the last row have cumx ==
+    # total and would map to C; they hold no rows, any id is harmless
+    fine2coarse = np.minimum((cumx * C) // total, C - 1)
+    off_coarse = np.zeros(C, dtype=np.int64)
+    present, first_idx = np.unique(fine2coarse, return_index=True)
+    off_coarse[present] = cumx[first_idx]
+    bundle_ref = ray.put((fine2coarse, off_coarse))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
             return empty.append_column("_bucket", pa.array([], _I64)).drop_columns([out_col])
-        return batch.append_column(
-            "_bucket",
-            pa.array(bucket_of(batch.column(key_col).to_numpy()), _I64),
-        )
+        f2c, _ = ray.get(bundle_ref)
+        coarse = f2c[fine_of(batch.column(key_col).to_numpy())]
+        return batch.append_column("_bucket", pa.array(coarse, _I64))
 
     def rank_bucket(group: pa.Table) -> pa.Table:
         keys = group.column(key_col).to_numpy()
         ties = group.column(tiebreak_col).to_numpy()
         order = np.lexsort((ties, keys))
-        base = ray.get(off_ref)[int(group.column("_bucket")[0].as_py())]
+        _, off = ray.get(bundle_ref)
+        base = off[int(group.column("_bucket")[0].as_py())]
         out = group.take(pa.array(order)).drop_columns(["_bucket"])
         return out.append_column(
             out_col, pa.array(base + np.arange(len(order), dtype=np.int64), _I64)
@@ -183,3 +202,42 @@ def shuffled_training_order(
 
     ds = docs.map_batches(keyed, batch_format="pyarrow")
     return global_rank(ds, "skey", "doc_id", n_buckets=n_buckets)
+
+
+def curriculum_training_order(
+    sf_dir: str, *, seed: int = 17, n_buckets: int | None = None
+) -> rd.Dataset:
+    """Length-curriculum ordering (shortest-first, the classic
+    curriculum-learning schedule): every doc's global position under
+    (n_chars asc, then seeded pseudo-random within equal lengths).
+    The composite rank key is ``n_chars * 2^32 + skey`` — ranking it
+    with doc_id as the final tiebreak IS the three-level order, and the
+    count-quantile coarse partitions inside ``global_rank`` keep the
+    shuffle balanced even though document lengths are anything but
+    uniform. Output: (doc_id, n_chars, skey, pos); SQL-exact vs a
+    three-key ``row_number()``."""
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "n_chars"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        n_chars = batch.column("n_chars").to_numpy()
+        # composite fits int64 for any real document: n_chars < 2^30
+        assert n_chars.max(initial=0) < (1 << 30), "n_chars overflows the key"
+        sk = shuffle_key(ids, seed)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": batch.column("n_chars"),
+                "skey": pa.array(sk, _I64),
+                "_ckey": pa.array(n_chars * _B32 + sk, _I64),
+            }
+        )
+
+    # materialize the thin keyed rows here so the max() scan below and
+    # global_rank's own two passes all read the pinned copy, not parquet
+    ds = docs.map_batches(keyed, batch_format="pyarrow").materialize()
+    key_max = (int(ds.max("n_chars") or 0) + 1) * _B32
+    ranked = global_rank(
+        ds, "_ckey", "doc_id", key_max=key_max, n_buckets=n_buckets
+    )
+    return ranked.drop_columns(["_ckey"])

@@ -1,5 +1,6 @@
-"""global_rank / shuffled_training_order: exact-permutation parity with a
-driver-side numpy oracle, partition-count regression, empty input."""
+"""global_rank / shuffled_training_order / curriculum_training_order:
+exact-permutation parity with a driver-side numpy oracle, skewed-key
+balance, partition-count regression, empty input."""
 
 import numpy as np
 import pyarrow as pa
@@ -7,6 +8,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from newscrawler_ray.pipelines.ordering import (
+    curriculum_training_order,
     global_rank,
     shuffle_key,
     shuffled_training_order,
@@ -68,3 +70,32 @@ def test_global_rank_passthrough_and_empty(ray_session):
     )
     assert empty.count() == 0
     assert set(empty.schema().names) == {"k", "tb", "payload", "pos"}
+
+
+def test_global_rank_skewed_keys_exact(ray_session):
+    """99% of keys crammed into 0.1% of the key space (the distribution
+    uniform bucketing would collapse into one partition): ranks must
+    still be the exact lexsort permutation, with ties ordered by the
+    tiebreak."""
+    rng = np.random.RandomState(7)
+    k = np.concatenate(
+        [rng.randint(0, 4096, 1980), rng.randint(4096, 2**32, 20)]
+    ).astype(np.int64)
+    tb = np.arange(len(k), dtype=np.int64)
+    out = global_rank(
+        rd.from_arrow(pa.table({"k": k, "tb": tb})), "k", "tb", n_buckets=16
+    ).take_all()
+    got = {r["tb"]: r["pos"] for r in out}
+    order = np.lexsort((tb, k))
+    assert got == {int(tb[order[i]]): i for i in range(len(k))}
+
+
+def test_curriculum_shortest_first(ray_session):
+    out = sorted(curriculum_training_order(SF_DIR).take_all(), key=lambda r: r["pos"])
+    lens = [r["n_chars"] for r in out]
+    assert lens == sorted(lens)  # primary order: length ascending
+    assert [r["pos"] for r in out] == list(range(len(out)))
+    # within an equal-length run, order follows the seeded shuffle key
+    for a, b in zip(out, out[1:]):
+        if a["n_chars"] == b["n_chars"]:
+            assert (a["skey"], a["doc_id"]) < (b["skey"], b["doc_id"])
