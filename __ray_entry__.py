@@ -206,6 +206,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # within equal lengths — composite-key global rank over the
         # count-quantile-balanced partitioner (SQL-exact)
         "curriculum_training_order": ORD.curriculum_training_order,
+        # token-budget subset: keep the prefix of the seeded shuffle
+        # order whose running whitespace-token sum stays <= budget
+        # (distributed windowed prefix cutoff; SQL-exact vs SUM() OVER)
+        "sample_token_budget": ORD.sample_token_budget,
         # unigram-LM mean NLL per doc (CCNet perplexity-filter stand-in)
         "unigram_logprob_docs": CS.unigram_logprob_docs,
         # bigram-LM mean NLL per doc (order-aware rung toward KenLM)
@@ -1282,6 +1286,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY n_chars, skey, doc_id)
                         AS BIGINT) - 1 AS pos
             FROM keyed""",
+        # same seeded hash + the token_stats token definition; the
+        # inclusive running sum is a SUM() OVER the same total order
+        "sample_token_budget": r"""
+            WITH keyed AS (
+              SELECT doc_id,
+                     CAST((CAST(xor(doc_id, 17 * 2654435769) AS HUGEINT)
+                           * 2654435761) % 4294967296 AS BIGINT) AS skey,
+                     len(string_split_regex(trim(text), '\s+'))::BIGINT
+                       AS n_tokens
+              FROM documents
+            ), c AS (
+              SELECT doc_id, skey, n_tokens,
+                     CAST(sum(n_tokens) OVER (ORDER BY skey, doc_id)
+                          AS BIGINT) AS cum
+              FROM keyed
+            )
+            SELECT doc_id, skey, n_tokens, cum FROM c WHERE cum <= 10000""",
         "mixture_sample_docs": r"""
             WITH d AS (
               SELECT source,

@@ -106,6 +106,7 @@ QUERY_NAMES = [
     "upsample_mixture_docs",
     "train_val_test_split",
     "scrub_blocklist_docs",
+    "sample_token_budget",
 ]
 
 

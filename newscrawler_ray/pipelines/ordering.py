@@ -169,6 +169,169 @@ def global_rank(
     return ranked.map_batches(normalize, batch_format="pyarrow")
 
 
+def global_prefix_cutoff(
+    ds: rd.Dataset,
+    key_col: str,
+    tiebreak_col: str,
+    weight_col: str,
+    budget: int,
+    *,
+    key_max: int = _B32,
+    n_buckets: int | None = None,
+    out_col: str = "cum",
+) -> rd.Dataset:
+    """Keep exactly the rows whose INCLUSIVE running ``weight_col`` sum,
+    in (``key_col`` asc, ``tiebreak_col`` asc) order, is <= ``budget``;
+    append that running sum as ``out_col`` (the SQL
+    ``SUM(w) OVER (ORDER BY key, tiebreak) <= budget`` predicate).
+
+    Scale shape: one fine-histogram pass folds per-bucket WEIGHT sums to
+    the driver (F int64s); every fine bucket whose exclusive prefix
+    already exceeds the budget is dropped IN THE MAP STAGE — selecting a
+    1B-token subset of a 100 TB corpus shuffles only the kept prefix
+    region, not the corpus. Kept buckets group into count-balanced
+    coarse partitions (as in ``global_rank``); each partition sorts,
+    cumsums locally on top of its driver-supplied base, and applies the
+    exact per-row cut. Weights must be non-negative int64.
+    """
+    C = _nbuckets(n_buckets)
+    F = max(C, min(max(4096, C * 64), (1 << 62) // max(key_max, 1)))
+    ds = ds.materialize()
+
+    def fine_of(keys: np.ndarray) -> np.ndarray:
+        return (keys * F) // key_max
+
+    def hist(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"b": pa.array([], _I64), "w": pa.array([], _I64),
+                 "n": pa.array([], _I64)}
+            )
+        b = fine_of(batch.column(key_col).to_numpy())
+        w = batch.column(weight_col).to_numpy()
+        wsum = np.bincount(b, weights=w.astype(np.float64), minlength=F)
+        cnt = np.bincount(b, minlength=F)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "b": pa.array(nz, _I64),
+                "w": pa.array(wsum[nz].astype(np.int64), _I64),
+                "n": pa.array(cnt[nz], _I64),
+            }
+        )
+
+    wsums = np.zeros(F, dtype=np.int64)
+    counts = np.zeros(F, dtype=np.int64)
+    for part in ds.map_batches(hist, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if part.num_rows:
+            b = part.column("b").to_numpy()
+            np.add.at(wsums, b, part.column("w").to_numpy())
+            np.add.at(counts, b, part.column("n").to_numpy())
+    empty = pa.table(
+        {
+            **{f.name: pa.array([], f.type) for f in ds.schema().base_schema},
+            out_col: pa.array([], _I64),
+        }
+    )
+    total_rows = int(counts.sum())
+    if total_rows == 0:
+        return rd.from_arrow(empty)
+    wcumx = np.cumsum(wsums) - wsums  # exclusive weight prefix per bucket
+    # buckets whose exclusive prefix is past the budget can't contribute
+    keep_mask = wcumx <= budget
+    kept = np.flatnonzero(keep_mask)
+    if len(kept) == 0:
+        return rd.from_arrow(empty)
+    # count-quantile coarse grouping over the KEPT buckets only
+    kept_counts = counts[kept]
+    kcumx = np.cumsum(kept_counts) - kept_counts
+    ktotal = max(int(kept_counts.sum()), 1)
+    kept_coarse = np.minimum((kcumx * C) // ktotal, C - 1)
+    fine2coarse = np.full(F, -1, dtype=np.int64)
+    fine2coarse[kept] = kept_coarse
+    base_w = np.zeros(C, dtype=np.int64)
+    present, first_idx = np.unique(kept_coarse, return_index=True)
+    base_w[present] = wcumx[kept][first_idx]
+    bundle_ref = ray.put((fine2coarse, base_w))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return empty.append_column(
+                "_bucket", pa.array([], _I64)
+            ).drop_columns([out_col])
+        f2c, _ = ray.get(bundle_ref)
+        coarse = f2c[fine_of(batch.column(key_col).to_numpy())]
+        out = batch.append_column("_bucket", pa.array(coarse, _I64))
+        return out.filter(pa.array(coarse >= 0))  # budget-pruned buckets
+
+    def cut(group: pa.Table) -> pa.Table:
+        keys = group.column(key_col).to_numpy()
+        ties = group.column(tiebreak_col).to_numpy()
+        order = np.lexsort((ties, keys))
+        _, bases = ray.get(bundle_ref)
+        base = bases[int(group.column("_bucket")[0].as_py())]
+        w = group.column(weight_col).to_numpy()[order]
+        cum = base + np.cumsum(w)
+        keep = cum <= budget
+        out = group.take(pa.array(order[keep])).drop_columns(["_bucket"])
+        return out.append_column(out_col, pa.array(cum[keep], _I64))
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return empty
+        return batch
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    done = tagged.groupby("_bucket").map_groups(cut, batch_format="pyarrow")
+    return done.map_batches(normalize, batch_format="pyarrow")
+
+
+def sample_token_budget(
+    sf_dir: str,
+    *,
+    budget: int = 10_000,
+    seed: int = 17,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Deterministic random subset of the corpus holding AT MOST
+    ``budget`` whitespace tokens: walk the seeded pseudo-random order
+    (skey asc, doc_id asc — the ``shuffled_training_order`` permutation)
+    and keep every doc until the next one would push the running token
+    total past the budget. The op a pretraining run uses to carve "the
+    first N tokens of the shuffled corpus" out of a much larger pool.
+
+    Output: (doc_id, skey, n_tokens, cum) where ``cum`` is the inclusive
+    running token sum — SQL-exact vs a ``SUM() OVER (ORDER BY)`` window.
+
+    Scale shape (``global_prefix_cutoff``): the fine weight-histogram
+    fold tells the driver where the budget lands, so every block prunes
+    rows past the cutoff region BEFORE the shuffle — selecting a
+    1B-token subset of a 100 TB corpus moves only ~budget worth of thin
+    (doc_id, skey, n_tokens) rows, never the corpus."""
+    import pyarrow.compute as pc
+
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        trimmed = pc.utf8_trim_whitespace(batch.column("text"))
+        counts = pc.list_value_length(pc.split_pattern_regex(trimmed, r"\s+"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "skey": pa.array(shuffle_key(ids, seed), _I64),
+                "n_tokens": pc.cast(counts, pa.int64()),
+            }
+        )
+
+    ds = docs.map_batches(keyed, batch_format="pyarrow")
+    return global_prefix_cutoff(
+        ds, "skey", "doc_id", "n_tokens", budget, n_buckets=n_buckets
+    )
+
+
 def shuffle_key(ids: np.ndarray, seed: int) -> np.ndarray:
     """Deterministic per-id shuffle key in [0, 2^32) — a pure function
     of (id, seed), identical to the SQL oracle's HUGEINT arithmetic.

@@ -9,7 +9,9 @@ import ray.data as rd
 
 from newscrawler_ray.pipelines.ordering import (
     curriculum_training_order,
+    global_prefix_cutoff,
     global_rank,
+    sample_token_budget,
     shuffle_key,
     shuffled_training_order,
 )
@@ -88,6 +90,75 @@ def test_global_rank_skewed_keys_exact(ray_session):
     got = {r["tb"]: r["pos"] for r in out}
     order = np.lexsort((tb, k))
     assert got == {int(tb[order[i]]): i for i in range(len(k))}
+
+
+def _cutoff_oracle(k, tb, w, budget):
+    """Driver-side numpy oracle: inclusive prefix-sum cut in (k, tb)
+    order; returns {tb: cum} for the kept rows."""
+    order = np.lexsort((tb, k))
+    cum = np.cumsum(w[order])
+    keep = cum <= budget
+    return {int(tb[order[i]]): int(cum[i]) for i in np.nonzero(keep)[0]}
+
+
+def test_prefix_cutoff_exact(ray_session):
+    rng = np.random.RandomState(11)
+    k = rng.randint(0, 2**32, 500).astype(np.int64)
+    tb = np.arange(500, dtype=np.int64)
+    w = rng.randint(1, 40, 500).astype(np.int64)
+    budget = int(w.sum() // 3)
+    out = global_prefix_cutoff(
+        rd.from_arrow(pa.table({"k": k, "tb": tb, "w": w})),
+        "k", "tb", "w", budget, n_buckets=16,
+    ).take_all()
+    assert {r["tb"]: r["cum"] for r in out} == _cutoff_oracle(k, tb, w, budget)
+
+
+def test_prefix_cutoff_many_buckets_and_edges(ray_session):
+    rng = np.random.RandomState(12)
+    k = rng.randint(0, 2**32, 300).astype(np.int64)
+    tb = np.arange(300, dtype=np.int64)
+    w = rng.randint(0, 25, 300).astype(np.int64)  # zero weights too
+    t = pa.table({"k": k, "tb": tb, "w": w})
+    # bucket-count regression (round-2 jaccard lesson) + exact boundary:
+    # budget equal to an attained prefix sum keeps that row
+    order = np.lexsort((tb, k))
+    budget = int(np.cumsum(w[order])[137])
+    out = global_prefix_cutoff(
+        rd.from_arrow(t), "k", "tb", "w", budget, n_buckets=256
+    ).take_all()
+    assert {r["tb"]: r["cum"] for r in out} == _cutoff_oracle(k, tb, w, budget)
+    # budget below the first row's weight -> empty, schema intact
+    first_w = int(w[order[np.nonzero(w[order])[0][0]]]) if w.any() else 1
+    tiny = global_prefix_cutoff(
+        rd.from_arrow(t.filter(pa.array(w > 0))), "k", "tb", "w",
+        first_w - 1, n_buckets=8,
+    )
+    assert tiny.count() == 0
+    # budget >= total keeps everything
+    full = global_prefix_cutoff(
+        rd.from_arrow(t), "k", "tb", "w", int(w.sum()), n_buckets=8
+    )
+    assert full.count() == len(tb)
+    # empty input
+    empty = global_prefix_cutoff(
+        rd.from_arrow(t.slice(0, 0)), "k", "tb", "w", 100, n_buckets=8
+    )
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"k", "tb", "w", "cum"}
+
+
+def test_sample_token_budget_matches_oracle(ray_session):
+    docs = pq.read_table(SF_DIR + "/documents.parquet", columns=["doc_id", "text"])
+    ids = docs.column("doc_id").to_numpy()
+    toks = np.array(
+        [len(t.split()) for t in docs.column("text").to_pylist()], np.int64
+    )
+    exp = _cutoff_oracle(shuffle_key(ids, 17), ids, toks, 2000)
+    out = sample_token_budget(SF_DIR, budget=2000).take_all()
+    assert {r["doc_id"]: r["cum"] for r in out} == exp
+    for r in out:  # emitted columns are self-consistent
+        assert r["skey"] == int(shuffle_key(np.array([r["doc_id"]]), 17)[0])
 
 
 def test_curriculum_shortest_first(ray_session):
