@@ -242,6 +242,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # EXACT set-similarity self-join (prefix filtering) — unlike the
         # LSH families this one is deterministic and SQL-checkable
         "ngram_jaccard_pairs": lambda sf: D.ngram_jaccard_pairs(sf, threshold=0.5),
+        # EXACT asymmetric containment self-join (|A∩B| / min(|A|,|B|)
+        # >= t): catches short-doc-quoted-in-long-doc near-dups that
+        # Jaccard misses; prefix-filter candidates, SQL-checkable
+        "ngram_containment_pairs": lambda sf: D.ngram_containment_pairs(
+            sf, threshold=0.6
+        ),
         "minhash_near_dup": lambda sf: D.minhash_lsh_pairs(sf, threshold=0.5),
         # corpus-level dedup (pairs -> connected components -> keep the
         # cluster min): exact variant is SQL-checkable via recursive CTE
@@ -1652,6 +1658,28 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
                   / nullif(len(list_distinct(a.grams || b.grams)), 0) >= 0.5""",
+        "ngram_containment_pairs": r"""
+            -- word-3-gram containment of the smaller set >= 0.6, same
+            -- tokenization as the engine (and as ngram_jaccard_pairs)
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) < 3
+                       THEN [list_aggregate(w, 'string_agg', ' ')]
+                       ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             FOR i IN generate_series(1, len(w)-2)]
+                     END) AS grams
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '\W+'),
+                                       x -> x <> '') AS w
+                    FROM documents)
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.grams, b.grams))::DOUBLE
+                         / nullif(least(len(a.grams), len(b.grams)), 0),
+                         4) AS containment
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                  / nullif(least(len(a.grams), len(b.grams)), 0) >= 0.6""",
         "jaccard_dedup_docs": r"""
             -- corpus dedup with TRANSITIVE closure: clusters connected by
             -- word-3-gram Jaccard >= 0.5 keep only their min doc_id

@@ -107,6 +107,7 @@ QUERY_NAMES = [
     "train_val_test_split",
     "scrub_blocklist_docs",
     "sample_token_budget",
+    "ngram_containment_pairs",
 ]
 
 

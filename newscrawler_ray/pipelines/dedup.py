@@ -335,13 +335,18 @@ def jaccard_verify_pairs(
     *,
     k: int = 3,
     grams: rd.Dataset | None = None,
+    measure: str = "jaccard",
 ) -> rd.Dataset:
-    """Exact-Jaccard verification of candidate (id_a, id_b) pairs,
-    fully distributed: hash-join each side's distinct-gram SET onto the
-    pair rows (grams move only for docs in some pair), then ONE
-    map_batches computes |A∩B| per row by sorted-array intersection —
-    no per-pair groupby, no re-tokenization. Shared by the MinHash-LSH
-    and prefix-filter joins."""
+    """Exact set-similarity verification of candidate (id_a, id_b)
+    pairs, fully distributed: hash-join each side's distinct-gram SET
+    onto the pair rows (grams move only for docs in some pair), then
+    ONE map_batches computes |A∩B| per row by sorted-array intersection
+    — no per-pair groupby, no re-tokenization. Shared by the
+    MinHash-LSH, prefix-filter and containment joins.
+
+    ``measure``: "jaccard" (|A∩B| / |A∪B|) or "containment"
+    (|A∩B| / min(|A|, |B|) — containment of the smaller set)."""
+    out_col = measure
     g = grams if grams is not None else _gram_lists(docs, k)
 
     # hash-shuffle partitions with no groups emit 0-COLUMN blocks, which
@@ -355,7 +360,7 @@ def jaccard_verify_pairs(
         return rd.from_arrow(
             pa.table(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "jaccard": pa.array([], pa.float64())}
+                 out_col: pa.array([], pa.float64())}
             )
         )
 
@@ -400,11 +405,13 @@ def jaccard_verify_pairs(
         raw = np.frombuffer(data, np.uint8) if data is not None else np.empty(0, np.uint8)
         return raw, offs
 
+    containment = measure == "containment"
+
     def jac(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "jaccard": pa.array([], pa.float64())}
+                 out_col: pa.array([], pa.float64())}
             )
         ra, oa = _unpack(batch.column("grams_a"))
         rb, ob = _unpack(batch.column("grams_b"))
@@ -427,7 +434,7 @@ def jaccard_verify_pairs(
             pos = np.searchsorted(b, a)
             pos[pos >= len(b)] = len(b) - 1
             inter = int(np.count_nonzero(b[pos] == a))
-            jx[i] = inter / (union - inter)
+            jx[i] = inter / len(a) if containment else inter / (union - inter)
         # threshold on the UNROUNDED ratio — the SQL oracles filter in
         # WHERE before any rounding, and the prefix filter only
         # guarantees candidates for unrounded J >= t (advice round 2);
@@ -437,7 +444,7 @@ def jaccard_verify_pairs(
             {
                 "id_a": batch.column("id_a").filter(pa.array(keep)),
                 "id_b": batch.column("id_b").filter(pa.array(keep)),
-                "jaccard": pa.array(np.round(jx[keep], 4), pa.float64()),
+                out_col: pa.array(np.round(jx[keep], 4), pa.float64()),
             }
         )
 
@@ -445,6 +452,53 @@ def jaccard_verify_pairs(
 
 
 # --------------------------------------------- exact set-similarity join
+
+
+def _df_bundle(g: rd.Dataset, df_cap: int):
+    """Document frequency per gram, broadcast as a ``ray.put`` of
+    (sorted grams uint64, df int64).
+
+    The frequencies only pick the rarest-first prefix order (pruning
+    quality); candidate completeness holds under ANY consistent total
+    order and every pair is exact-verified — so dfs may be approximate.
+    That licenses the cheap plan: capped per-block partial counts (each
+    block ships at most df_cap of its own most frequent grams) folded
+    on the driver with a running cap — no groupby shuffle, no sort, and
+    driver memory bounded by 2*df_cap rows at any corpus size. Below
+    the cap (every sandbox run) the fold is EXACT df."""
+
+    def partial_df(batch: pa.Table) -> pa.Table:
+        grams = pc.list_flatten(batch.column("grams")).to_numpy()
+        vals, counts = np.unique(grams, return_counts=True)
+        if len(vals) > df_cap:
+            top = np.argpartition(-counts, df_cap - 1)[:df_cap]
+            vals, counts = vals[top], counts[top]
+        return pa.table(
+            {"gram": pa.array(vals, pa.int64()),
+             "df": pa.array(counts, pa.int64())}
+        )
+
+    acc_g = np.zeros(0, np.int64)
+    acc_c = np.zeros(0, np.int64)
+    for b in g.map_batches(partial_df, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        cg = np.concatenate([acc_g, b.column("gram").to_numpy()])
+        cc = np.concatenate([acc_c, b.column("df").to_numpy()])
+        acc_g, inv = np.unique(cg, return_inverse=True)
+        acc_c = np.bincount(inv, weights=cc).astype(np.int64)
+        if len(acc_g) > 2 * df_cap:  # running cap: keep the most frequent
+            top = np.argpartition(-acc_c, df_cap - 1)[:df_cap]
+            acc_g, acc_c = acc_g[top], acc_c[top]
+    keep = acc_c >= 2  # df=1 equals the broadcast default — don't ship it
+    gv, gdf = acc_g[keep].view(_U64), acc_c[keep]
+    if len(gv) > df_cap:
+        top = np.argpartition(-gdf, df_cap - 1)[:df_cap]
+        gv, gdf = gv[top], gdf[top]
+    order = np.argsort(gv)
+    return ray.put(
+        (np.ascontiguousarray(gv[order]), np.ascontiguousarray(gdf[order]))
+    )
 
 
 def ngram_jaccard_pairs(
@@ -498,45 +552,7 @@ def ngram_jaccard_pairs(
     t = threshold
     g = _gram_lists(docs, k).materialize()
 
-    # document frequency per gram, broadcast as (sorted grams, df).
-    # The frequencies only pick the rarest-first order (pruning quality);
-    # candidate completeness holds under ANY consistent total order and
-    # every pair is exact-verified — so dfs may be approximate. That
-    # licenses the cheap plan: capped per-block partial counts (each
-    # block ships at most df_cap of its own most frequent grams) folded
-    # on the driver with a running cap — no groupby shuffle, no sort,
-    # and driver memory bounded by 2*df_cap rows at any corpus size.
-    # Below the cap (every sandbox run) the fold is EXACT df.
-    def partial_df(batch: pa.Table) -> pa.Table:
-        grams = pc.list_flatten(batch.column("grams")).to_numpy()
-        vals, counts = np.unique(grams, return_counts=True)
-        if len(vals) > df_cap:
-            top = np.argpartition(-counts, df_cap - 1)[:df_cap]
-            vals, counts = vals[top], counts[top]
-        return pa.table(
-            {"gram": pa.array(vals, pa.int64()),
-             "df": pa.array(counts, pa.int64())}
-        )
-
-    acc_g = np.zeros(0, np.int64)
-    acc_c = np.zeros(0, np.int64)
-    for b in g.map_batches(partial_df, batch_format="pyarrow").iter_batches(
-        batch_format="pyarrow"
-    ):
-        cg = np.concatenate([acc_g, b.column("gram").to_numpy()])
-        cc = np.concatenate([acc_c, b.column("df").to_numpy()])
-        acc_g, inv = np.unique(cg, return_inverse=True)
-        acc_c = np.bincount(inv, weights=cc).astype(np.int64)
-        if len(acc_g) > 2 * df_cap:  # running cap: keep the most frequent
-            top = np.argpartition(-acc_c, df_cap - 1)[:df_cap]
-            acc_g, acc_c = acc_g[top], acc_c[top]
-    keep = acc_c >= 2  # df=1 equals the broadcast default — don't ship it
-    gv, gdf = acc_g[keep].view(_U64), acc_c[keep]
-    if len(gv) > df_cap:
-        top = np.argpartition(-gdf, df_cap - 1)[:df_cap]
-        gv, gdf = gv[top], gdf[top]
-    order = np.argsort(gv)
-    df_ref = ray.put((np.ascontiguousarray(gv[order]), np.ascontiguousarray(gdf[order])))
+    df_ref = _df_bundle(g, df_cap)
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
         batch = batch.combine_chunks()
@@ -618,6 +634,163 @@ def ngram_jaccard_pairs(
     return (
         verified.groupby(["id_a", "id_b"])
         .aggregate(Min("jaccard", alias_name="jaccard"))
+    )
+
+
+def _bucket_semi_pair_indices(
+    keys: "list[np.ndarray]", pref: np.ndarray, ids: np.ndarray
+) -> "tuple[np.ndarray, np.ndarray, np.ndarray]":
+    """Vectorized (prefix-row × any-row) pair emission for a coarse
+    group holding many buckets — the asymmetric sibling of
+    ``_bucket_pair_indices``: sort rows by (bucket keys, prefix-flag
+    DESC, id) so each segment leads with its p flagged rows, then for
+    every distinct (segment size d, prefix count p) emit the triu(d)
+    pairs whose first index is < p. Covers every unordered pair with at
+    least one flagged member exactly once. Returns (ia, ib, order)."""
+    n = len(ids)
+    if n < 2:
+        z = np.zeros(0, np.int64)
+        return z, z, np.arange(n, dtype=np.int64)
+    order = np.lexsort((ids, 1 - pref, *keys[::-1]))
+    new = np.empty(n, bool)
+    new[0] = True
+    new[1:] = False
+    for k in keys:
+        ks = k[order]
+        new[1:] |= ks[1:] != ks[:-1]
+    starts = np.nonzero(new)[0]
+    counts = np.diff(np.append(starts, n))
+    ps = np.add.reduceat(pref[order].astype(np.int64), starts)
+    combo = counts * (n + 1) + ps
+    ia_parts, ib_parts = [], []
+    for c in np.unique(combo):
+        d, p = int(c // (n + 1)), int(c % (n + 1))
+        if d < 2 or p < 1:
+            continue
+        iu, ju = np.triu_indices(d, 1)
+        m = iu < p
+        iu, ju = iu[m], ju[m]
+        s = starts[combo == c]
+        ia_parts.append((s[:, None] + iu[None, :]).ravel())
+        ib_parts.append((s[:, None] + ju[None, :]).ravel())
+    if not ia_parts:
+        z = np.zeros(0, np.int64)
+        return z, z, order
+    return np.concatenate(ia_parts), np.concatenate(ib_parts), order
+
+
+def ngram_containment_pairs(
+    sf_dir: str,
+    *,
+    threshold: float = 0.6,
+    k: int = 3,
+    docs: rd.Dataset | None = None,
+    num_partitions: int | None = None,
+    df_cap: int = 4_000_000,
+) -> rd.Dataset:
+    """EXACT n-gram CONTAINMENT self-join: every pair with
+    |A∩B| / min(|A|, |B|) >= threshold — the asymmetric near-dup
+    relation Jaccard misses (a short doc quoted whole inside a much
+    longer one has high containment but low Jaccard; the overlap-join
+    family of Bayardo/Ma/Srikant, WWW 2007 §5). Deterministic and
+    SQL-checkable row-for-row, like ``ngram_jaccard_pairs``.
+
+    Prefix-filter theorem (containment form): if |A∩B| >= t·|S| for S
+    the smaller set, S's intersection misses at most |S| - ceil(t·|S|)
+    of S's grams, so keeping the first |S| - ceil(t·|S|) + 1 grams of S
+    under ANY fixed total order guarantees a kept gram lands in A∩B —
+    and that gram is in the OTHER side's full set. Candidates are
+    therefore (prefix row × any row) within gram buckets: one stream of
+    ALL gram rows carrying a prefix flag (rarest-first order, shared
+    ``_df_bundle`` fold), one groupby(part), asymmetric pair emission
+    via ``_bucket_semi_pair_indices``. No size-ratio filter applies —
+    containment pairs tiny docs with huge ones by design. Verification
+    is the shared gram-set join with ``measure="containment"``.
+
+    Empty docs (no grams) never enter the gram stream and pair with
+    nothing — the SQL NULL-division convention."""
+    if docs is None:
+        docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    t = threshold
+    g = _gram_lists(docs, k).materialize()
+    df_ref = _df_bundle(g, df_cap)
+
+    def flagged_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ids = batch.column("doc_id").to_numpy()
+        sizes = pc.list_value_length(batch.column("grams")).to_numpy().astype(np.int64)
+        vals = pc.list_flatten(batch.column("grams")).to_numpy().view(_U64)
+        if len(vals) == 0:
+            return pa.table(
+                {"part": pa.array([], pa.int32()),
+                 "gram": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "n_grams": pa.array([], pa.int64()),
+                 "pref": pa.array([], pa.int8())}
+            )
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), sizes)
+        sgv, sdf = ray.get(df_ref)
+        if len(sgv) == 0:
+            df = np.ones(len(vals), np.int64)
+        else:
+            pos = np.minimum(np.searchsorted(sgv, vals), len(sgv) - 1)
+            df = np.where(sgv[pos] == vals, sdf[pos], 1)
+        order = np.lexsort((vals, df, doc_of))
+        starts = np.zeros(len(ids), np.int64)
+        np.cumsum(sizes[:-1], out=starts[1:])
+        # prefix length |G| - ceil(t|G|) + 1 (eps guard: see prefix_rows)
+        pref_len = sizes - np.ceil(t * sizes - 1e-9).astype(np.int64) + 1
+        doc_sorted = doc_of[order]
+        r = np.arange(len(vals), dtype=np.int64) - starts[doc_sorted]
+        flag = (r < pref_len[doc_sorted]).astype(np.int8)
+        srt = vals[order]
+        return pa.table(
+            {
+                "part": pa.array(
+                    (srt % _U64(num_partitions * 4)).astype(np.int32)
+                ),
+                "gram": pa.array(srt.view(np.int64), pa.int64()),
+                "doc_id": pa.array(ids[doc_sorted], pa.int64()),
+                "n_grams": pa.array(sizes[doc_sorted], pa.int64()),
+                "pref": pa.array(flag),
+            }
+        )
+
+    rows = g.map_batches(flagged_rows, batch_format="pyarrow")
+
+    def coarse_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy()
+        grams = group.column("gram").to_numpy()
+        pref = group.column("pref").to_numpy()
+        ia, ib, order = _bucket_semi_pair_indices([grams], pref, ids)
+        a, b = ids[order][ia], ids[order][ib]
+        swap = a > b
+        a2 = np.where(swap, b, a)
+        b2 = np.where(swap, a, b)
+        keep = a2 != b2  # a doc never pairs with itself
+        a2, b2 = a2[keep], b2[keep]
+        # LOCAL dedup only (measured lesson from the jaccard join): the
+        # global distinct runs AFTER verification on the few survivors
+        if len(a2):
+            o = np.lexsort((b2, a2))
+            a2, b2 = a2[o], b2[o]
+            first = np.r_[True, (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])]
+            a2, b2 = a2[first], b2[first]
+        return pa.table(
+            {"id_a": pa.array(a2, pa.int64()), "id_b": pa.array(b2, pa.int64())}
+        )
+
+    cand = rows.groupby("part").map_groups(coarse_pairs, batch_format="pyarrow")
+    cand = cand.repartition(num_partitions)
+    verified = jaccard_verify_pairs(
+        cand, docs, threshold, num_partitions, k=k, grams=g,
+        measure="containment",
+    )
+    return (
+        verified.groupby(["id_a", "id_b"])
+        .aggregate(Min("containment", alias_name="containment"))
     )
 
 

@@ -665,3 +665,76 @@ def test_minhash_family_equals_exact(ray_session):
     md = sorted(r["doc_id"] for r in dedup.minhash_dedup_docs(SF, threshold=0.5).take_all())
     jd = sorted(r["doc_id"] for r in dedup.jaccard_dedup_docs(SF, threshold=0.5).take_all())
     assert md == jd and len(md) > 0
+
+
+def _brute_containment(texts, t, k=3):
+    def grams(s):
+        return set(dedup._shingles(s, k).tolist())
+
+    gs = [grams(x) for x in texts]
+    out = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            lo = min(len(gs[i]), len(gs[j]))
+            if lo == 0:
+                continue
+            c = len(gs[i] & gs[j]) / lo
+            if c >= t:
+                out.append((i, j, round(c, 4)))
+    return sorted(out)
+
+
+def test_containment_pairs_matches_brute_force(ray_session):
+    # the containment prefix filter must be EXACT: every pair with
+    # |A∩B|/min >= t, no extras — including across partition counts
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(60)]
+    for i in (40, 45, 50):
+        base = texts[0].split()
+        base[i % 30] = "zzz"
+        texts[i] = " ".join(base)
+    import pyarrow as pa
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(60), pa.int64()), "text": pa.array(texts)})
+    )
+    # 8 partitions = 2x the test cluster's CPUs (16+ deadlocks Ray's
+    # join-actor scheduling when partitions >> CPUs — see
+    # test_jaccard_dedup_high_partition_count)
+    for t, nparts in ((0.4, 4), (0.6, 8), (0.9, 4)):
+        got = sorted(
+            (r["id_a"], r["id_b"], r["containment"])
+            for r in dedup.ngram_containment_pairs(
+                "unused", threshold=t, docs=docs, num_partitions=nparts
+            ).take_all()
+        )
+        assert got == _brute_containment(texts, t)
+
+
+def test_containment_catches_asymmetric_quote(ray_session):
+    # a short doc quoted whole inside a long one: containment 1.0 but
+    # Jaccard far below threshold — the pair Jaccard misses by design
+    rng = np.random.default_rng(10)
+    vocab = [f"w{i}" for i in range(200)]
+    short = " ".join(rng.choice(vocab, size=12))
+    long = short + " " + " ".join(rng.choice(vocab, size=180))
+    filler = [" ".join(rng.choice(vocab, size=60)) for _ in range(8)]
+    texts = [short, long, *filler]
+    import pyarrow as pa
+
+    docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts)}
+        )
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.ngram_containment_pairs(
+            "unused", threshold=0.9, docs=docs, num_partitions=4
+        ).take_all()
+    }
+    assert cont[(0, 1)] == 1.0
+    jac = dedup.ngram_jaccard(short, long, 3)
+    assert jac < 0.2  # jaccard would never flag this pair at 0.5
