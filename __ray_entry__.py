@@ -170,6 +170,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # domain-level curation (RefinedWeb/Dolma-style domain gating)
         "domain_stats": CS.domain_stats,
         "domain_quality_filter": CS.domain_quality_filter,
+        # cross-source near-duplication matrix (which sources mirror
+        # each other): exact jaccard pairs + two thin source joins +
+        # one small aggregate — SQL-checkable row-for-row
+        "source_overlap_matrix": CS.source_overlap_matrix,
         # DSIR-style importance resampling (target = lang slice)
         "dsir_select": CS.dsir_select,
         # ... and the matching TRANSFORM: strip every position covered
@@ -1658,6 +1662,29 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
                   / nullif(len(list_distinct(a.grams || b.grams)), 0) >= 0.5""",
+        "source_overlap_matrix": r"""
+            -- near-dup pair counts per unordered source pair, same
+            -- tokenization + threshold as ngram_jaccard_pairs
+            WITH g AS (
+              SELECT doc_id, source,
+                     list_distinct(CASE WHEN len(w) < 3
+                       THEN [list_aggregate(w, 'string_agg', ' ')]
+                       ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             FOR i IN generate_series(1, len(w)-2)]
+                     END) AS grams
+              FROM (SELECT doc_id, source,
+                           list_filter(string_split_regex(lower(text), '\W+'),
+                                       x -> x <> '') AS w
+                    FROM documents)
+            ), p AS (
+              SELECT a.source AS sa, b.source AS sb
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                    / nullif(len(list_distinct(a.grams || b.grams)), 0) >= 0.5
+            )
+            SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+                   count(*) AS n_pairs
+            FROM p GROUP BY 1, 2""",
         "ngram_containment_pairs": r"""
             -- word-3-gram containment of the smaller set >= 0.6, same
             -- tokenization as the engine (and as ngram_jaccard_pairs)

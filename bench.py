@@ -108,6 +108,7 @@ QUERY_NAMES = [
     "scrub_blocklist_docs",
     "sample_token_budget",
     "ngram_containment_pairs",
+    "source_overlap_matrix",
 ]
 
 

@@ -1073,6 +1073,85 @@ def domain_quality_filter(
     return out.select_columns(["doc_id", "source"])
 
 
+def source_overlap_matrix(
+    sf_dir: str,
+    *,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Cross-source near-duplication matrix: for every (unordered)
+    source pair, the number of near-dup doc pairs (word-k-gram Jaccard
+    >= threshold) with one doc in each source — the diagnostic a corpus
+    curator reads to find sources mirroring each other (syndication,
+    scraped mirrors) before setting mixture weights. Intra-source rows
+    (source_a == source_b) count a source's internal near-dups.
+
+    Shape: pair mining is the exact prefix-filter join (nothing new
+    shuffles text); sources attach to the FEW verified pairs via two
+    thin (doc_id, source) hash joins — never a broadcast of the
+    corpus-sized doc->source map — and one small-cardinality aggregate
+    finishes. Deterministic end to end, SQL-checkable row-for-row."""
+    from ray.data.aggregate import Count
+
+    from .dedup import ngram_jaccard_pairs
+
+    nparts = _nparts(num_partitions)
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(
+        sf_dir, threshold=threshold, k=k, docs=docs, num_partitions=nparts
+    )
+    # join-quirk discipline: coalesce 0-column blocks before the joins;
+    # a fully-empty pair set short-circuits (the join cannot key it)
+    pairs = pairs.repartition(nparts).materialize()
+    empty = pa.table(
+        {"source_a": pa.array([], pa.string()),
+         "source_b": pa.array([], pa.string()),
+         "n_pairs": pa.array([], _I64)}
+    )
+    if pairs.count() == 0:
+        return rd.from_arrow(empty)
+    src = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "source"])
+
+    def thin(name: str):
+        def f(batch: pa.Table) -> pa.Table:
+            if batch.num_columns == 0 or batch.num_rows == 0:
+                return pa.table(
+                    {f"id_{name}": pa.array([], _I64),
+                     f"src_{name}": pa.array([], pa.string())}
+                )
+            return pa.table(
+                {f"id_{name}": batch.column("doc_id"),
+                 f"src_{name}": batch.column("source")}
+            )
+
+        return f
+
+    j = pairs.join(
+        src.map_batches(thin("a"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=nparts, on=("id_a",),
+    ).repartition(nparts)
+    j = j.join(
+        src.map_batches(thin("b"), batch_format="pyarrow"),
+        join_type="inner", num_partitions=nparts, on=("id_b",),
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return empty.drop_columns(["n_pairs"])
+        sa, sb = batch.column("src_a"), batch.column("src_b")
+        a_first = pc.less_equal(sa, sb)
+        return pa.table(
+            {"source_a": pc.if_else(a_first, sa, sb),
+             "source_b": pc.if_else(a_first, sb, sa)}
+        )
+
+    out = j.map_batches(orient, batch_format="pyarrow")
+    return out.groupby(["source_a", "source_b"]).aggregate(
+        Count(alias_name="n_pairs")
+    )
+
+
 # ------------------------------------------------ importance resampling
 
 

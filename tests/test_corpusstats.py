@@ -503,3 +503,40 @@ def test_term_index_multitoken_word(ray_session, tmp_path):
         ).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_source_overlap_matrix_planted(ray_session, tmp_path):
+    """Planted cross-source near-dups: srcA doc 0 ~ srcB doc 1 (one word
+    changed), srcB docs 2/3 identical (intra-source row), the rest
+    random word salad -> exactly two matrix rows with the right counts."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from newscrawler_ray.pipelines.corpusstats import source_overlap_matrix
+
+    rng = np.random.default_rng(21)
+    vocab = [f"v{i}" for i in range(300)]
+    base = " ".join(rng.choice(vocab, size=40))
+    near = base.replace(base.split()[5], "zzz")
+    texts = [base, near, "copy cat " + base, "copy cat " + base]
+    srcs = ["srcA", "srcB", "srcB", "srcB"]
+    for _ in range(20):
+        texts.append(" ".join(rng.choice(vocab, size=40)))
+        srcs.append("srcC")
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts), "source": pa.array(srcs)}
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in source_overlap_matrix(
+            str(tmp_path), threshold=0.5, num_partitions=4
+        ).take_all()
+    }
+    assert got[("srcA", "srcB")] >= 1  # the planted cross-source pair
+    assert got[("srcB", "srcB")] >= 1  # the intra-source exact copies
+    assert all(a != "srcC" and b != "srcC" for a, b in got)
