@@ -334,6 +334,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # towers, real actor-pool plumbing — in-test oracles)
         "clip_score_filter": _clip_score_filter,
         "image_quality_filter": _image_quality_filter,
+        # SDXL-style multi-resolution training prep: nearest-log-aspect
+        # bucket per image, payload bytes never read (rows-only:
+        # brute-force optimality + determinism oracle in tests/)
+        "aspect_bucket_images": _aspect_bucket_images,
         "image_near_dup_emb": _image_near_dup_emb,
         "curate_image_corpus": _curate_image_corpus,
         # ... and its resumable sharded export (rows-only: survivor +
@@ -705,6 +709,14 @@ def _image_quality_filter(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.vision import image_quality_filter
 
     return image_quality_filter(_fixture_images()).drop_columns(["pixel_std"])
+
+
+def _aspect_bucket_images(sf_dir: str) -> Any:
+    """Rows-only: SDXL-style aspect-ratio bucket assignment over the
+    synthetic image table (sf_dir-independent input by design)."""
+    from newscrawler_ray.pipelines.vision import aspect_bucket_images
+
+    return aspect_bucket_images(_fixture_images())
 
 
 def _image_near_dup_emb(sf_dir: str) -> Any:

@@ -109,6 +109,7 @@ QUERY_NAMES = [
     "sample_token_budget",
     "ngram_containment_pairs",
     "source_overlap_matrix",
+    "aspect_bucket_images",
 ]
 
 

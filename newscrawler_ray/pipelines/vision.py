@@ -201,6 +201,61 @@ def image_quality_filter(
     return feats.map_batches(tag, batch_format="pyarrow")
 
 
+# SDXL-style resolution-bucket ladder (Podell et al., "SDXL", 2023
+# appendix: multi-aspect training buckets around a fixed pixel budget).
+# Scaled to a 256^2 budget; every (w, h) is a multiple of 64.
+DEFAULT_ASPECT_BUCKETS: tuple[tuple[int, int], ...] = (
+    (256, 256), (320, 192), (192, 320), (320, 256), (256, 320),
+    (384, 192), (192, 384), (448, 128), (128, 448), (512, 128),
+    (128, 512),
+)
+
+
+def aspect_bucket_images(
+    images_path: "str | Path | rd.Dataset",
+    *,
+    buckets: "tuple[tuple[int, int], ...]" = DEFAULT_ASPECT_BUCKETS,
+) -> rd.Dataset:
+    """Aspect-ratio bucketing for multi-resolution image training
+    (the SDXL recipe): assign every image to the bucket whose aspect
+    ratio is nearest in LOG space (the symmetric metric — 2:1 and 1:2
+    are equally far from square), ties to the lowest bucket_id. Output:
+    (image_id, w, h, bucket_id, bucket_w, bucket_h). A training loader
+    then batches within buckets so no batch mixes shapes and crop waste
+    is minimized.
+
+    Scale shape: reads ONLY (image_id, w, h) — payload bytes never
+    leave storage — and the whole op is one shuffle-free map_batches
+    with a (n_images x n_buckets) broadcast-free argmin per batch (the
+    ladder is a constant). Deterministic pure function of (w, h);
+    brute-force optimality oracle in tests."""
+    ds = _images_source(images_path, ["image_id", "w", "h"])
+    blog = np.log(
+        np.array([bw / bh for bw, bh in buckets], np.float64)
+    )
+    bw_arr = np.array([b[0] for b in buckets], np.int32)
+    bh_arr = np.array([b[1] for b in buckets], np.int32)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_numpy().astype(np.float64)
+        h = batch.column("h").to_numpy().astype(np.float64)
+        la = np.log(np.maximum(w, 1.0) / np.maximum(h, 1.0))
+        # argmin returns the FIRST minimum -> lowest bucket_id on ties
+        bid = np.argmin(np.abs(la[:, None] - blog[None, :]), axis=1)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "w": batch.column("w"),
+                "h": batch.column("h"),
+                "bucket_id": pa.array(bid.astype(np.int64), pa.int64()),
+                "bucket_w": pa.array(bw_arr[bid]),
+                "bucket_h": pa.array(bh_arr[bid]),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def image_embeddings(images_path: str | Path) -> rd.Dataset:
     """(int64 id, embedding) view of the image tower — the adapter that
     lets image vectors flow through the shared vector machinery

@@ -364,3 +364,51 @@ def test_mine_hard_negatives_matches_brute_force(ray_session, fixture_dir):
         want = [(rk, cid, -negsim) for rk, (negsim, cid) in enumerate(cands)]
         assert got[ids[i]] == want, ids[i]
         assert len(got[ids[i]]) == min(k, n - 1)
+
+
+def test_aspect_bucket_images_optimal_and_deterministic(ray_session, fixture_dir):
+    path = fixture_dir / "images.parquet"
+    rows = vision.aspect_bucket_images(path).take_all()
+    t = _read_images(fixture_dir)
+    assert len(rows) == t.num_rows  # every image gets a bucket
+    blog = np.log(
+        np.array([bw / bh for bw, bh in vision.DEFAULT_ASPECT_BUCKETS])
+    )
+    by_id = {r["image_id"]: r for r in rows}
+    for iid, w, h in zip(
+        t.column("image_id").to_pylist(),
+        t.column("w").to_pylist(),
+        t.column("h").to_pylist(),
+    ):
+        r = by_id[iid]
+        # brute-force nearest-log-aspect with first-minimum tie-break
+        d = np.abs(np.log(w / h) - blog)
+        want = int(np.argmin(d))
+        assert r["bucket_id"] == want, (iid, w, h)
+        bw, bh = vision.DEFAULT_ASPECT_BUCKETS[want]
+        assert (r["bucket_w"], r["bucket_h"]) == (bw, bh)
+        assert (r["w"], r["h"]) == (w, h)
+    # rerun determinism
+    again = {r["image_id"]: r["bucket_id"]
+             for r in vision.aspect_bucket_images(path).take_all()}
+    assert again == {k: v["bucket_id"] for k, v in by_id.items()}
+
+
+def test_aspect_bucket_extreme_ratios(ray_session, tmp_path):
+    # wider-than-any-bucket and taller-than-any-bucket images clamp to
+    # the widest / tallest rungs of the ladder
+    t = pa.table(
+        {
+            "image_id": pa.array(["wide", "tall", "square"]),
+            "w": pa.array([2048, 64, 100], pa.int32()),
+            "h": pa.array([64, 2048, 100], pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "images.parquet")
+    got = {
+        r["image_id"]: (r["bucket_w"], r["bucket_h"])
+        for r in vision.aspect_bucket_images(tmp_path / "images.parquet").take_all()
+    }
+    assert got["wide"] == (512, 128)
+    assert got["tall"] == (128, 512)
+    assert got["square"] == (256, 256)
