@@ -338,6 +338,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bucket per image, payload bytes never read (rows-only:
         # brute-force optimality + determinism oracle in tests/)
         "aspect_bucket_images": _aspect_bucket_images,
+        # ... and the loader schedule on top: exactly-batch_size groups
+        # per (bucket, step), seeded order, leftovers dropped (rows-only:
+        # numpy recompute + invariant oracles in tests/)
+        "bucketed_training_batches": _bucketed_training_batches,
         "image_near_dup_emb": _image_near_dup_emb,
         "curate_image_corpus": _curate_image_corpus,
         # ... and its resumable sharded export (rows-only: survivor +
@@ -717,6 +721,14 @@ def _aspect_bucket_images(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.vision import aspect_bucket_images
 
     return aspect_bucket_images(_fixture_images())
+
+
+def _bucketed_training_batches(sf_dir: str) -> Any:
+    """Rows-only: deterministic multi-resolution batch schedule over the
+    synthetic image table (sf_dir-independent input by design)."""
+    from newscrawler_ray.pipelines.vision import bucketed_training_batches
+
+    return bucketed_training_batches(_fixture_images())
 
 
 def _image_near_dup_emb(sf_dir: str) -> Any:

@@ -110,6 +110,7 @@ QUERY_NAMES = [
     "ngram_containment_pairs",
     "source_overlap_matrix",
     "aspect_bucket_images",
+    "bucketed_training_batches",
 ]
 
 

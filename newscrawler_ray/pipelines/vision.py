@@ -256,6 +256,91 @@ def aspect_bucket_images(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def bucketed_training_batches(
+    images_path: "str | Path | rd.Dataset",
+    *,
+    batch_size: int = 8,
+    seed: int = 17,
+    buckets: "tuple[tuple[int, int], ...]" = DEFAULT_ASPECT_BUCKETS,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Deterministic multi-resolution training batch schedule: every
+    image gets (bucket_id, step, slot) such that each (bucket_id, step)
+    holds EXACTLY ``batch_size`` images of one resolution bucket, in
+    seeded pseudo-random order within the bucket; per-bucket leftovers
+    that can't fill a batch are dropped (the SDXL loader contract — a
+    batch never mixes shapes, so it can be collated without padding).
+
+    Pure composition of existing primitives: ``aspect_bucket_images``
+    -> composite-key ``global_rank`` (bucket_id·2^32 + shuffle key, so
+    ranks are dense and bucket-contiguous) -> one tiny per-bucket
+    (count, first-rank) aggregate broadcast back -> a shuffle-free map
+    computes step = within-bucket index // batch_size. Deterministic on
+    any cluster size, after any retry — the property a resumable
+    training run needs from its data order. Only (image_id, ids, keys)
+    enter the ranking shuffle."""
+    import ray
+
+    from .ordering import _B32, global_rank, shuffle_key
+
+    assigned = aspect_bucket_images(images_path, buckets=buckets)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ints = _image_id_to_int(batch.column("image_id")).to_numpy()
+        bid = batch.column("bucket_id").to_numpy()
+        sk = shuffle_key(ints, seed)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "bucket_id": batch.column("bucket_id"),
+                "_iid": pa.array(ints, pa.int64()),
+                "_bkey": pa.array(bid * _B32 + sk, pa.int64()),
+            }
+        )
+
+    thin = assigned.map_batches(keyed, batch_format="pyarrow")
+    ranked = global_rank(
+        thin, "_bkey", "_iid", key_max=len(buckets) * _B32,
+        n_buckets=n_buckets,
+    ).materialize()
+
+    # per-bucket (first rank, full-batch row cap): B rows total (tiny)
+    from ray.data.aggregate import Count, Min
+
+    per_bucket = ranked.groupby("bucket_id").aggregate(
+        Count(alias_name="n"), Min("pos", alias_name="off")
+    ).take_all()
+    off = np.zeros(len(buckets), np.int64)
+    cap = np.zeros(len(buckets), np.int64)
+    for r in per_bucket:
+        off[r["bucket_id"]] = r["off"]
+        cap[r["bucket_id"]] = (r["n"] // batch_size) * batch_size
+    bundle = ray.put((off, cap))
+
+    def schedule(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"image_id": pa.array([], pa.string()),
+                 "bucket_id": pa.array([], pa.int64()),
+                 "step": pa.array([], pa.int64()),
+                 "slot": pa.array([], pa.int64())}
+            )
+        o, c = ray.get(bundle)
+        bid = batch.column("bucket_id").to_numpy()
+        within = batch.column("pos").to_numpy() - o[bid]
+        keep = within < c[bid]
+        return pa.table(
+            {
+                "image_id": batch.column("image_id").filter(pa.array(keep)),
+                "bucket_id": pa.array(bid[keep], pa.int64()),
+                "step": pa.array(within[keep] // batch_size, pa.int64()),
+                "slot": pa.array(within[keep] % batch_size, pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(schedule, batch_format="pyarrow")
+
+
 def image_embeddings(images_path: str | Path) -> rd.Dataset:
     """(int64 id, embedding) view of the image tower — the adapter that
     lets image vectors flow through the shared vector machinery

@@ -412,3 +412,36 @@ def test_aspect_bucket_extreme_ratios(ray_session, tmp_path):
     assert got["wide"] == (512, 128)
     assert got["tall"] == (128, 512)
     assert got["square"] == (256, 256)
+
+
+def test_bucketed_training_batches_schedule(ray_session, fixture_dir):
+    path = fixture_dir / "images.parquet"
+    B = 8
+    rows = vision.bucketed_training_batches(path, batch_size=B, seed=17).take_all()
+    # exact numpy recompute: per bucket, order by (shuffle_key, int id),
+    # cut to a multiple of B, then step/slot by position
+    from newscrawler_ray.pipelines.ordering import shuffle_key
+
+    t = _read_images(fixture_dir)
+    ids = t.column("image_id").to_pylist()
+    ints = np.array([int(i[4:]) for i in ids], np.int64)
+    w = np.array(t.column("w").to_pylist(), np.float64)
+    h = np.array(t.column("h").to_pylist(), np.float64)
+    blog = np.log(np.array([bw / bh for bw, bh in vision.DEFAULT_ASPECT_BUCKETS]))
+    bid = np.argmin(np.abs(np.log(w / h)[:, None] - blog[None, :]), axis=1)
+    sk = shuffle_key(ints, 17)
+    want = {}
+    for b in np.unique(bid):
+        m = np.nonzero(bid == b)[0]
+        order = m[np.lexsort((ints[m], sk[m]))]
+        cut = (len(order) // B) * B
+        for within, idx in enumerate(order[:cut]):
+            want[ids[idx]] = (int(b), within // B, within % B)
+    got = {r["image_id"]: (r["bucket_id"], r["step"], r["slot"]) for r in rows}
+    assert got == want and len(got) > 0
+    # invariant: every (bucket, step) group holds exactly B slots 0..B-1
+    groups = {}
+    for r in rows:
+        groups.setdefault((r["bucket_id"], r["step"]), []).append(r["slot"])
+    for slots in groups.values():
+        assert sorted(slots) == list(range(B))
