@@ -342,6 +342,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per (bucket, step), seeded order, leftovers dropped (rows-only:
         # numpy recompute + invariant oracles in tests/)
         "bucketed_training_batches": _bucketed_training_batches,
+        # exact duplicate-caption removal (boilerplate captions poison
+        # contrastive training; rows-only — driver-recompute oracle)
+        "caption_dedup_images": _caption_dedup_images,
+        # pixel-budget image subset (decode/augment compute budget):
+        # the image twin of sample_token_budget (rows-only — numpy
+        # prefix-cutoff oracle in tests/)
+        "sample_pixel_budget": _sample_pixel_budget,
         "image_near_dup_emb": _image_near_dup_emb,
         "curate_image_corpus": _curate_image_corpus,
         # ... and its resumable sharded export (rows-only: survivor +
@@ -721,6 +728,22 @@ def _aspect_bucket_images(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.vision import aspect_bucket_images
 
     return aspect_bucket_images(_fixture_images())
+
+
+def _caption_dedup_images(sf_dir: str) -> Any:
+    """Rows-only: first-wins exact caption dedup over the synthetic
+    image table (sf_dir-independent input by design)."""
+    from newscrawler_ray.pipelines.vision import caption_dedup_images
+
+    return caption_dedup_images(_fixture_images())
+
+
+def _sample_pixel_budget(sf_dir: str) -> Any:
+    """Rows-only: pixel-budget subset of the synthetic image table
+    (sf_dir-independent input by design)."""
+    from newscrawler_ray.pipelines.vision import sample_pixel_budget
+
+    return sample_pixel_budget(_fixture_images(), budget=250_000)
 
 
 def _bucketed_training_batches(sf_dir: str) -> Any:

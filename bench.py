@@ -111,6 +111,8 @@ QUERY_NAMES = [
     "source_overlap_matrix",
     "aspect_bucket_images",
     "bucketed_training_batches",
+    "caption_dedup_images",
+    "sample_pixel_budget",
 ]
 
 

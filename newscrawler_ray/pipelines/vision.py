@@ -224,11 +224,17 @@ def aspect_bucket_images(
     then batches within buckets so no batch mixes shapes and crop waste
     is minimized.
 
+    Also emits the SDXL preprocessing plan per image: cover-resize
+    dimensions (scale = max(bucket_w/w, bucket_h/h), ceil — the resized
+    image always covers the bucket) and the centered crop origin
+    (SDXL conditions on the crop coordinates, so the loader needs them
+    as data, not as a transform side effect).
+
     Scale shape: reads ONLY (image_id, w, h) — payload bytes never
     leave storage — and the whole op is one shuffle-free map_batches
     with a (n_images x n_buckets) broadcast-free argmin per batch (the
     ladder is a constant). Deterministic pure function of (w, h);
-    brute-force optimality oracle in tests."""
+    brute-force optimality + crop-geometry oracles in tests."""
     ds = _images_source(images_path, ["image_id", "w", "h"])
     blog = np.log(
         np.array([bw / bh for bw, bh in buckets], np.float64)
@@ -242,6 +248,10 @@ def aspect_bucket_images(
         la = np.log(np.maximum(w, 1.0) / np.maximum(h, 1.0))
         # argmin returns the FIRST minimum -> lowest bucket_id on ties
         bid = np.argmin(np.abs(la[:, None] - blog[None, :]), axis=1)
+        tw, th = bw_arr[bid].astype(np.float64), bh_arr[bid].astype(np.float64)
+        scale = np.maximum(tw / np.maximum(w, 1.0), th / np.maximum(h, 1.0))
+        rw = np.maximum(np.ceil(w * scale - 1e-9), tw).astype(np.int32)
+        rh = np.maximum(np.ceil(h * scale - 1e-9), th).astype(np.int32)
         return pa.table(
             {
                 "image_id": batch.column("image_id"),
@@ -250,6 +260,10 @@ def aspect_bucket_images(
                 "bucket_id": pa.array(bid.astype(np.int64), pa.int64()),
                 "bucket_w": pa.array(bw_arr[bid]),
                 "bucket_h": pa.array(bh_arr[bid]),
+                "resize_w": pa.array(rw),
+                "resize_h": pa.array(rh),
+                "crop_x": pa.array((rw - bw_arr[bid]) // 2),
+                "crop_y": pa.array((rh - bh_arr[bid]) // 2),
             }
         )
 
@@ -339,6 +353,97 @@ def bucketed_training_batches(
         )
 
     return ranked.map_batches(schedule, batch_format="pyarrow")
+
+
+def caption_dedup_images(
+    images_path: "str | Path | rd.Dataset",
+) -> rd.Dataset:
+    """Exact duplicate-caption removal over the image-pair table
+    (LAION-curation step: boilerplate captions — 'image', 'IMG_1234',
+    SEO spam — repeat across unrelated images and poison contrastive
+    training): first-wins by caption content, winner = min image id.
+    Output: surviving image_id rows.
+
+    Shape: reads only (image_id, caption); one vector hash stage ships
+    thin (caption_hash, int id) rows into ONE hash aggregate — caption
+    text and payload bytes never shuffle."""
+    from ray.data.aggregate import Min
+
+    from .dedup import content_hash64
+
+    ds = _images_source(images_path, ["image_id", "caption"])
+
+    def rows(batch: pa.Table) -> pa.Table:
+        h = [content_hash64(c) for c in batch.column("caption").to_pylist()]
+        return pa.table(
+            {
+                "caption_hash": pa.array(h, pa.int64()),
+                "iid": _image_id_to_int(batch.column("image_id")),
+            }
+        )
+
+    agg = ds.map_batches(rows, batch_format="pyarrow").groupby(
+        "caption_hash"
+    ).aggregate(Min("iid", alias_name="iid"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ids = batch.column("iid").to_numpy()
+        return pa.table({"image_id": pa.array(_int_to_image_id(ids), pa.string())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def sample_pixel_budget(
+    images_path: "str | Path | rd.Dataset",
+    *,
+    budget: int = 250_000,
+    seed: int = 17,
+    n_buckets: int | None = None,
+) -> rd.Dataset:
+    """Deterministic random image subset holding AT MOST ``budget``
+    pixels total — the image twin of ``ordering.sample_token_budget``
+    (a fixed decode/augment compute budget maps to pixels, not rows):
+    walk the seeded pseudo-random order and keep images while the
+    running w·h sum stays within budget. Output: (image_id, n_pixels,
+    cum). Same ``global_prefix_cutoff`` scale shape — blocks prune
+    everything past the budget region before the shuffle; payload bytes
+    are never read."""
+    from .ordering import global_prefix_cutoff, shuffle_key
+
+    ds = _images_source(images_path, ["image_id", "w", "h"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ints = _image_id_to_int(batch.column("image_id")).to_numpy()
+        w = batch.column("w").to_numpy().astype(np.int64)
+        h = batch.column("h").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "_iid": pa.array(ints, pa.int64()),
+                "skey": pa.array(shuffle_key(ints, seed), pa.int64()),
+                "n_pixels": pa.array(w * h, pa.int64()),
+            }
+        )
+
+    thin = ds.map_batches(keyed, batch_format="pyarrow")
+    out = global_prefix_cutoff(
+        thin, "skey", "_iid", "n_pixels", budget, n_buckets=n_buckets
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"image_id": pa.array([], pa.string()),
+                 "n_pixels": pa.array([], pa.int64()),
+                 "cum": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"image_id": batch.column("image_id"),
+             "n_pixels": batch.column("n_pixels"),
+             "cum": batch.column("cum")}
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 def image_embeddings(images_path: str | Path) -> rd.Dataset:

@@ -445,3 +445,82 @@ def test_bucketed_training_batches_schedule(ray_session, fixture_dir):
         groups.setdefault((r["bucket_id"], r["step"]), []).append(r["slot"])
     for slots in groups.values():
         assert sorted(slots) == list(range(B))
+
+
+def test_aspect_bucket_crop_geometry(ray_session, fixture_dir):
+    # cover-resize + centered crop invariants: the resized image always
+    # covers the bucket, the crop box sits inside it, and at least one
+    # resized dimension is tight against the bucket (minimal scaling)
+    rows = vision.aspect_bucket_images(fixture_dir / "images.parquet").take_all()
+    for r in rows:
+        assert r["resize_w"] >= r["bucket_w"] and r["resize_h"] >= r["bucket_h"]
+        assert 0 <= r["crop_x"] <= r["resize_w"] - r["bucket_w"]
+        assert 0 <= r["crop_y"] <= r["resize_h"] - r["bucket_h"]
+        # centered crop
+        assert r["crop_x"] == (r["resize_w"] - r["bucket_w"]) // 2
+        assert r["crop_y"] == (r["resize_h"] - r["bucket_h"]) // 2
+        # minimal cover: shrinking either resized dim by 1 would uncover
+        scale = max(r["bucket_w"] / r["w"], r["bucket_h"] / r["h"])
+        assert r["resize_w"] <= int(np.ceil(r["w"] * scale - 1e-9)) or (
+            r["resize_w"] == r["bucket_w"]
+        )
+        # aspect preserved within rounding
+        assert abs(r["resize_w"] / r["resize_h"] - r["w"] / r["h"]) < 0.2
+
+
+def test_caption_dedup_images_first_wins(ray_session, fixture_dir):
+    got = sorted(
+        r["image_id"]
+        for r in vision.caption_dedup_images(fixture_dir / "images.parquet").take_all()
+    )
+    t = _read_images(fixture_dir)
+    first = {}
+    for iid, cap in zip(
+        t.column("image_id").to_pylist(), t.column("caption").to_pylist()
+    ):
+        if cap not in first or iid < first[cap]:
+            first[cap] = iid
+    assert got == sorted(first.values())
+
+
+def test_sample_pixel_budget_matches_oracle(ray_session, fixture_dir):
+    from newscrawler_ray.pipelines.ordering import shuffle_key
+
+    t = _read_images(fixture_dir)
+    ids = t.column("image_id").to_pylist()
+    ints = np.array([int(i[4:]) for i in ids], np.int64)
+    px = (
+        np.array(t.column("w").to_pylist(), np.int64)
+        * np.array(t.column("h").to_pylist(), np.int64)
+    )
+    sk = shuffle_key(ints, 17)
+    order = np.lexsort((ints, sk))
+    cum = np.cumsum(px[order])
+    budget = int(cum[-1] // 3)
+    keep = cum <= budget
+    want = {ids[order[i]]: int(cum[i]) for i in np.nonzero(keep)[0]}
+    got = {
+        r["image_id"]: r["cum"]
+        for r in vision.sample_pixel_budget(
+            fixture_dir / "images.parquet", budget=budget
+        ).take_all()
+    }
+    assert got == want and 0 < len(got) < len(ids)
+
+
+def test_caption_dedup_images_planted_dups(ray_session, tmp_path):
+    # planted boilerplate captions: 'image' shared by 3 rows, 'IMG'
+    # shared by 2 — first (min id) wins; unique captions all survive
+    ids = [f"img-{i:08d}" for i in range(10)]
+    caps = ["image", "c1", "image", "IMG", "c2", "IMG", "image",
+            "c3", "c4", "c5"]
+    pq.write_table(
+        pa.table({"image_id": pa.array(ids), "caption": pa.array(caps)}),
+        tmp_path / "images.parquet",
+    )
+    got = sorted(
+        r["image_id"]
+        for r in vision.caption_dedup_images(tmp_path / "images.parquet").take_all()
+    )
+    want = sorted(ids[i] for i in (0, 1, 3, 4, 7, 8, 9))
+    assert got == want
