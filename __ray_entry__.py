@@ -327,6 +327,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal stages (over synthetic payload tables)
         "image_features": _image_features,
         "phash_near_dup": _phash_near_dup,
+        # hamming-radius pHash pairs (re-encoded/resized copies land a
+        # few bits off the exact hash; shared 4-band pigeonhole kernel;
+        # rows-only — brute-force parity oracle in tests/)
+        "phash_radius_near_dup": _phash_radius_near_dup,
         # incremental image-snapshot dedup (bloom over phashes; rows-only
         # — no-false-negative + FP bounds in tests/)
         "bloom_dedup_images": _bloom_dedup_images,
@@ -705,6 +709,14 @@ def _phash_near_dup(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.multimodal import phash_near_dup_groups
 
     return phash_near_dup_groups(_fixture_images())
+
+
+def _phash_radius_near_dup(sf_dir: str) -> Any:
+    """Rows-only: hamming-radius pHash near-dup pairs over the synthetic
+    image table (sf_dir-independent input by design)."""
+    from newscrawler_ray.pipelines.multimodal import phash_radius_near_dup
+
+    return phash_radius_near_dup(_fixture_images())
 
 
 def _clip_score_filter(sf_dir: str) -> Any:

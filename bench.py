@@ -113,6 +113,7 @@ QUERY_NAMES = [
     "bucketed_training_batches",
     "caption_dedup_images",
     "sample_pixel_budget",
+    "phash_radius_near_dup",
 ]
 
 

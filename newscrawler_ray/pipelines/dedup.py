@@ -853,38 +853,61 @@ def simhash_docs(sf_dir: str, docs: rd.Dataset | None = None) -> rd.Dataset:
 def simhash_near_dup_pairs(
     sf_dir: str, *, max_hamming: int = 3, docs: rd.Dataset | None = None
 ) -> rd.Dataset:
-    """Hamming-radius SimHash near-dup pairs via the 4-band pigeonhole:
-    two 64-bit hashes within hamming distance 3 agree EXACTLY on at least
-    one of four 16-bit quarters, so candidates = groupby on each quarter
-    (same shuffle shape as MinHash banding), then verify the full
-    distance. Both stages are batch-vectorized (round-2 review finding:
-    the per-row Python loops are gone).
+    """Hamming-radius SimHash near-dup pairs: ``simhash_docs`` feeding
+    the shared 4-band pigeonhole kernel (``hamming_near_dup_pairs`` —
+    see there for the bucket plan, the first-agreeing-quarter dedup-free
+    emission and the zero-hash star guard)."""
+    return hamming_near_dup_pairs(
+        simhash_docs(sf_dir, docs=docs), max_hamming=max_hamming
+    )
+
+
+def hamming_near_dup_pairs(
+    hashed: rd.Dataset,
+    *,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    hash_col: str = "simhash",
+) -> rd.Dataset:
+    """Hamming-radius near-dup pairs over ANY (int64 id, int64 64-bit
+    hash) dataset via the 4-band pigeonhole: two 64-bit hashes within
+    hamming distance 3 agree EXACTLY on at least one of four 16-bit
+    quarters, so candidates = groupby on each quarter (same shuffle
+    shape as MinHash banding), then verify the full distance. Shared by
+    text SimHash and image pHash near-dup; both stages are
+    batch-vectorized. Output: (id_a, id_b, hamming).
 
     Dedup-free emission: a pair colliding in several quarters is emitted
     only from its FIRST agreeing quarter (bands are checked in order
     inside the bucket), so the per-band pair sets are disjoint and the
     whole (id_a, id_b) dedupe shuffle disappears.
 
-    Zero-hash guard: docs whose text has no tokens all get simhash 0 and
-    would collide in all four quarters — one skewed bucket with a
-    quadratic pair clique. Those docs are routed to a dedicated bucket
-    that emits only the SPANNING STAR of the clique (min doc_id paired
-    with every other, hamming 0): downstream clustering sees the exact
-    same components, and the output stays linear in the number of empty
-    docs. Zero-hash docs are NOT compared against nonzero hashes (a
-    nonzero hash within radius 3 of zero means <=3 bits of content —
-    degenerate by construction); documented deviation, covered by the
-    skew test."""
+    Zero-hash guard: degenerate inputs (empty docs, blank images) all
+    hash to 0 and would collide in all four quarters — one skewed bucket
+    with a quadratic pair clique. Those rows are routed to a dedicated
+    bucket that emits only the SPANNING STAR of the clique (min id
+    paired with every other, hamming 0): downstream clustering sees the
+    exact same components, and the output stays linear in the number of
+    degenerate rows. Zero-hash rows are NOT compared against nonzero
+    hashes (a nonzero hash within radius 3 of zero means <=3 bits of
+    content — degenerate by construction); documented deviation, covered
+    by the skew test.
+
+    Completeness: the 4-quarter pigeonhole GUARANTEES every pair within
+    hamming distance 3 is a candidate; larger ``max_hamming`` values are
+    allowed and verified exactly, but candidate generation is then
+    best-effort LSH (a pair differing in all four quarters is missed) —
+    the planted-pair test exercises that regime at radius 16."""
     from ..functions.hashing import popcount64
 
-    sh = simhash_docs(sf_dir, docs=docs)
+    sh = hashed
 
     nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
     coarse = nparts * 4  # part id `coarse` is reserved for the star bucket
 
     def quarters(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy()
-        h = batch.column("simhash").to_numpy()
+        ids = batch.column(id_col).to_numpy()
+        h = batch.column(hash_col).to_numpy()
         hu = h.view(_U64)
         nz = hu != 0
         idsn, hn, hun = ids[nz], h[nz], hu[nz]

@@ -143,6 +143,56 @@ def phash_near_dup_groups(images_path: str | Path) -> rd.Dataset:
     return out.map_batches(only_dups, batch_format="pyarrow")
 
 
+def phash_radius_near_dup(
+    images_path: str | Path, *, max_hamming: int = 3
+) -> rd.Dataset:
+    """Hamming-radius perceptual-hash image near-dup pairs — the classic
+    pHash detector (re-encoded/resized copies land within a few bits of
+    the original, not at the exact hash ``phash_near_dup_groups``
+    requires): the shared 4-band pigeonhole kernel
+    (``dedup.hamming_near_dup_pairs``) over the phash column. Reads only
+    (image_id, phash); payload bytes never move. Output:
+    (image_id_a, image_id_b, hamming)."""
+    from ..pipelines.vision import _image_id_to_int, _int_to_image_id
+    from .dedup import hamming_near_dup_pairs
+
+    ds = rd.read_parquet(str(images_path), columns=["image_id", "phash"])
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "iid": _image_id_to_int(batch.column("image_id")),
+                "phash": batch.column("phash"),
+            }
+        )
+
+    pairs = hamming_near_dup_pairs(
+        ds.map_batches(to_int, batch_format="pyarrow"),
+        max_hamming=max_hamming, id_col="iid", hash_col="phash",
+    )
+
+    def back(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"image_id_a": pa.array([], pa.string()),
+                 "image_id_b": pa.array([], pa.string()),
+                 "hamming": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "image_id_a": pa.array(
+                    _int_to_image_id(batch.column("id_a").to_numpy()), pa.string()
+                ),
+                "image_id_b": pa.array(
+                    _int_to_image_id(batch.column("id_b").to_numpy()), pa.string()
+                ),
+                "hamming": batch.column("hamming"),
+            }
+        )
+
+    return pairs.map_batches(back, batch_format="pyarrow")
+
+
 def bloom_dedup_images(
     images_path: str | Path, *, bits_per_key: int = 10
 ) -> rd.Dataset:

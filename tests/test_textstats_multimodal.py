@@ -277,3 +277,65 @@ def test_quality_classifier_distills_gate(ray_session):
     m1 = df.sort_values("doc_id", ignore_index=True)
     m2 = df2.sort_values("doc_id", ignore_index=True)
     assert (m1["prob"].values == m2["prob"].values).all()
+
+
+def test_phash_radius_near_dup_matches_brute(ray_session, fixture_dir):
+    """The 4-band pigeonhole over phashes must equal the brute-force
+    all-pairs hamming scan (nonzero hashes; zero-hash rows form a star
+    — none in this fixture)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        fixture_dir / "images.parquet", columns=["image_id", "phash"]
+    )
+    ids = t.column("image_id").to_pylist()
+    h = t.column("phash").to_numpy().view(np.uint64)
+    want = {}
+    x = h[:, None] ^ h[None, :]
+    # vectorized popcount via unpackbits on the byte view
+    ham = np.unpackbits(x.view(np.uint8).reshape(len(h), len(h), 8), axis=2).sum(
+        axis=2
+    )
+    for i in range(len(h)):
+        for j in range(i + 1, len(h)):
+            if ham[i, j] <= 3:
+                a, b = sorted((ids[i], ids[j]))
+                want[(a, b)] = int(ham[i, j])
+    got = {
+        (r["image_id_a"], r["image_id_b"]): r["hamming"]
+        for r in multimodal.phash_radius_near_dup(
+            fixture_dir / "images.parquet"
+        ).take_all()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_phash_radius_zero_hash_star(ray_session, tmp_path):
+    """Planted all-zero phashes (blank images) form a spanning star, not
+    a quadratic clique; nonzero near-zero hashes are not paired with
+    them (documented deviation)."""
+    import pyarrow.parquet as pq
+
+    ids = [f"img-{i:08d}" for i in range(8)]
+    ph = [0, 0, 0, 1, (1 << 5) | 1, 7 << 60, (7 << 60) | 2, 1 << 63]
+    pq.write_table(
+        pa.table(
+            {"image_id": pa.array(ids),
+             "phash": pa.array(np.array(ph, dtype=np.uint64).view(np.int64))}
+        ),
+        tmp_path / "images.parquet",
+    )
+    got = {
+        (r["image_id_a"], r["image_id_b"]): r["hamming"]
+        for r in multimodal.phash_radius_near_dup(
+            tmp_path / "images.parquet"
+        ).take_all()
+    }
+    # star over the three zero rows
+    assert got[(ids[0], ids[1])] == 0 and got[(ids[0], ids[2])] == 0
+    assert (ids[1], ids[2]) not in got
+    # nonzero near-dups found by the pigeonhole
+    assert got[(ids[3], ids[4])] == 1  # 1 ^ 33 = 32: one differing bit
+    assert got[(ids[5], ids[6])] == 1
+    # zero rows never pair with nonzero hashes (even hamming-1 ones)
+    assert (ids[0], ids[3]) not in got and (ids[0], ids[7]) not in got
