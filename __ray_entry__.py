@@ -242,6 +242,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (SQL-paired exact anti-aggregate; bloom variant is rows-only —
         # its FP/no-false-negative bounds are tested in tests/)
         "incremental_exact_dedup": D.incremental_exact_dedup,
+        # NEAR-dup snapshot-vs-corpus dedup: cross-origin-only prefix-
+        # filter pairs (old x old cliques never generated), then exact
+        # first-wins within the snapshot — SQL-checkable
+        "incremental_jaccard_dedup": lambda sf: D.incremental_jaccard_dedup(
+            sf, threshold=0.5
+        ),
         "bloom_dedup_docs": D.bloom_dedup_docs,
         # EXACT set-similarity self-join (prefix filtering) — unlike the
         # LSH families this one is deterministic and SQL-checkable
@@ -1101,6 +1107,33 @@ def oracle_sql() -> dict[str, str]:
                  nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 >= 5),
                  fresh AS (SELECT doc_id, text FROM nw
                            WHERE text NOT IN (SELECT text FROM old))
+            SELECT min(doc_id) AS doc_id FROM fresh GROUP BY text""",
+        # near-dup variant: drop new docs with jaccard >= 0.5 vs ANY old
+        # doc, then exact first-wins within the snapshot (same
+        # tokenization as ngram_jaccard_pairs)
+        "incremental_jaccard_dedup": r"""
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) < 3
+                       THEN [list_aggregate(w, 'string_agg', ' ')]
+                       ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             FOR i IN generate_series(1, len(w)-2)]
+                     END) AS grams
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '\W+'),
+                                       x -> x <> '') AS w
+                    FROM documents)
+            ), dropped AS (
+              SELECT DISTINCT n.doc_id
+              FROM g n JOIN g o
+                ON n.doc_id % 7 >= 5 AND o.doc_id % 7 < 5
+              WHERE len(list_intersect(n.grams, o.grams))::DOUBLE
+                    / nullif(len(list_distinct(n.grams || o.grams)), 0) >= 0.5
+            ), fresh AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id % 7 >= 5
+                AND doc_id NOT IN (SELECT doc_id FROM dropped)
+            )
             SELECT min(doc_id) AS doc_id FROM fresh GROUP BY text""",
         # stopword-profile language id is pure arithmetic over regex
         # token counts -> SQL-expressible (the +1e-9 before round

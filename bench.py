@@ -114,6 +114,7 @@ QUERY_NAMES = [
     "caption_dedup_images",
     "sample_pixel_budget",
     "phash_radius_near_dup",
+    "incremental_jaccard_dedup",
 ]
 
 

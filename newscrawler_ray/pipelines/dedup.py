@@ -501,6 +501,60 @@ def _df_bundle(g: rd.Dataset, df_cap: int):
     )
 
 
+def _make_prefix_rows(t: float, df_ref, num_partitions: int):
+    """map_batches fn over gram lists -> thin Jaccard prefix rows
+    (part, gram, doc_id, n_grams): each doc keeps its first
+    |G| - ceil(t|G|) + 1 grams under the rarest-first order (df asc,
+    gram asc; dfs from the broadcast ``_df_bundle``). Shared by the
+    self-join (``ngram_jaccard_pairs``) and the incremental
+    snapshot-vs-corpus join."""
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ids = batch.column("doc_id").to_numpy()
+        sizes = pc.list_value_length(batch.column("grams")).to_numpy().astype(np.int64)
+        vals = pc.list_flatten(batch.column("grams")).to_numpy().view(_U64)
+        if len(vals) == 0:
+            return pa.table(
+                {"part": pa.array([], pa.int32()),
+                 "gram": pa.array([], pa.int64()),
+                 "doc_id": pa.array([], pa.int64()),
+                 "n_grams": pa.array([], pa.int64())}
+            )
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), sizes)
+        sgv, sdf = ray.get(df_ref)
+        if len(sgv) == 0:  # no gram made the cap (or all df=1): default 1
+            df = np.ones(len(vals), np.int64)
+        else:
+            pos = np.minimum(np.searchsorted(sgv, vals), len(sgv) - 1)
+            df = np.where(sgv[pos] == vals, sdf[pos], 1)
+        # within-doc rarest-first order: (df asc, gram asc), doc-major
+        order = np.lexsort((vals, df, doc_of))
+        starts = np.zeros(len(ids), np.int64)
+        np.cumsum(sizes[:-1], out=starts[1:])
+        # prefix length per doc: |G| - ceil(t|G|) + 1. The epsilon guards
+        # float ceil: 0.85*20 evaluates to 17.000000000000004, whose ceil
+        # (18) would shorten the prefix and silently DROP pairs sitting
+        # exactly at the threshold (found by the hypothesis test).
+        pref = sizes - np.ceil(t * sizes - 1e-9).astype(np.int64) + 1
+        doc_sorted = doc_of[order]
+        r = np.arange(len(vals), dtype=np.int64) - starts[doc_sorted]
+        keep = r < pref[doc_sorted]
+        kept = vals[order][keep]
+        return pa.table(
+            {
+                "part": pa.array(
+                    (kept % _U64(num_partitions * 4)).astype(np.int32)
+                ),
+                "gram": pa.array(kept.view(np.int64), pa.int64()),
+                "doc_id": pa.array(ids[doc_sorted[keep]], pa.int64()),
+                "n_grams": pa.array(sizes[doc_sorted[keep]], pa.int64()),
+            }
+        )
+
+    return prefix_rows
+
+
 def ngram_jaccard_pairs(
     sf_dir: str,
     *,
@@ -554,50 +608,9 @@ def ngram_jaccard_pairs(
 
     df_ref = _df_bundle(g, df_cap)
 
-    def prefix_rows(batch: pa.Table) -> pa.Table:
-        batch = batch.combine_chunks()
-        ids = batch.column("doc_id").to_numpy()
-        sizes = pc.list_value_length(batch.column("grams")).to_numpy().astype(np.int64)
-        vals = pc.list_flatten(batch.column("grams")).to_numpy().view(_U64)
-        if len(vals) == 0:
-            return pa.table(
-                {"part": pa.array([], pa.int32()),
-                 "gram": pa.array([], pa.int64()),
-                 "doc_id": pa.array([], pa.int64()),
-                 "n_grams": pa.array([], pa.int64())}
-            )
-        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), sizes)
-        sgv, sdf = ray.get(df_ref)
-        if len(sgv) == 0:  # no gram made the cap (or all df=1): default 1
-            df = np.ones(len(vals), np.int64)
-        else:
-            pos = np.minimum(np.searchsorted(sgv, vals), len(sgv) - 1)
-            df = np.where(sgv[pos] == vals, sdf[pos], 1)
-        # within-doc rarest-first order: (df asc, gram asc), doc-major
-        order = np.lexsort((vals, df, doc_of))
-        starts = np.zeros(len(ids), np.int64)
-        np.cumsum(sizes[:-1], out=starts[1:])
-        # prefix length per doc: |G| - ceil(t|G|) + 1. The epsilon guards
-        # float ceil: 0.85*20 evaluates to 17.000000000000004, whose ceil
-        # (18) would shorten the prefix and silently DROP pairs sitting
-        # exactly at the threshold (found by the hypothesis test).
-        pref = sizes - np.ceil(t * sizes - 1e-9).astype(np.int64) + 1
-        doc_sorted = doc_of[order]
-        r = np.arange(len(vals), dtype=np.int64) - starts[doc_sorted]
-        keep = r < pref[doc_sorted]
-        kept = vals[order][keep]
-        return pa.table(
-            {
-                "part": pa.array(
-                    (kept % _U64(num_partitions * 4)).astype(np.int32)
-                ),
-                "gram": pa.array(kept.view(np.int64), pa.int64()),
-                "doc_id": pa.array(ids[doc_sorted[keep]], pa.int64()),
-                "n_grams": pa.array(sizes[doc_sorted[keep]], pa.int64()),
-            }
-        )
-
-    prefixes = g.map_batches(prefix_rows, batch_format="pyarrow")
+    prefixes = g.map_batches(
+        _make_prefix_rows(t, df_ref, num_partitions), batch_format="pyarrow"
+    )
 
     def coarse_pairs(group: pa.Table) -> pa.Table:
         # one Python call per COARSE part (gram % 4P), segments = exact
@@ -1562,6 +1575,107 @@ def bloom_contains(bits: np.ndarray, hashes: np.ndarray, m: int) -> np.ndarray:
     pos = _bloom_positions(hashes, m)
     probe = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
     return probe.all(axis=1)
+
+
+def incremental_jaccard_dedup(
+    sf_dir: str,
+    *,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_partitions: int | None = None,
+    df_cap: int = 4_000_000,
+) -> rd.Dataset:
+    """NEAR-dup dedup of the new snapshot against the old corpus — the
+    op a recurring crawl runs when exact hashing isn't enough (lightly
+    edited re-posts): drop every new doc with word-k-gram Jaccard >=
+    threshold against ANY old doc, then exact first-wins within the
+    snapshot itself. Deterministic and SQL-checkable row-for-row.
+
+    The point vs re-running ``ngram_jaccard_pairs`` on the union: pair
+    emission is restricted to CROSS-ORIGIN (new x old) pairs inside the
+    gram buckets — old x old cliques, by far the bulk of a mature
+    corpus's candidate mass, are never generated, so per-snapshot cost
+    scales with the snapshot's collision surface, not the corpus's.
+    (At 100 TB the old side's prefix rows would come from a precomputed
+    prefix table, making the incremental run one-sided; here both sides
+    derive from the same scan.) Within-snapshot NEAR-dups are kept (only
+    exact copies collapse) — matching the old-corpus-authority contract
+    of ``incremental_exact_dedup``.
+    """
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    t = threshold
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    g = _gram_lists(ds, k).materialize()
+    df_ref = _df_bundle(g, df_cap)
+    prefixes = g.map_batches(
+        _make_prefix_rows(t, df_ref, num_partitions), batch_format="pyarrow"
+    )
+
+    def cross_pairs(group: pa.Table) -> pa.Table:
+        # (new x old) pairs only: semi-pair emission flagged on the NEW
+        # side (every emitted pair has >= 1 new member), then drop the
+        # new x new ones; old x old pairs are never generated at all
+        ids = group.column("doc_id").to_numpy()
+        grams = group.column("gram").to_numpy()
+        sizes = group.column("n_grams").to_numpy()
+        is_new = (ids % _SNAP_MOD >= _SNAP_NEW).astype(np.int8)
+        ia, ib, order = _bucket_semi_pair_indices([grams], is_new, ids)
+        srt_ids, srt_sz, srt_new = ids[order], sizes[order], is_new[order]
+        cross = srt_new[ia] != srt_new[ib]
+        lo = np.minimum(srt_sz[ia], srt_sz[ib])
+        hi = np.maximum(srt_sz[ia], srt_sz[ib])
+        keep = cross & (lo >= np.ceil(t * hi - 1e-9))
+        a, b = srt_ids[ia[keep]], srt_ids[ib[keep]]
+        # orient (id_a, id_b) = (min, max) for the shared verify stage
+        a2, b2 = np.minimum(a, b), np.maximum(a, b)
+        if len(a2):  # local dedup (jaccard-join lesson: no global distinct)
+            o = np.lexsort((b2, a2))
+            a2, b2 = a2[o], b2[o]
+            first = np.r_[True, (a2[1:] != a2[:-1]) | (b2[1:] != b2[:-1])]
+            a2, b2 = a2[first], b2[first]
+        return pa.table(
+            {"id_a": pa.array(a2, pa.int64()), "id_b": pa.array(b2, pa.int64())}
+        )
+
+    cand = prefixes.groupby("part").map_groups(cross_pairs, batch_format="pyarrow")
+    cand = cand.repartition(num_partitions)
+    verified = jaccard_verify_pairs(
+        cand, ds, threshold, num_partitions, k=k, grams=g
+    )
+
+    def dropped_new(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        ids = np.concatenate(
+            [batch.column("id_a").to_numpy(), batch.column("id_b").to_numpy()]
+        )
+        keep = ids % _SNAP_MOD >= _SNAP_NEW  # exactly one side is new
+        return pa.table({"doc_id": pa.array(np.unique(ids[keep]), pa.int64())})
+
+    drop = verified.map_batches(dropped_new, batch_format="pyarrow")
+    drop = drop.repartition(num_partitions).materialize()
+
+    # surviving new docs -> exact first-wins within the snapshot
+    def new_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        nw = ids % _SNAP_MOD >= _SNAP_NEW
+        kept = batch.filter(pa.array(nw))
+        h = [content_hash64(x) for x in kept.column("text").to_pylist()]
+        return pa.table(
+            {"content_hash": pa.array(h, pa.int64()), "doc_id": kept.column("doc_id")}
+        )
+
+    fresh = ds.map_batches(new_rows, batch_format="pyarrow")
+    if drop.count() > 0:
+        fresh = fresh.repartition(num_partitions).join(
+            drop,
+            join_type="left_anti",
+            num_partitions=num_partitions,
+            on=("doc_id",),
+        )
+    out = fresh.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
+    return out.select_columns(["doc_id"])
 
 
 def bloom_dedup_docs(

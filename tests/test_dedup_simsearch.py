@@ -738,3 +738,45 @@ def test_containment_catches_asymmetric_quote(ray_session):
     assert cont[(0, 1)] == 1.0
     jac = dedup.ngram_jaccard(short, long, 3)
     assert jac < 0.2  # jaccard would never flag this pair at 0.5
+
+
+def test_incremental_jaccard_dedup_contract(ray_session, tmp_path):
+    """Planted semantics: a new doc near-dup of an OLD doc drops; two
+    new docs that are near-dups of each other both survive (only exact
+    copies collapse within the snapshot); exact new-new copies
+    first-wins. doc_id % 7 >= 5 is 'new'."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(31)
+    vocab = [f"v{i}" for i in range(300)]
+    base_old = " ".join(rng.choice(vocab, size=40))
+    near_new = base_old.replace(base_old.split()[3], "zzz")  # ~ old -> drop
+    twin_a = " ".join(rng.choice(vocab, size=40))
+    twin_b = twin_a.replace(twin_a.split()[7], "qqq")  # new~new -> both stay
+    exact = " ".join(rng.choice(vocab, size=40))
+    texts, ids = {}, []
+    # old side: ids % 7 < 5
+    texts[0] = base_old
+    texts[1] = " ".join(rng.choice(vocab, size=40))
+    # new side: ids % 7 >= 5
+    texts[5] = near_new
+    texts[6] = twin_a
+    texts[12] = twin_b
+    texts[13] = exact
+    texts[19] = exact  # exact copy of 13 -> first-wins keeps 13
+    texts[20] = " ".join(rng.choice(vocab, size=40))  # fresh unique
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "text": pa.array([texts[i] for i in ids])}
+        ),
+        tmp_path / "documents.parquet",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dedup.incremental_jaccard_dedup(
+            str(tmp_path), threshold=0.5, num_partitions=4
+        ).take_all()
+    )
+    assert got == [6, 12, 13, 20]
