@@ -262,6 +262,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-level dedup (pairs -> connected components -> keep the
         # cluster min): exact variant is SQL-checkable via recursive CTE
         "jaccard_dedup_docs": lambda sf: D.jaccard_dedup_docs(sf, threshold=0.5),
+        # corpus dedup under the CONTAINMENT relation (quotes-plus-
+        # commentary re-posts) — recursive-CTE hard oracle
+        "containment_dedup_docs": lambda sf: D.containment_dedup_docs(
+            sf, threshold=0.6
+        ),
+        # C4-style normalized exact dedup (case/punct/whitespace
+        # variants) — SQL-exact
+        "normalized_exact_dedup": D.normalized_exact_dedup,
         "minhash_dedup_docs": lambda sf: D.minhash_dedup_docs(sf, threshold=0.5),
         # cross-modal corpus dedup: clusters closed under (embedding
         # cosine >= 0.4 OR word-3-gram jaccard >= 0.5) keep min doc_id;
@@ -1830,6 +1838,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT node FROM lbl WHERE comp < node)""",
+        "containment_dedup_docs": r"""
+            -- corpus dedup with TRANSITIVE closure under containment:
+            -- clusters connected by inter/min >= 0.6 keep their min id
+            WITH RECURSIVE g AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) < 3
+                       THEN [list_aggregate(w, 'string_agg', ' ')]
+                       ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             FOR i IN generate_series(1, len(w)-2)]
+                     END) AS grams
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '\W+'),
+                                       x -> x <> '') AS w
+                    FROM documents)
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                    / nullif(least(len(a.grams), len(b.grams)), 0) >= 0.6
+            ), e AS (
+              SELECT id_a AS u, id_b AS v FROM p
+              UNION SELECT id_b, id_a FROM p
+            ), reach(n, x) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM e)
+              UNION
+              SELECT r.n, e.v FROM reach r JOIN e ON e.u = r.x
+            ), lbl AS (
+              SELECT n AS node, min(x) AS comp FROM reach GROUP BY n
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT node FROM lbl WHERE comp < node)""",
+        "normalized_exact_dedup": r"""
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))""",
         "crossmodal_dedup_docs": r"""
             -- transitive closure over the UNION of both modalities'
             -- near-dup relations (text jaccard OR embedding cosine)

@@ -115,6 +115,8 @@ QUERY_NAMES = [
     "sample_pixel_budget",
     "phash_radius_near_dup",
     "incremental_jaccard_dedup",
+    "containment_dedup_docs",
+    "normalized_exact_dedup",
 ]
 
 

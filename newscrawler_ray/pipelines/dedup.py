@@ -1209,6 +1209,65 @@ def jaccard_dedup_docs(
     return _survivors(docs, pairs, num_partitions)
 
 
+def containment_dedup_docs(
+    sf_dir: str, *, threshold: float = 0.6, k: int = 3,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Corpus dedup under the CONTAINMENT relation with transitive
+    closure: clusters connected by |A∩B| / min(|A|,|B|) >= threshold
+    keep only their min doc_id — the pass that removes quotes-plus-
+    commentary re-posts a Jaccard-threshold dedup leaves in.
+    Deterministic (exact containment join + connected components), so a
+    DuckDB recursive-CTE oracle checks it row-for-row."""
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    pairs = ngram_containment_pairs(
+        sf_dir, threshold=threshold, k=k, docs=docs,
+        num_partitions=num_partitions,
+    )
+
+    def thin(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"id_a": batch.column("id_a"), "id_b": batch.column("id_b")}
+        )
+
+    return _survivors(
+        docs, pairs.map_batches(thin, batch_format="pyarrow"), num_partitions
+    )
+
+
+def normalized_exact_dedup(sf_dir: str) -> rd.Dataset:
+    """C4-style NORMALIZED exact dedup: lowercase, strip every
+    non-alphanumeric run to a single space, trim — then first-wins by
+    the normalized form (catches the case/punctuation/whitespace
+    variants byte-exact dedup misses; Raffel et al. 2020 dedupe on
+    normalized three-sentence spans, this is the doc-level form). Same
+    one-aggregate shape as ``exact_dedup_docs``: only (hash, doc_id)
+    shuffles. SQL-exact vs lower+regexp_replace+trim."""
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def rows(batch: pa.Table) -> pa.Table:
+        norm = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch.column("text")), r"[^a-z0-9]+", " "
+            )
+        )
+        h = [content_hash64(x) for x in norm.to_pylist()]
+        return pa.table(
+            {"norm_hash": pa.array(h, pa.int64()), "doc_id": batch.column("doc_id")}
+        )
+
+    out = ds.map_batches(rows, batch_format="pyarrow").groupby(
+        "norm_hash"
+    ).aggregate(Min("doc_id", alias_name="doc_id"))
+    return out.select_columns(["doc_id"])
+
+
 def crossmodal_dedup_docs(
     sf_dir: str,
     *,

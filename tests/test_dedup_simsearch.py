@@ -780,3 +780,63 @@ def test_incremental_jaccard_dedup_contract(ray_session, tmp_path):
         ).take_all()
     )
     assert got == [6, 12, 13, 20]
+
+
+def test_containment_dedup_transitive(ray_session, tmp_path):
+    """Quote-chain closure: short S contained in A, A contained in
+    longer B -> {S, A, B} is one cluster keeping min id, even though
+    S-vs-B Jaccard is tiny."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(41)
+    vocab = [f"v{i}" for i in range(400)]
+    short = " ".join(rng.choice(vocab, size=10))
+    mid = short + " " + " ".join(rng.choice(vocab, size=8))
+    longd = mid + " " + " ".join(rng.choice(vocab, size=60))
+    texts = {0: short, 1: mid, 2: longd}
+    for i in range(3, 20):
+        texts[i] = " ".join(rng.choice(vocab, size=40))
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array([texts[i] for i in ids])}),
+        tmp_path / "documents.parquet",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dedup.containment_dedup_docs(
+            str(tmp_path), threshold=0.9, num_partitions=4
+        ).take_all()
+    )
+    assert got == [0] + list(range(3, 20))  # 1 and 2 fold into 0's cluster
+    # ... and the jaccard dedup at the same bar keeps all three
+    jd = sorted(
+        r["doc_id"]
+        for r in dedup.jaccard_dedup_docs(
+            str(tmp_path), threshold=0.9, num_partitions=4
+        ).take_all()
+    )
+    assert jd == list(range(20))
+
+
+def test_normalized_exact_dedup_planted(ray_session, tmp_path):
+    import pyarrow as pa
+
+    texts = [
+        "The quick brown fox!",
+        "the  quick   BROWN fox",   # same after normalization
+        "the quick brown fox.",     # same after normalization
+        "an entirely different doc",
+        "An, entirely; different doc",  # same as 3
+        "something else",
+    ]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(texts)}),
+        tmp_path / "documents.parquet",
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dedup.normalized_exact_dedup(str(tmp_path)).take_all()
+    )
+    assert got == [0, 3, 5]
