@@ -1411,37 +1411,77 @@ def _resumable_shard_write(
     """Write one parquet dir per shard with atomic ``_DONE`` markers
     (``kept`` is materialized and carries an int64 ``shard`` column);
     reruns skip finished shards, crashed partials rewrite byte-identical
-    rows (per-shard sort on ``key`` pins the row order — the sort
-    exchange is bounded to one shard's rows). Returns the
-    (shard, n_rows, skipped) manifest. Shared by
+    rows. Returns the (shard, n_rows, skipped) manifest. Shared by
     ``export_training_shards``, ``prepare_training_data`` and
-    ``vision.export_image_shards``."""
-    manifest = []
+    ``vision.export_image_shards``.
+
+    All PENDING shards land in ONE hive-partitioned parquet write (the
+    term-index lesson: a serial per-shard filter+sort+write loop pays
+    ~4 dataset-execution launches per shard; measured at sf0.1/32 CPUs
+    the loop's write tail was ~9.5 s of export_image_shards' 22 s —
+    with the bulk write the op is 12.5 s, i.e. curation plus ~2.5 s,
+    and prepare_training_data went 5.8 s -> 3.3 s).
+    Shard atomicity is unchanged: a _DONE marker is touched only after
+    the bulk write returns, a crash before that leaves partials that the
+    next run rmtree-rewrites, and finished shards are filtered out of
+    the write entirely. The global sort on ``key`` pins a deterministic
+    row order (shard dirs are disjoint key-hash slices of one sorted
+    stream, so per-shard content is the same as sorting each shard
+    alone)."""
+    import shutil
+
+    pending, manifest_rows = [], {}
     for s in range(n_shards):
         sdir = out_dir / f"shard={s:04d}"
-        done = sdir / "_DONE"
-        if done.exists():
-            manifest.append((s, -1, True))
+        if (sdir / "_DONE").exists():
+            manifest_rows[s] = (-1, True)
             continue
         if sdir.exists():  # partial from a crashed run: rewrite cleanly
-            import shutil
-
             shutil.rmtree(sdir)
-        part = kept.filter(expr=f"shard == {s}").drop_columns(["shard"])
-        part = part.sort(key)  # deterministic row order per shard
-        part.write_parquet(str(sdir))
-        if sdir.exists():
-            n = rd.read_parquet(str(sdir)).count()
-        else:  # zero survivors hash here: no files, still a finished shard
-            sdir.mkdir(parents=True)
-            n = 0
-        done.touch()  # atomic-enough marker: written only after the data
-        manifest.append((s, n, False))
+        pending.append(s)
+    if pending:
+        pend_set = pa.array(pending, pa.int64())
+
+        def only_pending(batch: pa.Table) -> pa.Table:
+            return batch.filter(
+                pc.is_in(batch.column("shard"), value_set=pend_set)
+            )
+
+        part = kept.map_batches(only_pending, batch_format="pyarrow")
+
+        # zero-padded STRING partition values keep the shard=%04d dir
+        # naming of the resume contract under hive partitioning
+        def pad_shard(batch: pa.Table) -> pa.Table:
+            i = batch.schema.get_field_index("shard")
+            vals = batch.column("shard").to_numpy()
+            return batch.set_column(
+                i, "shard",
+                pa.array([f"{v:04d}" for v in vals], pa.string()),
+            )
+
+        counts = np.zeros(n_shards, np.int64)
+        for b in kept.select_columns(["shard"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            if b.num_rows:
+                s = b.column("shard").to_numpy()
+                np.add.at(counts, s[np.isin(s, pending)], 1)
+        if counts[pending].sum() > 0:  # write_parquet on 0 rows is a no-op
+            part.sort(key).map_batches(
+                pad_shard, batch_format="pyarrow"
+            ).write_parquet(str(out_dir), partition_cols=["shard"])
+        for s in pending:
+            sdir = out_dir / f"shard={s:04d}"
+            sdir.mkdir(parents=True, exist_ok=True)  # zero-row shard
+            (sdir / "_DONE").touch()  # marker only after the data
+            manifest_rows[s] = (int(counts[s]), False)
     return pa.table(
         {
-            "shard": pa.array([m[0] for m in manifest], _I64),
-            "n_rows": pa.array([m[1] for m in manifest], _I64),
-            "skipped": pa.array([m[2] for m in manifest]),
+            "shard": pa.array(range(n_shards), _I64),
+            "n_rows": pa.array(
+                [manifest_rows[s][0] for s in range(n_shards)], _I64
+            ),
+            "skipped": pa.array([manifest_rows[s][1] for s in range(n_shards)]),
         }
     )
 
