@@ -322,6 +322,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sequence packing (rows-only: bin layout is a function of the
         # fixed blocking; invariants + determinism tested in tests/)
         "pack_token_bins": T.pack_token_bins,
+        # sliding-window token chunking (context-window prep for docs
+        # longer than a training sequence; SQL-exact vs
+        # generate_series + list_slice)
+        "chunk_documents": lambda sf: T.chunk_documents(
+            sf, chunk_tokens=24, stride=12
+        ),
         # BPE tokenizer training on the corpus + corpus-wide encoding
         # (rows-only: iterative merge loop; exact brute-force-retrain
         # and reference-encode oracles in tests/test_tokenizer.py)
@@ -1071,6 +1077,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, len(regexp_extract_all(text, '\w+|[^\w\s]')) AS n_bpe_tokens
             FROM documents""",
         "exact_dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+        # same token definition as token_stats; starts every 12 tokens,
+        # windows of 24 (1-based inclusive list_slice)
+        "chunk_documents": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text), '\s+') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, toks,
+                     unnest(range(0, len(toks), 12)) AS start
+              FROM w
+            )
+            SELECT doc_id,
+                   CAST(start / 12 AS BIGINT) AS chunk_id,
+                   CAST(len(list_slice(toks, start + 1, start + 24))
+                        AS BIGINT) AS n_chunk_tokens,
+                   list_aggregate(list_slice(toks, start + 1, start + 24),
+                                  'string_agg', ' ') AS chunk_text
+            FROM s""",
         "dsir_select": r"""
             WITH w AS (
               SELECT doc_id, lang,

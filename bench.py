@@ -117,6 +117,7 @@ QUERY_NAMES = [
     "incremental_jaccard_dedup",
     "containment_dedup_docs",
     "normalized_exact_dedup",
+    "chunk_documents",
 ]
 
 

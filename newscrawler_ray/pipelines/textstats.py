@@ -290,6 +290,70 @@ def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> np.ndarray:
     return np.unique(wins.min(axis=1))
 
 
+def chunk_documents(
+    sf_dir: str,
+    *,
+    chunk_tokens: int = 128,
+    stride: int = 64,
+    docs: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """Sliding-window token chunking — the preprocessing step between
+    curation and packing for docs longer than a training context:
+    every doc splits into windows of ``chunk_tokens`` whitespace tokens
+    starting every ``stride`` tokens (stride < chunk_tokens = the
+    standard overlapping-window recipe, so no token is seen only at a
+    window edge). Output: (doc_id, chunk_id, n_chunk_tokens,
+    chunk_text); chunk_text is the window's tokens re-joined with
+    single spaces (token chunking canonicalizes whitespace by
+    construction). Token definition matches ``token_stats`` exactly,
+    so every doc — even an empty one, which holds one empty token under
+    that contract — emits ceil(n_tokens / stride) >= 1 chunks.
+
+    One shuffle-free vectorized map: split once per batch, build all
+    window gather indices with arange algebra (no per-doc Python), one
+    ``pc.binary_join`` rebuilds the texts. SQL-exact vs
+    generate_series + list_slice."""
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    if docs is None:
+        docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        ids = batch.column("doc_id").to_numpy()
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch.column("text")), r"\s+"
+        )
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        doc_off = np.zeros(len(ids) + 1, np.int64)
+        np.cumsum(n, out=doc_off[1:])
+        c = -(-n // stride)  # chunks per doc = ceil(n / stride)
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), c)
+        chunk_idx = _ranges(c)
+        starts = chunk_idx * stride
+        sizes = np.minimum(chunk_tokens, n[doc_of] - starts)
+        begins = doc_off[doc_of] + starts
+        gather = np.repeat(begins, sizes) + _ranges(sizes)
+        offs = np.zeros(len(sizes) + 1, np.int32)
+        np.cumsum(sizes, out=offs[1:])
+        win = pa.ListArray.from_arrays(
+            pa.array(offs), flat.take(pa.array(gather))
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_of], pa.int64()),
+                "chunk_id": pa.array(chunk_idx, pa.int64()),
+                "n_chunk_tokens": pa.array(sizes, pa.int64()),
+                "chunk_text": pc.binary_join(win, " "),
+            }
+        )
+
+    return docs.map_batches(chunks, batch_format="pyarrow")
+
+
 def _ranges(counts: np.ndarray) -> np.ndarray:
     """[0..c0), [0..c1), ... concatenated (vectorized arange-per-group)."""
     total = int(counts.sum())

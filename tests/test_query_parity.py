@@ -72,6 +72,10 @@ def test_every_query_has_oracle_or_is_marked():
                                        "headline", "clip", "curate", "pack",
                                        "kmeans", "bloom", "pq", "export",
                                        "semdedup", "recrawl",
+                                       # image-table ops: the images
+                                       # table isn't a registered DuckDB
+                                       # view (rows-only by necessity)
+                                       "aspect", "bucketed", "caption",
                                        # iterative BPE / composed tiers /
                                        # model-based mining: no SQL analog
                                        "train_bpe", "bpe_encode",

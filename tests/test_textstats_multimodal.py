@@ -339,3 +339,50 @@ def test_phash_radius_zero_hash_star(ray_session, tmp_path):
     assert got[(ids[5], ids[6])] == 1
     # zero rows never pair with nonzero hashes (even hamming-1 ones)
     assert (ids[0], ids[3]) not in got and (ids[0], ids[7]) not in got
+
+
+def test_chunk_documents_window_invariants(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(3)
+    texts = [
+        " ".join(f"t{j}" for j in range(n))
+        for n in (1, 5, 12, 13, 24, 25, 40, 100)
+    ] + ["", "   "]  # empty/whitespace: one empty token (token_stats rule)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)}),
+        tmp_path / "documents.parquet",
+    )
+    rows = textstats.chunk_documents(
+        str(tmp_path), chunk_tokens=24, stride=12
+    ).take_all()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r
+    for d, text in enumerate(texts):
+        toks = text.strip().split(" ") if text.strip() else [""]
+        # token_stats contract: split on \s+ after trim; '' -> ['']
+        import re
+        toks = re.split(r"\s+", text.strip()) if text.strip() else [""]
+        n = len(toks)
+        want_chunks = -(-n // 12)
+        got = by_doc[d]
+        assert sorted(got) == list(range(want_chunks)), (d, n)
+        for cid, r in got.items():
+            window = toks[cid * 12: cid * 12 + 24]
+            assert r["chunk_text"] == " ".join(window)
+            assert r["n_chunk_tokens"] == len(window)
+        # stride < chunk: consecutive windows overlap by chunk - stride
+        # unless the doc ends first; every token index is covered
+        covered = set()
+        for cid in got:
+            covered.update(range(cid * 12, min(cid * 12 + 24, n)))
+        assert covered == set(range(n))
+
+
+def test_chunk_documents_rejects_bad_params(ray_session):
+    with pytest.raises(ValueError):
+        textstats.chunk_documents("unused", chunk_tokens=0)
+    with pytest.raises(ValueError):
+        textstats.chunk_documents("unused", stride=0)
