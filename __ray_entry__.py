@@ -148,6 +148,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins (SURVEY J1-J3)
         "seg_revenue": Q.seg_revenue,
         "nation_orders": Q.nation_orders,
+        # per-type z-score outlier detection (monitoring pass; one
+        # moments aggregate + broadcast + shuffle-free flag map;
+        # SQL-exact with the sum-of-squares formula written out)
+        "zscore_anomaly_events": Q.zscore_anomaly_events,
         # windows (SURVEY §2.9)
         "events_daily_window": Q.events_daily_window,
         # sliding 7-day calendar window over the daily series
@@ -351,6 +355,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # few bits off the exact hash; shared 4-band pigeonhole kernel;
         # rows-only — brute-force parity oracle in tests/)
         "phash_radius_near_dup": _phash_radius_near_dup,
+        # ... and the corpus survivor set on top (pairs -> connected
+        # components -> keep cluster min; rows-only — union-find parity
+        # oracle in tests/)
+        "phash_dedup_images": _phash_dedup_images,
         # incremental image-snapshot dedup (bloom over phashes; rows-only
         # — no-false-negative + FP bounds in tests/)
         "bloom_dedup_images": _bloom_dedup_images,
@@ -731,6 +739,14 @@ def _phash_near_dup(sf_dir: str) -> Any:
     return phash_near_dup_groups(_fixture_images())
 
 
+def _phash_dedup_images(sf_dir: str) -> Any:
+    """Rows-only: pHash hamming-radius corpus dedup over the synthetic
+    image table (sf_dir-independent input by design)."""
+    from newscrawler_ray.pipelines.multimodal import phash_dedup_images
+
+    return phash_dedup_images(_fixture_images())
+
+
 def _phash_radius_near_dup(sf_dir: str) -> Any:
     """Rows-only: hamming-radius pHash near-dup pairs over the synthetic
     image table (sf_dir-independent input by design)."""
@@ -1003,6 +1019,23 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 60 MINUTE
             WHERE p.event_type = 'purchase'
             GROUP BY p.event_id, p.user_id""",
+        # stddev written as the same sum-of-squares formula the engine
+        # computes (DuckDB's STDDEV recurrence differs in last ulps);
+        # the cut compares the ROUNDED z on both sides
+        "zscore_anomaly_events": """
+            WITH a AS (
+              SELECT event_type, count(*)::DOUBLE AS n,
+                     sum(value) AS s, sum(value * value) AS ss
+              FROM events GROUP BY event_type
+            ), st AS (
+              SELECT event_type, s / n AS mu,
+                     sqrt((ss - s * s / n) / (n - 1)) AS sd
+              FROM a
+            )
+            SELECT e.event_id, e.event_type, round(e.value, 4) AS value,
+                   round((e.value - st.mu) / st.sd + 1e-9, 4) AS z
+            FROM events e JOIN st USING (event_type)
+            WHERE abs(round((e.value - st.mu) / st.sd + 1e-9, 4)) > 3""",
         "events_rolling_7d": """
             WITH d AS (
                 SELECT event_type, date_trunc('day', ts) AS day,

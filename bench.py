@@ -118,6 +118,8 @@ QUERY_NAMES = [
     "containment_dedup_docs",
     "normalized_exact_dedup",
     "chunk_documents",
+    "zscore_anomaly_events",
+    "phash_dedup_images",
 ]
 
 

@@ -193,6 +193,69 @@ def phash_radius_near_dup(
     return pairs.map_batches(back, batch_format="pyarrow")
 
 
+def phash_dedup_images(
+    images_path: str | Path, *, max_hamming: int = 3
+) -> rd.Dataset:
+    """Corpus-level image dedup under the pHash hamming-radius relation
+    with transitive closure: every cluster of images connected by
+    hamming(phash) <= max_hamming keeps only its min image_id — the
+    full survivor-set op on top of ``phash_radius_near_dup`` (pairs ->
+    distributed connected components -> hash anti-join), mirroring
+    ``dedup.jaccard_dedup_docs`` for the image tower. Reads only
+    (image_id, phash); payload bytes never move."""
+    from ..pipelines.vision import _image_id_to_int, _int_to_image_id
+    from .dedup import hamming_near_dup_pairs
+    from .graph import connected_components
+
+    ds = rd.read_parquet(str(images_path), columns=["image_id", "phash"])
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "iid": _image_id_to_int(batch.column("image_id")),
+                "phash": batch.column("phash"),
+            }
+        )
+
+    ints = ds.map_batches(to_int, batch_format="pyarrow")
+    pairs = hamming_near_dup_pairs(
+        ints, max_hamming=max_hamming, id_col="iid", hash_col="phash"
+    )
+    assign = connected_components(pairs)
+
+    def non_roots(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"iid": pa.array([], pa.int64())})
+        keep = pa.compute.not_equal(
+            batch.column("node"), batch.column("component")
+        )
+        return pa.table({"iid": batch.filter(keep).column("node")})
+
+    import ray
+
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    drop = assign.map_batches(non_roots, batch_format="pyarrow")
+    drop = drop.repartition(nparts).materialize()
+    ids = ints.map_batches(
+        lambda b: pa.table({"iid": b.column("iid")}), batch_format="pyarrow"
+    )
+    if drop.count() > 0:
+        ids = ids.repartition(nparts).join(
+            drop, join_type="left_anti", num_partitions=nparts, on=("iid",)
+        )
+
+    def back(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"image_id": pa.array([], pa.string())})
+        return pa.table(
+            {"image_id": pa.array(
+                _int_to_image_id(batch.column("iid").to_numpy()), pa.string()
+            )}
+        )
+
+    return ids.map_batches(back, batch_format="pyarrow")
+
+
 def bloom_dedup_images(
     images_path: str | Path, *, bits_per_key: int = 10
 ) -> rd.Dataset:

@@ -138,6 +138,69 @@ def avg_value_by_type(sf_dir: str) -> rd.Dataset:
     return _round_col(out, {"avg_value": 4, "min_value": 4, "max_value": 4})
 
 
+def zscore_anomaly_events(sf_dir: str, *, z_cut: float = 3.0) -> rd.Dataset:
+    """Per-type z-score outlier detection over the events stream — the
+    classic monitoring pass (flag values more than ``z_cut`` sample
+    standard deviations from their type's mean). Two stages: ONE grouped
+    (n, sum, sum-of-squares) aggregate (types are low-cardinality, rows
+    are thin), moments broadcast as a numpy bundle, then a shuffle-free
+    map emits the anomalous rows. The sum-of-squares formula
+    sd = sqrt((ss - s^2/n) / (n-1)) is written out identically in the
+    SQL oracle (DuckDB's own STDDEV uses a different one-pass recurrence
+    whose last-ulp results may differ); the threshold compares the
+    ROUNDED z on both sides so the cut can't straddle float noise."""
+    import ray
+
+    ds = read_clean(_p(sf_dir, "events"), columns=["event_id", "event_type", "value"])
+
+    def sq(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy()
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "value": batch.column("value"),
+                "value2": pa.array(v * v, pa.float64()),
+            }
+        )
+
+    agg = ds.map_batches(sq, batch_format="pyarrow").groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="s"),
+        Sum("value2", alias_name="ss"),
+    )
+    parts = [
+        b for b in agg.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    mom = pa.concat_tables(parts).combine_chunks()
+    types = np.array(mom.column("event_type").to_pylist())
+    n = mom.column("n").to_numpy().astype(np.float64)
+    s = mom.column("s").to_numpy()
+    ss = mom.column("ss").to_numpy()
+    mu = s / n
+    sd = np.sqrt((ss - s * s / n) / (n - 1.0))
+    order = np.argsort(types)
+    bundle_ref = ray.put((types[order], mu[order], sd[order]))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        t, m, d = ray.get(bundle_ref)
+        keys = np.array(batch.column("event_type").to_pylist())
+        pos = np.searchsorted(t, keys)
+        v = batch.column("value").to_numpy()
+        z = np.round((v - m[pos]) / d[pos] + 1e-9, 4)
+        keep = np.abs(z) > z_cut
+        kept = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_id": kept.column("event_id"),
+                "event_type": kept.column("event_type"),
+                "value": pa.array(np.round(v[keep], 4), pa.float64()),
+                "z": pa.array(z[keep], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
 def part_brand_stats(sf_dir: str) -> rd.Dataset:
     ds = read_clean(_p(sf_dir, "part"), columns=["p_brand", "p_retailprice"])
     out = ds.groupby("p_brand").aggregate(

@@ -386,3 +386,45 @@ def test_chunk_documents_rejects_bad_params(ray_session):
         textstats.chunk_documents("unused", chunk_tokens=0)
     with pytest.raises(ValueError):
         textstats.chunk_documents("unused", stride=0)
+
+
+def test_phash_dedup_images_matches_union_find(ray_session, fixture_dir):
+    """Survivor set == driver union-find over the brute-force <=3-hamming
+    pair graph (zero-hash rows form their own star component)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        fixture_dir / "images.parquet", columns=["image_id", "phash"]
+    )
+    ids = t.column("image_id").to_pylist()
+    h = t.column("phash").to_numpy().view(np.uint64)
+    parent = list(range(len(ids)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    x = h[:, None] ^ h[None, :]
+    ham = np.unpackbits(x.view(np.uint8).reshape(len(h), len(h), 8), axis=2).sum(axis=2)
+    zero = h == 0
+    for i in range(len(h)):
+        for j in range(i + 1, len(h)):
+            linked = (
+                (zero[i] and zero[j])          # star bucket
+                or (not zero[i] and not zero[j] and ham[i, j] <= 3)
+            )
+            if linked:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    comp = {}
+    for i in range(len(ids)):
+        comp.setdefault(find(i), []).append(ids[i])
+    want = sorted(min(members) for members in comp.values())
+    got = sorted(
+        r["image_id"]
+        for r in multimodal.phash_dedup_images(fixture_dir / "images.parquet").take_all()
+    )
+    assert got == want and 0 < len(got) < len(ids)
