@@ -739,20 +739,32 @@ def _phash_near_dup(sf_dir: str) -> Any:
     return phash_near_dup_groups(_fixture_images())
 
 
+def _phash_demo_table():
+    """High-entropy (image_id, phash) demo table with planted near-dups
+    (the crawl fixture's low-entropy gradient phashes make every
+    hamming radius degenerate — 124 distinct hashes over 600 images;
+    the degenerate regime stays covered by the brute-parity tests)."""
+    from newscrawler_ray.pipelines.multimodal import synth_phash_table
+
+    return synth_phash_table(
+        "/tmp/newscrawler_ray_fixtures/phash_radius_2000.parquet", 2000, 5
+    )
+
+
 def _phash_dedup_images(sf_dir: str) -> Any:
-    """Rows-only: pHash hamming-radius corpus dedup over the synthetic
-    image table (sf_dir-independent input by design)."""
+    """Rows-only: pHash hamming-radius corpus dedup (sf_dir-independent
+    input by design — planted-near-dup phash table)."""
     from newscrawler_ray.pipelines.multimodal import phash_dedup_images
 
-    return phash_dedup_images(_fixture_images())
+    return phash_dedup_images(_phash_demo_table())
 
 
 def _phash_radius_near_dup(sf_dir: str) -> Any:
-    """Rows-only: hamming-radius pHash near-dup pairs over the synthetic
-    image table (sf_dir-independent input by design)."""
+    """Rows-only: hamming-radius pHash near-dup pairs (sf_dir-independent
+    input by design — planted-near-dup phash table)."""
     from newscrawler_ray.pipelines.multimodal import phash_radius_near_dup
 
-    return phash_radius_near_dup(_fixture_images())
+    return phash_radius_near_dup(_phash_demo_table())
 
 
 def _clip_score_filter(sf_dir: str) -> Any:

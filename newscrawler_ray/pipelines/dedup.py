@@ -721,7 +721,19 @@ def ngram_containment_pairs(
     is the shared gram-set join with ``measure="containment"``.
 
     Empty docs (no grams) never enter the gram stream and pair with
-    nothing — the SQL NULL-division convention."""
+    nothing — the SQL NULL-division convention.
+
+    Partitioning assumption / skew note: unlike the Jaccard join, the
+    index side here is the FULL gram stream, so a corpus-common gram
+    that lands in some doc's prefix spawns a bucket of df(gram) rows.
+    Rarest-first prefixes keep common grams out of prefixes for
+    ordinary docs; the residual hazard is a doc whose whole gram set is
+    corpus-common (a stopword-salad snippet) — its prefix grams drag
+    df-sized buckets in. Exactness forbids capping, so at 100 TB gate
+    such docs upstream (quality/stopword filters, which this repo runs
+    before dedup in ``curate_text_corpus``) or raise the threshold;
+    the coarse-partition emission at least spreads distinct hot grams
+    across partitions."""
     if docs is None:
         docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     if num_partitions is None:

@@ -143,6 +143,46 @@ def phash_near_dup_groups(images_path: str | Path) -> rd.Dataset:
     return out.map_batches(only_dups, batch_format="pyarrow")
 
 
+def synth_phash_table(path: str | Path, n: int = 2000, seed: int = 5) -> Path:
+    """Deterministic (image_id, phash) table for the hamming-radius
+    demos: uniform splitmix phashes (a real pHash over natural images is
+    near-uniform; the crawl fixture's gradient images are NOT — their
+    124 distinct low-entropy hashes make every radius degenerate) with
+    planted near-dups: row i+n/2 copies row i's hash with (i/50 mod 4)
+    bits flipped for i % 50 == 0 — pairs at hamming 0..3 plus two
+    planted all-zero rows (the star bucket). Pure function of (n, seed);
+    cached by existence."""
+    from ..functions.hashing import splitmix64
+
+    path = Path(path)
+    if path.exists():
+        return path
+    path.parent.mkdir(parents=True, exist_ok=True)
+    half = n // 2
+    base = splitmix64(
+        (np.arange(n, dtype=np.uint64) + np.uint64(seed)) * np.uint64(0x9E3779B97F4A7C15)
+    )
+    for i in range(0, half, 50):
+        flips = (i // 50) % 4
+        h = base[i]
+        for b in range(flips):
+            h ^= np.uint64(1) << np.uint64((i * 7 + b * 13) % 64)
+        base[half + i] = h
+    base[3] = np.uint64(0)
+    base[7] = np.uint64(0)
+    pq_mod = __import__("pyarrow.parquet", fromlist=["write_table"])
+    pq_mod.write_table(
+        pa.table(
+            {
+                "image_id": pa.array([f"img-{i:08d}" for i in range(n)]),
+                "phash": pa.array(base.view(np.int64), pa.int64()),
+            }
+        ),
+        str(path),
+    )
+    return path
+
+
 def phash_radius_near_dup(
     images_path: str | Path, *, max_hamming: int = 3
 ) -> rd.Dataset:
