@@ -152,6 +152,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # moments aggregate + broadcast + shuffle-free flag map;
         # SQL-exact with the sum-of-squares formula written out)
         "zscore_anomaly_events": Q.zscore_anomaly_events,
+        # PIVOT: one row per day, one count column per event type
+        # (indicator columns + ONE grouped sum — no per-type scans)
+        "events_pivot_daily": Q.events_pivot_daily,
+        # LEFT OUTER join preserving zero-count rows (pre-aggregated
+        # thin right side; the missing join type in the family)
+        "customer_urgent_counts": Q.customer_urgent_counts,
         # windows (SURVEY §2.9)
         "events_daily_window": Q.events_daily_window,
         # sliding 7-day calendar window over the daily series
@@ -1103,6 +1109,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
                    round(sum(value), 4) AS total
             FROM events GROUP BY event_type, date_trunc('day', ts)""",
+        "events_pivot_daily": """
+            SELECT date_trunc('day', ts) AS day,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY date_trunc('day', ts)""",
+        "customer_urgent_counts": """
+            SELECT c_custkey, count(o_orderkey) AS n_urgent
+            FROM customer LEFT JOIN orders
+              ON o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+            GROUP BY c_custkey""",
         "multi_source_union": """
             SELECT DISTINCT doc_id, source, lang FROM (
                 SELECT doc_id, source, lang FROM documents WHERE source = 'src0'

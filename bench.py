@@ -120,6 +120,8 @@ QUERY_NAMES = [
     "chunk_documents",
     "zscore_anomaly_events",
     "phash_dedup_images",
+    "events_pivot_daily",
+    "customer_urgent_counts",
 ]
 
 

@@ -582,6 +582,84 @@ def events_daily_window(sf_dir: str) -> rd.Dataset:
     return out.map_batches(fix_day_unit, batch_format="pyarrow")
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot_daily(sf_dir: str) -> rd.Dataset:
+    """PIVOT: one row per day with one count column per event type
+    (n_click, n_error, ...) — the wide layout a dashboard reads.
+    Expressed as indicator columns + ONE grouped Sum (the distributed
+    pivot shape: no per-type scans, no post-join); the type set is the
+    schema and must be closed, as in SQL PIVOT."""
+    ds = read_clean(_p(sf_dir, "events"), columns=["event_type", "ts"])
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(batch.column("ts"), unit="day")
+        cols = {"day": day}
+        for t in _EVENT_TYPES:
+            cols[f"n_{t}"] = pc.cast(
+                pc.equal(batch.column("event_type"), t), pa.int64()
+            )
+        return pa.table(cols)
+
+    ds = ds.map_batches(indicators, batch_format="pyarrow")
+    out = ds.groupby("day").aggregate(
+        *[Sum(f"n_{t}", alias_name=f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+    def fix_day_unit(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("day")
+        return batch.set_column(
+            i, "day", pc.cast(batch.column("day"), pa.timestamp("us"))
+        )
+
+    return out.map_batches(fix_day_unit, batch_format="pyarrow")
+
+
+def customer_urgent_counts(sf_dir: str) -> rd.Dataset:
+    """LEFT OUTER join preserving zero-count rows: per customer, the
+    number of URGENT orders — customers with none stay in the result
+    with 0 (the missing join type in the inner/semi/anti/asof family).
+    Right side is pre-aggregated to thin (custkey, n) rows BEFORE the
+    join (filter at the read + grouped count), so the outer join moves
+    one row per customer and one per matched key — never raw orders."""
+    import ray
+    import pyarrow.dataset as pads
+
+    cust = read_clean(_p(sf_dir, "customer"), columns=["c_custkey"])
+    orders = read_clean(
+        _p(sf_dir, "orders"),
+        columns=["o_custkey", "o_orderpriority"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    ).select_columns(["o_custkey"])
+    counts = orders.groupby("o_custkey").aggregate(Count(alias_name="n_urgent"))
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    j = cust.repartition(nparts).join(
+        counts.repartition(nparts),
+        join_type="left_outer",
+        num_partitions=nparts,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"c_custkey": pa.array([], pa.int64()),
+                 "n_urgent": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "n_urgent": pc.fill_null(
+                    pc.cast(batch.column("n_urgent"), pa.int64()), 0
+                ),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------ text stats
 
 
