@@ -115,3 +115,94 @@ def test_prefix_filter_join_equals_brute_force(docs_words, threshold):
         and round(ngram_jaccard(texts[i], texts[j], 3), 4) >= threshold
     )
     assert got == exp
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 12), min_size=0, max_size=25),
+        min_size=2,
+        max_size=14,
+    ),
+    st.sampled_from([0.4, 0.65, 0.9]),
+)
+@settings(max_examples=10, deadline=None)
+def test_containment_join_equals_brute_force(docs_words, threshold):
+    """The containment prefix filter is EXACT on arbitrary small corpora:
+    precisely the pairs with |A∩B| / min(|A|,|B|) >= t, no extras."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from newscrawler_ray.pipelines.dedup import (
+        _shingles,
+        ngram_containment_pairs,
+    )
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=4, include_dashboard=False,
+            ignore_reinit_error=True, logging_level="ERROR",
+        )
+    texts = [" ".join(f"w{w}" for w in words) for words in docs_words]
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts)}
+        )
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["containment"])
+        for r in ngram_containment_pairs(
+            "unused", threshold=threshold, docs=ds, num_partitions=2
+        ).take_all()
+    )
+    gs = [set(_shingles(t, 3).tolist()) for t in texts]
+    exp = []
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            lo = min(len(gs[i]), len(gs[j]))
+            if lo == 0:
+                continue
+            c = len(gs[i] & gs[j]) / lo
+            if c >= threshold:
+                exp.append((i, j, round(c, 4)))
+    assert got == sorted(exp)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2**32 - 1), st.integers(0, 30)),
+        min_size=0,
+        max_size=60,
+    ),
+    st.integers(0, 400),
+)
+@settings(max_examples=10, deadline=None)
+def test_prefix_cutoff_equals_running_sum(rows, budget):
+    """global_prefix_cutoff == the driver-side inclusive running-sum cut
+    for arbitrary keys/weights/budgets (duplicate keys break ties by the
+    tiebreak column; zero weights ride along at the boundary)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from newscrawler_ray.pipelines.ordering import global_prefix_cutoff
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=4, include_dashboard=False,
+            ignore_reinit_error=True, logging_level="ERROR",
+        )
+    k = np.array([r[0] for r in rows], np.int64)
+    w = np.array([r[1] for r in rows], np.int64)
+    tb = np.arange(len(rows), dtype=np.int64)
+    out = global_prefix_cutoff(
+        rd.from_arrow(pa.table({"k": k, "tb": tb, "w": w})),
+        "k", "tb", "w", budget, n_buckets=8,
+    ).take_all()
+    order = np.lexsort((tb, k))
+    cum = np.cumsum(w[order]) if len(rows) else np.zeros(0, np.int64)
+    keep = cum <= budget
+    exp = {int(tb[order[i]]): int(cum[i]) for i in np.nonzero(keep)[0]}
+    assert {r["tb"]: r["cum"] for r in out} == exp
