@@ -238,6 +238,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decontamination, then exact first-wins dedup — whole
         # composition SQL-oracled
         "curate_text_corpus": CS.curate_text_corpus,
+        # ... -> chunking composition: sliding windows over exactly the
+        # curation survivors (semi-join, not an id broadcast; the corpus
+        # a context-window trainer consumes) — whole composition
+        # SQL-oracled
+        "curate_chunk_corpus": CS.curate_chunk_corpus,
         # resumable sharded export of the curated corpus (rows-only:
         # writes parquet; skip/rewrite semantics tested in tests/)
         "export_training_shards": _export_training_shards,
@@ -2048,4 +2053,24 @@ def oracle_sql() -> dict[str, str]:
     # so any fixture or kernel drift trips the suite before the driver.
     out["minhash_near_dup"] = out["ngram_jaccard_pairs"]
     out["minhash_dedup_docs"] = out["jaccard_dedup_docs"]
+    # curation -> chunking composition: extend the curate CTE chain with
+    # the chunker's generate_series + list_slice logic over survivors
+    out["curate_chunk_corpus"] = out["curate_text_corpus"].replace(
+        "SELECT min(doc_id) AS doc_id FROM surv GROUP BY text",
+        r"""SELECT doc_id,
+                   CAST(start / 12 AS BIGINT) AS chunk_id,
+                   CAST(len(list_slice(toks, start + 1, start + 24))
+                        AS BIGINT) AS n_chunk_tokens,
+                   list_aggregate(list_slice(toks, start + 1, start + 24),
+                                  'string_agg', ' ') AS chunk_text
+            FROM (
+              SELECT doc_id, toks, unnest(range(0, len(toks), 12)) AS start
+              FROM (
+                SELECT k.doc_id,
+                       string_split_regex(trim(d.text), '\s+') AS toks
+                FROM (SELECT min(doc_id) AS doc_id FROM surv GROUP BY text) k
+                JOIN documents d USING (doc_id)
+              )
+            )""",
+    )
     return out

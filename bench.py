@@ -122,6 +122,7 @@ QUERY_NAMES = [
     "phash_dedup_images",
     "events_pivot_daily",
     "customer_urgent_counts",
+    "curate_chunk_corpus",
 ]
 
 

@@ -1073,6 +1073,33 @@ def domain_quality_filter(
     return out.select_columns(["doc_id", "source"])
 
 
+def curate_chunk_corpus(
+    sf_dir: str,
+    *,
+    chunk_tokens: int = 24,
+    stride: int = 12,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Curation -> chunking, composed: sliding-window token chunks of
+    exactly the docs that survive the full text-curation gate (the
+    corpus a context-window trainer actually consumes). Survivor ids
+    attach via a hash SEMI-join — not an id broadcast, which is
+    corpus-sized at 100 TB — then the shuffle-free chunker runs over
+    the surviving text. Both halves are SQL-oracled, so the whole
+    composition is too."""
+    from .textstats import chunk_documents
+
+    nparts = _nparts(num_partitions)
+    keep = curate_text_corpus(sf_dir).repartition(nparts)
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    surv = docs.repartition(nparts).join(
+        keep, join_type="left_semi", num_partitions=nparts, on=("doc_id",)
+    )
+    return chunk_documents(
+        sf_dir, chunk_tokens=chunk_tokens, stride=stride, docs=surv
+    )
+
+
 def source_overlap_matrix(
     sf_dir: str,
     *,
