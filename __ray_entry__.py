@@ -158,6 +158,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LEFT OUTER join preserving zero-count rows (pre-aggregated
         # thin right side; the missing join type in the family)
         "customer_urgent_counts": Q.customer_urgent_counts,
+        # UNPIVOT (melt): the wide grid back to long, KEEPING zero cells
+        "events_unpivot_daily": Q.events_unpivot_daily,
+        # LAG window: day-over-day count delta per type over the dense
+        # grid (offset window runs on the aggregate, never raw events)
+        "events_daily_delta": Q.events_daily_delta,
         # windows (SURVEY §2.9)
         "events_daily_window": Q.events_daily_window,
         # sliding 7-day calendar window over the daily series
@@ -1127,6 +1132,37 @@ def oracle_sql() -> dict[str, str]:
             FROM customer LEFT JOIN orders
               ON o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
             GROUP BY c_custkey""",
+        # melt of the dense grid: day x type cross join LEFT-joined to
+        # the grouped counts, zero cells coalesced in
+        "events_unpivot_daily": """
+            WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day
+                          FROM events),
+                 types AS (SELECT unnest(['click','error','purchase',
+                                          'signup','view']) AS event_type),
+                 c AS (SELECT date_trunc('day', ts) AS day, event_type,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+            FROM days d CROSS JOIN types t
+            LEFT JOIN c ON c.day = d.day AND c.event_type = t.event_type""",
+        "events_daily_delta": """
+            WITH days AS (SELECT DISTINCT date_trunc('day', ts) AS day
+                          FROM events),
+                 types AS (SELECT unnest(['click','error','purchase',
+                                          'signup','view']) AS event_type),
+                 c AS (SELECT date_trunc('day', ts) AS day, event_type,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+                 g AS (SELECT d.day, t.event_type, COALESCE(c.n, 0) AS n
+                       FROM days d CROSS JOIN types t
+                       LEFT JOIN c ON c.day = d.day
+                                  AND c.event_type = t.event_type)
+            SELECT event_type, day, n,
+                   COALESCE(lag(n) OVER (PARTITION BY event_type
+                                         ORDER BY day), 0) AS n_prev,
+                   n - COALESCE(lag(n) OVER (PARTITION BY event_type
+                                             ORDER BY day), 0) AS delta
+            FROM g""",
         "multi_source_union": """
             SELECT DISTINCT doc_id, source, lang FROM (
                 SELECT doc_id, source, lang FROM documents WHERE source = 'src0'

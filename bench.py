@@ -123,6 +123,8 @@ QUERY_NAMES = [
     "events_pivot_daily",
     "customer_urgent_counts",
     "curate_chunk_corpus",
+    "events_unpivot_daily",
+    "events_daily_delta",
 ]
 
 

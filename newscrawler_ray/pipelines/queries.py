@@ -616,6 +616,82 @@ def events_pivot_daily(sf_dir: str) -> rd.Dataset:
     return out.map_batches(fix_day_unit, batch_format="pyarrow")
 
 
+def events_unpivot_daily(sf_dir: str) -> rd.Dataset:
+    """UNPIVOT (melt): the wide day x type grid back to long
+    (day, event_type, n) rows — KEEPING zero cells (a day with no
+    errors yields an explicit n=0 row), which is what distinguishes the
+    melt of the dense grid from the plain grouped count. One flat map
+    over the (tiny, day-count-sized) pivot output."""
+    wide = events_pivot_daily(sf_dir)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        days, types, vals = [], [], []
+        for t in _EVENT_TYPES:
+            days.append(batch.column("day"))
+            types.append(pa.array([t] * n, pa.string()))
+            vals.append(batch.column(f"n_{t}"))
+        return pa.table(
+            {
+                "day": pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                     for c in days]
+                ),
+                "event_type": pa.concat_arrays(types),
+                "n": pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                     for c in vals]
+                ),
+            }
+        )
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+def events_daily_delta(sf_dir: str) -> rd.Dataset:
+    """LAG window: day-over-day count change per event type
+    (n, n_prev, delta; the first day of each type has n_prev = 0 —
+    COALESCE'd LAG). The daily counts are aggregate-sized (days x
+    types), so the offset window runs as a per-type sort + shift inside
+    ``map_groups`` over the tiny grouped result — the window never
+    touches raw events."""
+    long = events_unpivot_daily(sf_dir)  # dense grid: zero cells included
+
+    def delta(group: pa.Table) -> pa.Table:
+        day = group.column("day").to_numpy()
+        n = group.column("n").to_numpy()
+        order = np.argsort(day)
+        d, nn = day[order], n[order]
+        prev = np.r_[0, nn[:-1]]
+        return pa.table(
+            {
+                "event_type": group.column("event_type").take(pa.array(order)),
+                "day": pa.array(d),
+                "n": pa.array(nn, pa.int64()),
+                "n_prev": pa.array(prev, pa.int64()),
+                "delta": pa.array(nn - prev, pa.int64()),
+            }
+        )
+
+    out = long.groupby("event_type").map_groups(delta, batch_format="pyarrow")
+
+    def fix_day_unit(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"event_type": pa.array([], pa.string()),
+                 "day": pa.array([], pa.timestamp("us")),
+                 "n": pa.array([], pa.int64()),
+                 "n_prev": pa.array([], pa.int64()),
+                 "delta": pa.array([], pa.int64())}
+            )
+        i = batch.schema.get_field_index("day")
+        return batch.set_column(
+            i, "day", pc.cast(batch.column("day"), pa.timestamp("us"))
+        )
+
+    return out.map_batches(fix_day_unit, batch_format="pyarrow")
+
+
 def customer_urgent_counts(sf_dir: str) -> rd.Dataset:
     """LEFT OUTER join preserving zero-count rows: per customer, the
     number of URGENT orders — customers with none stay in the result

@@ -81,3 +81,49 @@ def test_every_query_has_oracle_or_is_marked():
                                        "train_bpe", "bpe_encode",
                                        "prepare_training", "mine_hard"))
     }
+
+
+def test_unpivot_and_delta_zero_cells(ray_session, tmp_path):
+    """Planted sparse events: a (day, type) cell with no events must
+    appear as an explicit n=0 row in the melt, and the lag delta must
+    treat it as a real 0 (drop then recovery), not a gap."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from newscrawler_ray.pipelines.queries import (
+        events_daily_delta,
+        events_unpivot_daily,
+    )
+
+    ts = pa.array(
+        np.array(
+            ["2024-01-01T10:00", "2024-01-01T11:00",  # day1: 2 clicks
+             "2024-01-02T09:00",                      # day2: 1 view (no click!)
+             "2024-01-03T08:00"],                     # day3: 1 click again
+            dtype="datetime64[us]",
+        )
+    )
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["click", "click", "view", "click"]),
+            "ts": ts,
+            "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    long = {
+        (str(r["day"])[:10], r["event_type"]): r["n"]
+        for r in events_unpivot_daily(str(tmp_path)).take_all()
+    }
+    assert long[("2024-01-02", "click")] == 0  # explicit zero cell
+    assert long[("2024-01-01", "click")] == 2
+    assert len(long) == 3 * 5  # dense grid: 3 days x 5 types
+    delta = {
+        (str(r["day"])[:10], r["event_type"]): (r["n"], r["n_prev"], r["delta"])
+        for r in events_daily_delta(str(tmp_path)).take_all()
+    }
+    assert delta[("2024-01-02", "click")] == (0, 2, -2)  # drop to zero
+    assert delta[("2024-01-03", "click")] == (1, 0, 1)   # recovery FROM zero
+    assert delta[("2024-01-01", "click")] == (2, 0, 2)   # first day lag=0
