@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LEFT OUTER join preserving zero-count rows (pre-aggregated
         # thin right side; the missing join type in the family)
         "customer_urgent_counts": Q.customer_urgent_counts,
+        # ROLLUP: per-type subtotals + grand-total row in one result
+        "events_rollup": Q.events_rollup,
         # UNPIVOT (melt): the wide grid back to long, KEEPING zero cells
         "events_unpivot_daily": Q.events_unpivot_daily,
         # LAG window: day-over-day count delta per type over the dense
@@ -1132,6 +1134,9 @@ def oracle_sql() -> dict[str, str]:
             FROM customer LEFT JOIN orders
               ON o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
             GROUP BY c_custkey""",
+        "events_rollup": """
+            SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+            FROM events GROUP BY ROLLUP(event_type)""",
         # melt of the dense grid: day x type cross join LEFT-joined to
         # the grouped counts, zero cells coalesced in
         "events_unpivot_daily": """

@@ -125,6 +125,7 @@ QUERY_NAMES = [
     "curate_chunk_corpus",
     "events_unpivot_daily",
     "events_daily_delta",
+    "events_rollup",
 ]
 
 

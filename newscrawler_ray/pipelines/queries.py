@@ -616,6 +616,32 @@ def events_pivot_daily(sf_dir: str) -> rd.Dataset:
     return out.map_batches(fix_day_unit, batch_format="pyarrow")
 
 
+def events_rollup(sf_dir: str) -> rd.Dataset:
+    """ROLLUP: per-type counts/sums plus the grand-total row (event_type
+    = NULL) in ONE result — the OLAP subtotal shape. The grand total is
+    derived by re-aggregating the (tiny) grouped result, not by a second
+    scan of the input."""
+    ds = read_clean(_p(sf_dir, "events"), columns=["event_type", "value"])
+    per_type = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="total")
+    ).materialize()
+    parts = [
+        b for b in per_type.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    t = pa.concat_tables(parts).combine_chunks()
+    grand = pa.table(
+        {
+            "event_type": pa.array([None], pa.string()),
+            "n": pa.array([int(pc.sum(t.column("n")).as_py() or 0)], pa.int64()),
+            "total": pa.array(
+                [float(pc.sum(t.column("total")).as_py() or 0.0)], pa.float64()
+            ),
+        }
+    )
+    out = rd.from_arrow(pa.concat_tables([t, grand]))
+    return _round_col(out, {"total": 4})
+
+
 def events_unpivot_daily(sf_dir: str) -> rd.Dataset:
     """UNPIVOT (melt): the wide day x type grid back to long
     (day, event_type, n) rows — KEEPING zero cells (a day with no
