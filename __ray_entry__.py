@@ -160,6 +160,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_urgent_counts": Q.customer_urgent_counts,
         # ROLLUP: per-type subtotals + grand-total row in one result
         "events_rollup": Q.events_rollup,
+        # CUBE: all four grouping levels of (type, dow) in one result
+        "events_cube": Q.events_cube,
+        # INTERSECT / EXCEPT as one grouped flag aggregate (no join)
+        "user_days_intersect": Q.user_days_intersect,
+        "user_days_except": Q.user_days_except,
+        # log2-bucket byte-length histogram (per-batch pre-combine)
+        "doc_length_histogram": Q.doc_length_histogram,
+        # ARG_MIN/ARG_MAX per group via per-block candidate combiner
+        "user_first_last": Q.user_first_last,
+        # Pearson r from distributed raw moments (six doubles per block)
+        "value_hour_corr": Q.value_hour_corr,
         # UNPIVOT (melt): the wide grid back to long, KEEPING zero cells
         "events_unpivot_daily": Q.events_unpivot_daily,
         # LAG window: day-over-day count delta per type over the dense
@@ -1137,6 +1148,45 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": """
             SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
             FROM events GROUP BY ROLLUP(event_type)""",
+        "events_cube": """
+            SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow,
+                   count(*) AS n, round(sum(value), 4) AS total
+            FROM events GROUP BY CUBE(event_type, dow)""",
+        "user_days_intersect": """
+            SELECT user_id, date_trunc('day', ts) AS day
+            FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id, date_trunc('day', ts) AS day
+            FROM events WHERE event_type = 'purchase'""",
+        "user_days_except": """
+            SELECT user_id, date_trunc('day', ts) AS day
+            FROM events WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id, date_trunc('day', ts) AS day
+            FROM events WHERE event_type = 'purchase'""",
+        "doc_length_histogram": """
+            SELECT CAST(floor(log2(greatest(strlen(text), 1))) AS BIGINT)
+                       AS bucket,
+                   count(*) AS n
+            FROM documents GROUP BY 1""",
+        "user_first_last": """
+            WITH r AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rf,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC)
+                           AS rl
+                FROM events)
+            SELECT user_id,
+                   max(CASE WHEN rf = 1 THEN event_type END) AS first_type,
+                   max(CASE WHEN rl = 1 THEN event_type END) AS last_type,
+                   count(*) AS n
+            FROM r GROUP BY user_id""",
+        "value_hour_corr": """
+            SELECT round(corr(value, CAST(hour(ts) AS DOUBLE)) + 1e-9, 4)
+                       AS corr_value_hour
+            FROM events""",
         # melt of the dense grid: day x type cross join LEFT-joined to
         # the grouped counts, zero cells coalesced in
         "events_unpivot_daily": """

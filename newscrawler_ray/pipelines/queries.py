@@ -1314,3 +1314,256 @@ def ranked_search(
 
     out = docs.map_batches(score, batch_format="pyarrow")
     return out.sort(["score", "doc_id"], descending=[True, False]).limit(k)
+
+
+# ------------------------------------------------ OLAP / set-op batch (r3)
+
+
+def events_cube(sf_dir: str) -> rd.Dataset:
+    """CUBE(event_type, dow): counts/sums at all FOUR grouping levels
+    — (type, dow), (type), (dow), grand total — in one result, the
+    OLAP cross-tab shape (generalizes ``events_rollup``). One scan
+    builds the finest grid with a distributed grouped aggregate; the
+    three coarser levels re-aggregate the (types x 7)-sized grid
+    driver-side, never rescanning the input. Day-of-week numbering is
+    pinned to DuckDB's (Sunday=0) via week_start=7/count_from_zero."""
+    ds = read_clean(_p(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def add_dow(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "dow": pc.cast(
+                    pc.day_of_week(
+                        batch.column("ts"), count_from_zero=True, week_start=7
+                    ),
+                    pa.int64(),
+                ),
+                "value": batch.column("value"),
+            }
+        )
+
+    grid = (
+        ds.map_batches(add_dow, batch_format="pyarrow")
+        .groupby(["event_type", "dow"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total"))
+        .materialize()
+    )
+    parts = [b for b in grid.iter_batches(batch_format="pyarrow") if b.num_rows]
+    t = pa.concat_tables(parts).combine_chunks()
+
+    def _level(tbl: pa.Table, keys: list[str]) -> pa.Table:
+        """Re-aggregate the tiny grid to a coarser level, null-filling
+        the dimensions that were rolled away (SQL CUBE's NULL rows)."""
+        if keys:
+            g = tbl.group_by(keys).aggregate([("n", "sum"), ("total", "sum")])
+            n, total = g.column("n_sum"), g.column("total_sum")
+            cols = {k: g.column(k) for k in keys}
+            m = g.num_rows
+        else:
+            n = pa.array([int(pc.sum(tbl.column("n")).as_py() or 0)], pa.int64())
+            total = pa.array(
+                [float(pc.sum(tbl.column("total")).as_py() or 0.0)], pa.float64()
+            )
+            cols, m = {}, 1
+        out = {
+            "event_type": cols.get(
+                "event_type", pa.nulls(m, pa.string())
+            ),
+            "dow": cols.get("dow", pa.nulls(m, pa.int64())),
+            "n": pc.cast(n, pa.int64()),
+            "total": pc.cast(total, pa.float64()),
+        }
+        return pa.table(out)
+
+    cube = pa.concat_tables(
+        [
+            _level(t, ["event_type", "dow"]),
+            _level(t, ["event_type"]),
+            _level(t, ["dow"]),
+            _level(t, []),
+        ]
+    )
+    return _round_col(rd.from_arrow(cube), {"total": 4})
+
+
+def _user_day_type_flags(sf_dir: str, a: str, b: str) -> rd.Dataset:
+    """Per-(user, day) presence flags for two event types: one scan to
+    0/1 indicator columns, then a grouped Max (Ray pre-combines per
+    block, so the shuffle ships one partial row per key per block —
+    the distributed INTERSECT/EXCEPT shape; no per-side scans, no
+    join). Day granularity (not user) because every fixture user hits
+    every event type — user-level set ops would be degenerate."""
+    ds = read_clean(_p(sf_dir, "events"), columns=["user_id", "event_type", "ts"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day": pc.cast(
+                    pc.floor_temporal(batch.column("ts"), unit="day"),
+                    pa.timestamp("us"),
+                ),
+                "f_a": pc.cast(pc.equal(et, a), pa.int64()),
+                "f_b": pc.cast(pc.equal(et, b), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Max("f_a", alias_name="has_a"), Max("f_b", alias_name="has_b"))
+    )
+
+
+def user_days_intersect(
+    sf_dir: str, *, a: str = "click", b: str = "purchase"
+) -> rd.Dataset:
+    """INTERSECT: (user, day) pairs with BOTH event types that day. Set
+    ops over the same input run as ONE grouped flag aggregate + filter
+    (not two scans + a shuffle join, which is how a literal INTERSECT
+    plan executes)."""
+    g = _user_day_type_flags(sf_dir, a, b)
+    return g.filter(
+        expr="has_a == 1 and has_b == 1"
+    ).select_columns(["user_id", "day"])
+
+
+def user_days_except(
+    sf_dir: str, *, a: str = "click", b: str = "purchase"
+) -> rd.Dataset:
+    """EXCEPT: (user, day) pairs with type ``a`` but no type ``b`` that
+    day — same one-scan flag aggregate as ``user_days_intersect``."""
+    g = _user_day_type_flags(sf_dir, a, b)
+    return g.filter(
+        expr="has_a == 1 and has_b == 0"
+    ).select_columns(["user_id", "day"])
+
+
+def doc_length_histogram(sf_dir: str) -> rd.Dataset:
+    """Log2-bucket histogram of document byte lengths — the corpus
+    diagnostic every curation run starts with. Per-batch bucket counts
+    (numpy unique) pre-combine before the tiny grouped Sum, so the
+    shuffle ships at most ~40 rows per block regardless of corpus size.
+    Byte (not codepoint) lengths on both sides: strlen in the oracle
+    (DuckDB's byte length), ``pc.binary_length`` here — exact under
+    any encoding."""
+    ds = read_clean(_p(sf_dir, "documents"), columns=["text"])
+
+    def buckets(batch: pa.Table) -> pa.Table:
+        lens = np.maximum(
+            pc.binary_length(batch.column("text")).to_numpy().astype(np.int64), 1
+        )
+        # exact at powers of two (log2 is correctly rounded there), so
+        # the floor agrees bit-for-bit with DuckDB's log2
+        bucket = np.floor(np.log2(lens.astype(np.float64))).astype(np.int64)
+        vals, counts = np.unique(bucket, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(vals, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(buckets, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def user_first_last(sf_dir: str) -> rd.Dataset:
+    """ARG_MIN/ARG_MAX per group: each user's first and last event type
+    by (ts, event_id) plus their event count. Per-batch lexsort picks
+    one candidate first/last row per user per block (the combiner), so
+    the shuffle ships partials, not raw events; a tiny ``map_groups``
+    reduces candidates. Ties broken by event_id — deterministic on both
+    sides."""
+    ds = read_clean(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy()
+        ts = batch.column("ts").to_numpy().astype("datetime64[us]").view(np.int64)
+        eid = batch.column("event_id").to_numpy()
+        order = np.lexsort((eid, ts, u))
+        us = u[order]
+        starts = np.r_[0, np.flatnonzero(us[1:] != us[:-1]) + 1]
+        ends = np.r_[starts[1:] - 1, len(us) - 1]
+        fi, li = order[starts], order[ends]
+        et = batch.column("event_type")
+        return pa.table(
+            {
+                "user_id": pa.array(u[fi], pa.int64()),
+                "f_ts": pa.array(ts[fi], pa.int64()),
+                "f_eid": pa.array(eid[fi], pa.int64()),
+                "first_type": et.take(pa.array(fi)),
+                "l_ts": pa.array(ts[li], pa.int64()),
+                "l_eid": pa.array(eid[li], pa.int64()),
+                "last_type": et.take(pa.array(li)),
+                "n": pa.array(
+                    (ends - starts + 1).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def reduce_user(group: pa.Table) -> pa.Table:
+        f = np.lexsort((group.column("f_eid").to_numpy(),
+                        group.column("f_ts").to_numpy()))[0]
+        l = np.lexsort((group.column("l_eid").to_numpy(),
+                        group.column("l_ts").to_numpy()))[-1]
+        return pa.table(
+            {
+                "user_id": group.column("user_id").slice(0, 1),
+                "first_type": group.column("first_type").slice(int(f), 1),
+                "last_type": group.column("last_type").slice(int(l), 1),
+                "n": pa.array(
+                    [int(pc.sum(group.column("n")).as_py())], pa.int64()
+                ),
+            }
+        )
+
+    return partials.groupby("user_id").map_groups(
+        reduce_user, batch_format="pyarrow"
+    )
+
+
+def value_hour_corr(sf_dir: str) -> pa.Table:
+    """Pearson correlation between event value and hour-of-day via
+    distributed raw moments: each batch emits ONE row of
+    (n, sx, sy, sxx, syy, sxy); the six global sums reduce through
+    Ray's aggregate and the driver combines them into r. Nothing but
+    a constant number of doubles ever leaves a worker."""
+    ds = read_clean(_p(sf_dir, "events"), columns=["ts", "value"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = pc.hour(batch.column("ts")).to_numpy().astype(np.float64)
+        y = batch.column("value").to_numpy()
+        return pa.table(
+            {
+                "n": pa.array([float(len(x))], pa.float64()),
+                "sx": pa.array([float(x.sum())], pa.float64()),
+                "sy": pa.array([float(y.sum())], pa.float64()),
+                "sxx": pa.array([float((x * x).sum())], pa.float64()),
+                "syy": pa.array([float((y * y).sum())], pa.float64()),
+                "sxy": pa.array([float((x * y).sum())], pa.float64()),
+            }
+        )
+
+    m = ds.map_batches(moments, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"),
+    )
+    n, sx, sy = m["n"], m["sx"], m["sy"]
+    cov = m["sxy"] - sx * sy / n
+    vx = m["sxx"] - sx * sx / n
+    vy = m["syy"] - sy * sy / n
+    r = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else 0.0
+    return pa.table(
+        {"corr_value_hour": pa.array([float(np.round(r + 1e-9, 4))], pa.float64())}
+    )
