@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ... and the matching TRANSFORM: strip every position covered
         # by a corpus-duplicated 8-gram and rebuild the doc
         "strip_dup_spans": CS.strip_dup_spans,
+        # Dolma-style paragraph (disjoint-block) keep-first dedup: later
+        # copies of a duplicated block are stripped, the first survives
+        "paragraph_dedup_docs": CS.paragraph_dedup_docs,
         # exact corpus TF-IDF, top-5 terms per doc
         "tfidf_top_terms": CS.tfidf_top_terms,
         # benchmark decontamination (GPT-3/PaLM hygiene pass): flag docs
@@ -1455,6 +1458,39 @@ def oracle_sql() -> dict[str, str]:
                          + 1e-9, 4) AS dup_span_frac
             FROM documents doc LEFT JOIN d USING (doc_id)""",
         # the stripping transform: a position is removed iff some
+        # keep-first paragraph dedup over disjoint 4-word blocks: the
+        # (doc_id, bidx)-min copy of each duplicated block survives,
+        # every later copy is stripped from its doc
+        "paragraph_dedup_docs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                       '\W+'), x -> x <> '')) AS w,
+                     generate_subscripts(list_filter(string_split_regex(
+                       lower(text), '\W+'), x -> x <> ''), 1) AS i
+              FROM documents
+            ), b AS (
+              SELECT doc_id, (i - 1) // 4 AS bidx,
+                     string_agg(w, ' ' ORDER BY i) AS block
+              FROM w GROUP BY doc_id, bidx
+            ), r AS (
+              SELECT doc_id, bidx, block,
+                     row_number() OVER (PARTITION BY block
+                                        ORDER BY doc_id, bidx) AS rn
+              FROM b
+            ), agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_blocks,
+                     sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_dropped,
+                     string_agg(CASE WHEN rn = 1 THEN block END,
+                                ' ' ORDER BY bidx) AS clean
+              FROM r GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_blocks, 0) AS n_blocks,
+                   coalesce(n_dropped, 0) AS n_dropped,
+                   coalesce(clean, '') AS clean_text
+            FROM documents d LEFT JOIN agg USING (doc_id)""",
         # duplicated 8-gram window covers it; clean_text is the
         # space-join of kept tokens (string_agg skips the NULLed-out
         # covered words, preserving order)

@@ -1636,3 +1636,178 @@ def prepare_training_data(
 
     packed = packed.map_batches(add_shard, batch_format="pyarrow").materialize()
     return _resumable_shard_write(packed, out_dir, n_shards)
+
+
+# ----------------------------------------- paragraph (block) keep-first
+
+
+def paragraph_dedup_docs(
+    sf_dir: str,
+    *,
+    k: int = 4,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Paragraph-level keep-first dedup (Dolma's dedupe-by-paragraph /
+    RefinedWeb's line-dedup, expressed over disjoint k-word blocks since
+    the fixture corpus has no newline structure): every duplicated block
+    keeps exactly ONE canonical copy — the corpus-order first occurrence
+    by (doc_id, block index) — and later copies are stripped from their
+    docs. Distinct from ``strip_dup_spans`` (Lee et al.), which removes
+    EVERY occurrence of a duplicated span including the first.
+
+    Output: (doc_id, n_blocks, n_dropped, clean_text) for every doc;
+    clean_text joins the surviving normalized tokens with single spaces
+    (same convention as ``strip_dup_spans``).
+
+    Shape: block rows (part, hash, doc_id, bidx) -> coarse groupby(part)
+    picks each hash's (doc_id, bidx)-min winner with a lexsort segment
+    scan and emits only loser rows -> per-doc binary-blob fold -> one
+    doc-keyed join -> streaming rebuild. Winner selection never packs
+    (doc_id, bidx) into one integer, so ids stay full-range int64; block
+    equality is by 64-bit content hash (== string equality w.h.p.; the
+    SQL oracle compares the strings themselves)."""
+    nparts = _nparts(num_partitions)
+    coarse = nparts * 4
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def block_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        flat, offsets = tokenize_word_hashes(batch.column("text"))
+        lens = np.diff(offsets)
+        n_docs = len(lens)
+        empty = pa.table(
+            {"part": pa.array([], pa.int32()),
+             "h": pa.array([], _I64),
+             "doc_id": pa.array([], _I64),
+             "bidx": pa.array([], _I64)}
+        )
+        if len(flat) == 0:
+            return empty
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        starts = np.zeros(n_docs, np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        pos = np.arange(len(flat), dtype=np.int64) - starts[doc_of]
+        bidx = pos // k
+        new_block = np.r_[True, (doc_of[1:] != doc_of[:-1])
+                          | (bidx[1:] != bidx[:-1])]
+        block_of = np.cumsum(new_block) - 1
+        n_blocks = int(block_of[-1]) + 1
+        # ordered splitmix chain per block: r ascending == word order
+        bh = np.zeros(n_blocks, dtype=_U64)
+        r0 = pos % k == 0
+        bh[block_of[r0]] = flat[r0]
+        for r in range(1, k):
+            m = pos % k == r
+            if not m.any():
+                break
+            blk = block_of[m]
+            bh[blk] = splitmix64(bh[blk]) ^ flat[m]
+        bh = splitmix64(bh)
+        bstart = np.flatnonzero(new_block)
+        return pa.table(
+            {
+                "part": pa.array((bh % _U64(coarse)).astype(np.int32)),
+                "h": pa.array(bh.view(np.int64)),
+                "doc_id": pa.array(ids[doc_of[bstart]], _I64),
+                "bidx": pa.array(bidx[bstart], _I64),
+            }
+        )
+
+    rows = docs.map_batches(block_rows, batch_format="pyarrow")
+
+    def loser_rows(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy()
+        d = group.column("doc_id").to_numpy()
+        b = group.column("bidx").to_numpy()
+        order = np.lexsort((b, d, h))
+        hs = h[order]
+        first = np.r_[True, hs[1:] != hs[:-1]]
+        losers = order[~first]  # every row after its hash's (d,b)-min
+        return pa.table(
+            {
+                "doc_id": pa.array(d[losers], _I64),
+                "pos": pa.array(b[losers], _I64),
+                "dpart": pa.array((d[losers] % coarse).astype(np.int32)),
+            }
+        )
+
+    drops = rows.groupby("part").map_groups(loser_rows, batch_format="pyarrow")
+
+    def pos_blobs(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy()
+        p = group.column("pos").to_numpy()
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        counts = np.diff(np.append(starts, len(d)))
+        offs = np.zeros(len(starts) + 1, np.int32)
+        np.cumsum(counts * 8, out=offs[1:])
+        blob = pa.Array.from_buffers(
+            pa.binary(), len(starts),
+            [None, pa.py_buffer(offs.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(p).tobytes())],
+        )
+        return pa.table(
+            {"doc_id": pa.array(d[starts], _I64), "drop_bidx": blob}
+        )
+
+    blobs = (
+        drops.groupby("dpart").map_groups(pos_blobs, batch_format="pyarrow")
+        .repartition(nparts)  # join-quirk: coalesce 0-col empty blocks
+    )
+    joined = docs.join(
+        blobs, join_type="left_outer", num_partitions=nparts, on=("doc_id",)
+    )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], _I64),
+                 "n_blocks": pa.array([], _I64),
+                 "n_dropped": pa.array([], _I64),
+                 "clean_text": pa.array([], pa.string())}
+            )
+        batch = batch.combine_chunks()
+        texts = pc.fill_null(batch.column("text"), "")
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts), r"\W+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offs = lists.offsets.to_numpy()
+        flat = lists.values.slice(offs[0], offs[-1] - offs[0])
+        keep_tok = pc.not_equal(pc.binary_length(flat), 0)
+        words = flat.filter(keep_tok).to_pylist()
+        keep_np = keep_tok.to_numpy(zero_copy_only=False)
+        n_docs = batch.num_rows
+        doc_raw = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offs))
+        lens = np.bincount(doc_raw[keep_np], minlength=n_docs)
+        starts = np.zeros(n_docs, np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        blob_col = batch.column("drop_bidx")
+        out_txt, out_drop, out_blocks = [], [], []
+        for i in range(n_docs):
+            s, n = int(starts[i]), int(lens[i])
+            nb = -(-n // k) if n else 0
+            v = blob_col[i].as_py()
+            if not v:
+                out_txt.append(" ".join(words[s:s + n]))
+                out_drop.append(0)
+                out_blocks.append(nb)
+                continue
+            dropped = np.frombuffer(v, dtype=np.int64)
+            dset = set(dropped.tolist())
+            kept = [
+                w for j, w in enumerate(words[s:s + n]) if j // k not in dset
+            ]
+            out_txt.append(" ".join(kept))
+            out_drop.append(len(dset))
+            out_blocks.append(nb)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_blocks": pa.array(out_blocks, _I64),
+                "n_dropped": pa.array(out_drop, _I64),
+                "clean_text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")

@@ -540,3 +540,34 @@ def test_source_overlap_matrix_planted(ray_session, tmp_path):
     assert got[("srcA", "srcB")] >= 1  # the planted cross-source pair
     assert got[("srcB", "srcB")] >= 1  # the intra-source exact copies
     assert all(a != "srcC" and b != "srcC" for a, b in got)
+
+
+def test_paragraph_dedup_keep_first(ray_session, tmp_path):
+    """Keep-first semantics: the corpus-order first copy of a duplicated
+    block SURVIVES (unlike strip_dup_spans, which removes every copy);
+    later copies are stripped; remainder blocks (< k words) dedup too."""
+    blk = "alpha beta gamma delta"          # one exact k=4 block
+    texts = [
+        f"{blk} one two three four",        # doc 0: blocks [blk, 'one two three four']
+        f"{blk} five six seven eight",      # doc 1: duplicate of blk at bidx 0
+        f"nine ten eleven twelve {blk}",    # doc 2: duplicate of blk at bidx 1
+        "lone tail",                        # doc 3: one remainder block
+        "lone tail",                        # doc 4: duplicate remainder block
+    ]
+    d = _write_docs(tmp_path, texts)
+    out = {r["doc_id"]: r for r in
+           corpusstats.paragraph_dedup_docs(d, k=4).take_all()}
+    assert len(out) == 5
+    # doc 0 wins the block (lowest doc_id): nothing stripped
+    assert out[0]["n_dropped"] == 0
+    assert out[0]["clean_text"] == f"{blk} one two three four"
+    # docs 1 and 2 lose their copy of blk, keep the rest
+    assert out[1]["n_dropped"] == 1
+    assert out[1]["clean_text"] == "five six seven eight"
+    assert out[2]["n_dropped"] == 1
+    assert out[2]["clean_text"] == "nine ten eleven twelve"
+    # remainder blocks (< k words) participate: doc 3 wins, doc 4 drops
+    assert out[3]["n_dropped"] == 0 and out[3]["clean_text"] == "lone tail"
+    assert out[4]["n_dropped"] == 1 and out[4]["clean_text"] == ""
+    # block accounting: ceil(n_words / k)
+    assert out[0]["n_blocks"] == 2 and out[3]["n_blocks"] == 1
