@@ -370,6 +370,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_bpe_merges": _train_bpe_merges,
         "bpe_encode_docs": _bpe_encode_docs,
         "quality_score_docs": T.quality_score,
+        # per-doc Shannon char entropy (byte histogram, one bincount)
+        "char_entropy_docs": T.char_entropy_docs,
+        # FULL OUTER join of per-(user, day) type counts as one scan
+        "user_day_fulljoin": Q.user_day_fulljoin,
         # distilled quality classifier (train-on-engine, rows-only:
         # loss-decrease / agreement / determinism oracles in tests/)
         "quality_classifier_docs": _quality_classifier_docs,
@@ -1876,6 +1880,33 @@ def oracle_sql() -> dict[str, str]:
                 AND coalesce(ch.n_hits, 0) = 0
             )
             SELECT min(doc_id) AS doc_id FROM surv GROUP BY text""",
+        # char-frequency entropy recomputed from an unnested char table
+        "char_entropy_docs": r"""
+            WITH ch AS (
+              SELECT doc_id, unnest(string_split(text, '')) AS ch
+              FROM documents WHERE strlen(text) > 0
+            ), f AS (
+              SELECT doc_id, ch, count(*)::DOUBLE AS c
+              FROM ch GROUP BY doc_id, ch
+            ), tot AS (
+              SELECT doc_id, sum(c) AS n FROM f GROUP BY doc_id
+            )
+            SELECT f.doc_id,
+                   round(-sum((c / n) * log2(c / n)) + 1e-9, 4)
+                       AS char_entropy
+            FROM f JOIN tot USING (doc_id) GROUP BY f.doc_id""",
+        "user_day_fulljoin": """
+            SELECT user_id, day, n_signup, n_error FROM
+              (SELECT user_id, date_trunc('day', ts) AS day,
+                      count(*) AS n_signup
+               FROM events WHERE event_type = 'signup'
+               GROUP BY 1, 2) a
+            FULL OUTER JOIN
+              (SELECT user_id, date_trunc('day', ts) AS day,
+                      count(*) AS n_error
+               FROM events WHERE event_type = 'error'
+               GROUP BY 1, 2) b
+            USING (user_id, day)""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

@@ -1567,3 +1567,54 @@ def value_hour_corr(sf_dir: str) -> pa.Table:
     return pa.table(
         {"corr_value_hour": pa.array([float(np.round(r + 1e-9, 4))], pa.float64())}
     )
+
+
+def user_day_fulljoin(
+    sf_dir: str, *, a: str = "signup", b: str = "error"
+) -> rd.Dataset:
+    """FULL OUTER join of per-(user, day) counts of two event types —
+    the missing join type in the query family. Executed as ONE scan
+    with type-filtered indicator columns + a grouped Sum (cells absent
+    from both sides never materialize, exactly FULL OUTER's row set),
+    then zero counts null out to match SQL's unmatched-side NULLs. No
+    two-scan shuffle join."""
+    ds = read_clean(_p(sf_dir, "events"), columns=["user_id", "event_type", "ts"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        keep = pc.or_(pc.equal(et, a), pc.equal(et, b))
+        batch = batch.filter(keep)
+        et = batch.column("event_type")
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day": pc.cast(
+                    pc.floor_temporal(batch.column("ts"), unit="day"),
+                    pa.timestamp("us"),
+                ),
+                "f_a": pc.cast(pc.equal(et, a), pa.int64()),
+                "f_b": pc.cast(pc.equal(et, b), pa.int64()),
+            }
+        )
+
+    g = (
+        ds.map_batches(flags, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("f_a", alias_name="n_a"), Sum("f_b", alias_name="n_b"))
+    )
+
+    def nullify(batch: pa.Table) -> pa.Table:
+        def z2null(col):
+            v = pc.cast(col, pa.int64())
+            return pc.if_else(pc.equal(v, 0), pa.scalar(None, pa.int64()), v)
+
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day": batch.column("day"),
+                f"n_{a}": z2null(batch.column("n_a")),
+                f"n_{b}": z2null(batch.column("n_b")),
+            }
+        )
+
+    return g.map_batches(nullify, batch_format="pyarrow")
