@@ -295,6 +295,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, threshold=0.6
         ),
         "minhash_near_dup": lambda sf: D.minhash_lsh_pairs(sf, threshold=0.5),
+        # FastSS deletion-neighborhood fuzzy join: doc pairs whose
+        # 60-char text prefix is within Levenshtein distance 1 —
+        # character-typo near-dups the token-set family misses
+        "edit_distance_pairs": D.edit_distance_pairs,
         # corpus-level dedup (pairs -> connected components -> keep the
         # cluster min): exact variant is SQL-checkable via recursive CTE
         "jaccard_dedup_docs": lambda sf: D.jaccard_dedup_docs(sf, threshold=0.5),
@@ -2059,6 +2063,16 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
                   / nullif(least(len(a.grams), len(b.grams)), 0) >= 0.6""",
+        # exact Levenshtein over the same 60-char prefix key; DuckDB's
+        # levenshtein is the independent recompute of the FastSS join
+        "edit_distance_pairs": r"""
+            WITH k AS (
+              SELECT doc_id, substr(text, 1, 60) AS s FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   levenshtein(a.s, b.s)::BIGINT AS dist
+            FROM k a JOIN k b ON a.doc_id < b.doc_id
+            WHERE levenshtein(a.s, b.s) <= 1""",
         "jaccard_dedup_docs": r"""
             -- corpus dedup with TRANSITIVE closure: clusters connected by
             -- word-3-gram Jaccard >= 0.5 keep only their min doc_id

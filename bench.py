@@ -126,6 +126,9 @@ QUERY_NAMES = [
     "events_unpivot_daily",
     "events_daily_delta",
     "events_rollup",
+    "char_entropy_docs",
+    "user_day_fulljoin",
+    "edit_distance_pairs",
 ]
 
 

@@ -840,3 +840,51 @@ def test_normalized_exact_dedup_planted(ray_session, tmp_path):
         for r in dedup.normalized_exact_dedup(str(tmp_path)).take_all()
     )
     assert got == [0, 3, 5]
+
+
+def test_edit_distance_pairs_planted_typos(ray_session):
+    base = "the quick brown fox jumps over the lazy dog tonight again ok"
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": base},
+            {"doc_id": 2, "text": base.replace("quick", "quack", 1)},  # sub
+            {"doc_id": 3, "text": base.replace("brown ", "brrown ", 1)},  # ins
+            {"doc_id": 4, "text": base.replace("jumps", "jmps", 1)},  # del
+            {"doc_id": 5, "text": base},  # exact dup
+            {"doc_id": 6, "text": "entirely unrelated text here that shares nothing at all with it"},
+            {"doc_id": 7, "text": base.replace("quick", "qwyck", 1)},  # dist 2 from 1
+        ]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in dedup.edit_distance_pairs(SF, docs=docs).take_all()
+    }
+    # brute-force oracle over the same 60-char prefix
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                cur = dp[j]
+                dp[j] = min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+                prev = cur
+        return dp[-1]
+
+    rows = {r["doc_id"]: r["text"][:60] for r in docs.take_all()}
+    want = {
+        (a, b): lev(rows[a], rows[b])
+        for a, b in itertools.combinations(sorted(rows), 2)
+        if lev(rows[a], rows[b]) <= 1
+    }
+    assert got == want
+    assert got[(1, 2)] == 1 and got[(1, 5)] == 0 and (1, 7) not in got
+
+
+def test_edit_distance_pairs_high_partition_count(ray_session):
+    # regression guard: pair mine + join verify at >= 16 coarse parts
+    out = dedup.edit_distance_pairs(SF, num_partitions=8)
+    rows = out.take_all()
+    assert len(rows) == 25  # matches the DuckDB levenshtein oracle count
+    assert all(r["dist"] <= 1 for r in rows)
