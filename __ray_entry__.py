@@ -378,6 +378,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy_docs": T.char_entropy_docs,
         # FULL OUTER join of per-(user, day) type counts as one scan
         "user_day_fulljoin": Q.user_day_fulljoin,
+        # non-equi INTERVAL join: lineitems shipped inside each promo
+        # window (broadcast windows + per-batch sorted searchsorted)
+        "range_join_shipments": Q.range_join_shipments,
+        # ordered funnel view -> click-after-view -> purchase-after-click
+        "funnel_conversion": Q.funnel_conversion,
+        # degree-oriented distributed triangle count on the co-purchase
+        # projection graph (node-iterator, Suri/Vassilvitskii 2011)
+        "triangle_count": _triangle_count,
         # distilled quality classifier (train-on-engine, rows-only:
         # loss-decrease / agreement / determinism oracles in tests/)
         "quality_classifier_docs": _quality_classifier_docs,
@@ -512,6 +520,14 @@ def _prepare_training_data(sf_dir: str) -> Any:
     if out.exists():
         shutil.rmtree(out)
     return prepare_training_data(sf_dir, out)
+
+
+def _triangle_count(sf_dir: str) -> Any:
+    """SQL-paired: degree-oriented triangle count over the co-purchase
+    projection graph (same-day same-value-bucket purchase users)."""
+    from newscrawler_ray.pipelines.graph import triangle_count
+
+    return triangle_count(sf_dir)
 
 
 def _link_pagerank(sf_dir: str) -> Any:
@@ -2063,6 +2079,57 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
                   / nullif(least(len(a.grams), len(b.grams)), 0) >= 0.6""",
+        # pure-containment interval join recomputed as a LEFT JOIN so
+        # zero-shipment windows keep their row (the Ray side emits every
+        # broadcast window unconditionally)
+        "range_join_shipments": """
+            WITH w AS (
+              SELECT o_orderkey, o_orderdate AS d0,
+                     o_orderdate + INTERVAL 30 DAY AS d1
+              FROM orders
+              WHERE o_orderpriority = '1-URGENT'
+                AND o_orderdate BETWEEN DATE '1996-01-01'
+                                    AND DATE '1996-03-31'
+            )
+            SELECT w.o_orderkey, count(l.l_shipdate) AS n_shipped
+            FROM w LEFT JOIN lineitem l
+              ON l.l_shipdate >= w.d0 AND l.l_shipdate < w.d1
+            GROUP BY w.o_orderkey""",
+        # staged funnel: each CTE keeps only users whose stage event
+        # strictly follows their previous stage's first qualifying time
+        "funnel_conversion": """
+            WITH v AS (
+              SELECT user_id, min(ts) AS t0 FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ), c AS (
+              SELECT e.user_id, min(e.ts) AS t1
+              FROM events e JOIN v USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY 1
+            ), p AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY 1
+            )
+            SELECT (SELECT count(*) FROM v) AS n_view,
+                   (SELECT count(*) FROM c) AS n_click,
+                   (SELECT count(*) FROM p) AS n_purchase""",
+        # triangle count recomputed as the 3-way edge self-join over the
+        # same deterministic co-purchase projection
+        "triangle_count": """
+            WITH e AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS d,
+                     floor(value)::BIGINT AS vb
+              FROM events WHERE event_type = 'purchase'
+            ), edges AS (
+              SELECT DISTINCT a.user_id AS u, b.user_id AS v
+              FROM e a JOIN e b
+                ON a.d = b.d AND a.vb = b.vb AND a.user_id < b.user_id
+            )
+            SELECT (SELECT count(*) FROM edges) AS n_edges,
+                   (SELECT count(*) FROM edges e1
+                     JOIN edges e2 ON e2.u = e1.v
+                     JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+                   ) AS n_triangles""",
         # exact Levenshtein over the same 60-char prefix key; DuckDB's
         # levenshtein is the independent recompute of the FastSS join
         "edit_distance_pairs": r"""

@@ -129,6 +129,9 @@ QUERY_NAMES = [
     "char_entropy_docs",
     "user_day_fulljoin",
     "edit_distance_pairs",
+    "range_join_shipments",
+    "funnel_conversion",
+    "triangle_count",
 ]
 
 

@@ -849,3 +849,153 @@ def link_hits(sf_dir: str, *, k: int = 3, n_iter: int = 5) -> rd.Dataset:
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def triangle_count(
+    sf_dir: str, *, num_partitions: int | None = None,
+    events: rd.Dataset | None = None,
+) -> pa.Table:
+    """Triangle count over the co-purchase projection graph: users are
+    adjacent when they purchased in the same (day, floor(value)) bucket.
+    Completes the graph-analytics family (PageRank / HITS / connected
+    components) with the classic clustering-coefficient primitive.
+
+    Node-iterator with DEGREE ORIENTATION (Suri/Vassilvitskii,
+    "Counting triangles and the curse of the last reducer", WWW 2011):
+    orient each edge from the lower-(degree, id) endpoint to the
+    higher, emit the out-neighbor pairs of every node as wedges, and
+    count wedges whose closing edge exists. Orientation bounds
+    out-degree by ~sqrt(m) regardless of skew — the hub node of a star
+    graph emits ZERO wedges instead of deg^2 — so per-group work stays
+    bounded at any corpus size. Every shuffle ships fixed-width int64
+    rows; wedge emission reuses the coarse-partition pair kernel.
+
+    Returns a one-row Arrow table (n_edges, n_triangles): the global
+    count is driver-sized by definition; all heavy stages stream."""
+    import ray as _ray
+
+    from .dedup import _bucket_pair_indices
+
+    if num_partitions is None:
+        num_partitions = max(2, int(_ray.cluster_resources().get("CPU", 4)) // 2)
+    import pyarrow.compute as pc
+
+    ev = (
+        events
+        if events is not None
+        else read_clean(
+            _p(sf_dir, "events"), columns=["user_id", "event_type", "ts", "value"]
+        )
+    )
+
+    def bucket_rows(batch: pa.Table) -> pa.Table:
+        m = pc.equal(batch.column("event_type"), "purchase")
+        batch = batch.filter(m)
+        day = pc.cast(
+            pc.floor_temporal(batch.column("ts"), unit="day"), pa.int64()
+        ).to_numpy() // 86_400_000_000  # us -> day ordinal
+        vb = np.floor(batch.column("value").to_numpy()).astype(np.int64)
+        uid = batch.column("user_id").to_numpy().astype(np.int64)
+        # local distinct (user repeats within a bucket pair-inflate)
+        o = np.lexsort((uid, vb, day))
+        day, vb, uid = day[o], vb[o], uid[o]
+        keep = np.r_[True, (day[1:] != day[:-1]) | (vb[1:] != vb[:-1]) | (uid[1:] != uid[:-1])]
+        day, vb, uid = day[keep], vb[keep], uid[keep]
+        part = (
+            splitmix64(day.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ vb.astype(np.uint64))
+            % np.uint64(num_partitions * 4)
+        ).astype(np.int32)
+        return pa.table(
+            {"part": pa.array(part), "day": pa.array(day, _I64),
+             "vb": pa.array(vb, _I64), "user_id": pa.array(uid, _I64)}
+        )
+
+    rows = ev.map_batches(bucket_rows, batch_format="pyarrow")
+
+    def co_pairs(group: pa.Table) -> pa.Table:
+        day = group.column("day").to_numpy()
+        vb = group.column("vb").to_numpy()
+        uid = group.column("user_id").to_numpy()
+        # exact distinct within the coarse part (cross-batch repeats)
+        o = np.lexsort((uid, vb, day))
+        day, vb, uid = day[o], vb[o], uid[o]
+        keep = np.r_[True, (day[1:] != day[:-1]) | (vb[1:] != vb[:-1]) | (uid[1:] != uid[:-1])]
+        day, vb, uid = day[keep], vb[keep], uid[keep]
+        ia, ib, order = _bucket_pair_indices([day, vb], uid)
+        srt = uid[order]
+        return _pairs(srt[ia], srt[ib])
+
+    cand = rows.groupby("part").map_groups(co_pairs, batch_format="pyarrow")
+    # distinct undirected edges (same pair arises from many buckets);
+    # repartition coalesces the 0-column empty hash-shuffle blocks that
+    # would otherwise break the joins below (join-quirk rule)
+    edges = (
+        cand.groupby(["u", "v"]).aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+    ).repartition(num_partitions).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pa.table(
+            {"n_edges": pa.array([0], _I64), "n_triangles": pa.array([0], _I64)}
+        )
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return pa.table({"node": pa.array([], _I64)})
+        u = batch.column("u").to_numpy()
+        v = batch.column("v").to_numpy()
+        return pa.table({"node": pa.array(np.concatenate([u, v]), _I64)})
+
+    deg = (
+        edges.map_batches(endpoints, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+        .repartition(num_partitions)
+    )
+
+    def dside(name: str) -> rd.Dataset:
+        return deg.rename_columns({"node": name, "deg": f"deg_{name}"})
+
+    j = edges.join(dside("u"), join_type="inner", num_partitions=num_partitions, on=("u",))
+    j = j.repartition(num_partitions)
+    j = j.join(dside("v"), join_type="inner", num_partitions=num_partitions, on=("v",))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return pa.table({"part": pa.array([], pa.int32()),
+                             "src": pa.array([], _I64), "dst": pa.array([], _I64)})
+        u = batch.column("u").to_numpy()
+        v = batch.column("v").to_numpy()
+        du = batch.column("deg_u").to_numpy()
+        dv = batch.column("deg_v").to_numpy()
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        part = (splitmix64(src.astype(np.uint64)) % np.uint64(num_partitions * 4)).astype(np.int32)
+        return pa.table(
+            {"part": pa.array(part), "src": pa.array(src, _I64), "dst": pa.array(dst, _I64)}
+        )
+
+    oriented = j.map_batches(orient, batch_format="pyarrow")
+
+    def wedges(group: pa.Table) -> pa.Table:
+        src = group.column("src").to_numpy()
+        dst = group.column("dst").to_numpy()
+        ia, ib, order = _bucket_pair_indices([src], dst)
+        srt = dst[order]
+        return _pairs(srt[ia], srt[ib])  # x < y within each src
+
+    w = oriented.groupby("part").map_groups(wedges, batch_format="pyarrow")
+    # every wedge row whose closing edge exists is exactly one triangle
+    # (degree orientation makes the center unique), so NO per-(u,v)
+    # wedge-count aggregate is needed: inner-join the wedge multiset
+    # against the distinct edge set and count rows. (Measured: the
+    # grouped count cost 53 s on 1.5M wedges at sf0.1; the join + count
+    # runs in ~2 s and ships the same bytes.)
+    w = w.repartition(num_partitions)
+    closed = w.join(
+        edges, join_type="inner", num_partitions=num_partitions, on=("u", "v")
+    )
+    n_tri = closed.count()
+    return pa.table(
+        {"n_edges": pa.array([n_edges], _I64), "n_triangles": pa.array([n_tri], _I64)}
+    )

@@ -1618,3 +1618,137 @@ def user_day_fulljoin(
         )
 
     return g.map_batches(nullify, batch_format="pyarrow")
+
+
+def range_join_shipments(sf_dir: str) -> rd.Dataset:
+    """INTERVAL (range) JOIN — per promo window, how many lineitems
+    shipped inside it. Windows are the urgent Q1-1996 orders, each
+    spanning [o_orderdate, o_orderdate + 30 days); there is NO equi-key
+    between the sides, the join predicate is pure containment — the
+    non-equi join type the engine lacked (as-of: purchase_click_asof).
+
+    Broadcast-window plan (the small-side shape): windows are a
+    filtered slice of orders (<<corpus), shipped once via ``ray.put``
+    as numpy bundles; each lineitem batch sorts its ship dates once and
+    answers ALL windows with two vectorized ``searchsorted`` calls —
+    O(B log B + W log B) per batch, no row loop, no shuffle of the big
+    side at all. Partial per-window counts (one int64 row per window
+    per block) reduce in a grouped Sum. Were the window side large,
+    the scale path is bucket-replication to overlapping 30-day cells +
+    equi-join on cell; the broadcast plan is strictly better while
+    windows fit a worker heap (millions of windows ~ tens of MB)."""
+    windows = read_clean(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def to_window(batch: pa.Table) -> pa.Table:
+        d = batch.column("o_orderdate")
+        keep = pc.and_(
+            pc.equal(batch.column("o_orderpriority"), "1-URGENT"),
+            pc.and_(
+                pc.greater_equal(d, pa.scalar(np.datetime64("1996-01-01", "us"))),
+                pc.less_equal(d, pa.scalar(np.datetime64("1996-03-31", "us"))),
+            ),
+        )
+        batch = batch.filter(keep)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "d0": pc.cast(batch.column("o_orderdate"), pa.int64()),
+            }
+        )
+
+    w_empty = pa.table({"o_orderkey": pa.array([], pa.int64()), "d0": pa.array([], pa.int64())})
+    wtab = pa.concat_tables(
+        [w_empty]
+        + list(
+            windows.map_batches(to_window, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+    ).combine_chunks()
+    keys = wtab.column("o_orderkey").to_numpy().astype(np.int64)
+    d0 = wtab.column("d0").to_numpy().astype(np.int64)
+    d1 = d0 + 30 * 86_400_000_000  # 30 days in microseconds
+    import ray as _ray
+
+    bundle_ref = _ray.put((keys, d0, d1))
+
+    li = read_clean(_p(sf_dir, "lineitem"), columns=["l_shipdate"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        k, lo, hi = _ray.get(bundle_ref)  # zero-copy numpy from plasma
+        ship = np.sort(pc.cast(batch.column("l_shipdate"), pa.int64()).to_numpy())
+        n = np.searchsorted(ship, hi, side="left") - np.searchsorted(
+            ship, lo, side="left"
+        )
+        return pa.table(
+            {"o_orderkey": pa.array(k, pa.int64()), "n_shipped": pa.array(n, pa.int64())}
+        )
+
+    parts = li.map_batches(partial_counts, batch_format="pyarrow")
+    return parts.groupby("o_orderkey").aggregate(Sum("n_shipped", alias_name="n_shipped"))
+
+
+def funnel_conversion(sf_dir: str) -> pa.Table:
+    """Ordered funnel view -> click -> purchase: users with a view, a
+    click strictly after their first view, and a purchase strictly
+    after that first qualifying click. The staged-sequence aggregate
+    every product-analytics store ships (and the reference's event
+    tables invite) — strictly harder than ``user_event_sequence``'s
+    unordered distinct-count.
+
+    Per stage: grouped Min over the filtered scan -> hash-join the
+    previous stage's first-times onto candidate events by user ->
+    filter ts > prev -> grouped Min again. Joins ship (user_id, ts)
+    rows only; no stage materializes events on the driver; user counts
+    (the output) are single ints. Scale-safe at any user cardinality —
+    no broadcast of a user-sized map."""
+    ev = read_clean(_p(sf_dir, "events"), columns=["user_id", "event_type", "ts"])
+
+    def typed(t: str) -> rd.Dataset:
+        def f(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.equal(batch.column("event_type"), t))
+            return pa.table(
+                {
+                    "user_id": batch.column("user_id"),
+                    "ts": pc.cast(batch.column("ts"), pa.int64()),
+                }
+            )
+
+        return ev.map_batches(f, batch_format="pyarrow")
+
+    num_partitions = max(2, int(__import__("ray").cluster_resources().get("CPU", 4)) // 2)
+
+    def first_after(events: rd.Dataset, prev: rd.Dataset, prev_col: str) -> rd.Dataset:
+        j = events.join(
+            prev, join_type="inner", num_partitions=num_partitions, on=("user_id",)
+        )
+
+        def later(batch: pa.Table) -> pa.Table:
+            if batch.num_columns == 0:
+                return pa.table(
+                    {"user_id": pa.array([], pa.int64()), "ts": pa.array([], pa.int64())}
+                )
+            keep = pc.greater(batch.column("ts"), batch.column(prev_col))
+            batch = batch.filter(keep)
+            return pa.table(
+                {"user_id": batch.column("user_id"), "ts": batch.column("ts")}
+            )
+
+        return (
+            j.map_batches(later, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Min("ts", alias_name=prev_col))
+        )
+
+    v0 = typed("view").groupby("user_id").aggregate(Min("ts", alias_name="t0")).materialize()
+    c1 = first_after(typed("click"), v0, "t0").rename_columns({"t0": "t1"}).materialize()
+    p2 = first_after(typed("purchase"), c1, "t1").materialize()
+    return pa.table(
+        {
+            "n_view": pa.array([v0.count()], pa.int64()),
+            "n_click": pa.array([c1.count()], pa.int64()),
+            "n_purchase": pa.array([p2.count()], pa.int64()),
+        }
+    )

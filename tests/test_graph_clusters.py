@@ -358,3 +358,29 @@ def test_pagerank_large_graph_bounded(ray_session):
     # node 0 receives by far the most zipf mass -> must be top-ranked
     assert out.sort_values("rank", ascending=False).iloc[0]["node"] == 0
     assert elapsed < 180
+
+
+def test_triangle_count_planted_clique(ray_session):
+    from datetime import datetime
+
+    from newscrawler_ray.pipelines.graph import triangle_count
+
+    day = datetime(2024, 3, 1, 12, 0, 0)
+    other = datetime(2024, 3, 2, 12, 0, 0)
+    rows = []
+    # users 1,2,3: purchases in the same (day, floor(value)) bucket ->
+    # 3-clique -> exactly one triangle
+    for u in (1, 2, 3):
+        rows.append({"user_id": u, "event_type": "purchase", "ts": day, "value": 7.4})
+    # users 4,5 share a different bucket -> one extra edge, no triangle
+    for u in (4, 5):
+        rows.append({"user_id": u, "event_type": "purchase", "ts": other, "value": 3.2})
+    # noise: non-purchase events and a lone purchaser never create edges
+    rows.append({"user_id": 1, "event_type": "click", "ts": other, "value": 3.2})
+    rows.append({"user_id": 9, "event_type": "purchase", "ts": other, "value": 50.0})
+    # duplicate purchases in the same bucket must not inflate the count
+    rows.append({"user_id": 2, "event_type": "purchase", "ts": day, "value": 7.9})
+    ev = rd.from_items(rows).repartition(4)
+    out = triangle_count("unused", events=ev, num_partitions=4)
+    assert out.column("n_edges").to_pylist() == [4]
+    assert out.column("n_triangles").to_pylist() == [1]
