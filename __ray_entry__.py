@@ -118,6 +118,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_with_index": _search_with_index,
         # ... and the RANKING half: tf-idf-scored AND retrieval
         "ranked_search": Q.ranked_search,
+        # Okapi BM25 (saturating tf, doc-length normalization) over the
+        # same AND retrieval — SQL-recomputable term by term
+        "bm25_search": Q.bm25_search,
+        # top adjacent-bigram collocations by pointwise mutual
+        # information (phrase mining / tokenizer-merge seeding)
+        "pmi_collocations": _pmi_collocations,
         "search_substring": Q.search_substring,
         "excluded_filter": Q.excluded_filter,
         # sort / top-k / pagination (SURVEY O1/O2)
@@ -520,6 +526,13 @@ def _prepare_training_data(sf_dir: str) -> Any:
     if out.exists():
         shutil.rmtree(out)
     return prepare_training_data(sf_dir, out)
+
+
+def _pmi_collocations(sf_dir: str) -> Any:
+    """SQL-paired: PMI over within-doc adjacent token bigrams."""
+    from newscrawler_ray.pipelines.corpusstats import pmi_collocations
+
+    return pmi_collocations(sf_dir)
 
 
 def _triangle_count(sf_dir: str) -> Any:
@@ -1042,6 +1055,73 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(score + 1e-9, 4) AS score
             FROM s WHERE nt = 2 ORDER BY score DESC, doc_id LIMIT 20""",
+        # BM25 recomputed termwise: same tokenization, dl from the token
+        # table, avgdl over ALL docs (zero-token docs count in N)
+        "bm25_search": r"""
+            WITH w AS MATERIALIZED (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                       '\W+'), x -> x <> '')) AS w
+              FROM documents
+            ), dl AS (
+              SELECT doc_id, count(*)::DOUBLE AS dl FROM w GROUP BY doc_id
+            ), tf AS (
+              SELECT doc_id, w, count(*)::DOUBLE AS c FROM w
+              WHERE w IN ('spark', 'merge') GROUP BY doc_id, w
+            ), df AS (
+              SELECT w, count(DISTINCT doc_id)::DOUBLE AS df FROM w
+              WHERE w IN ('spark', 'merge') GROUP BY w
+            ), n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            ad AS (SELECT (SELECT count(*) FROM w)::DOUBLE
+                          / (SELECT n FROM n) AS avgdl),
+            s AS (
+              SELECT tf.doc_id,
+                     sum(ln(((SELECT n FROM n) - df.df + 0.5)
+                            / (df.df + 0.5) + 1)
+                         * tf.c * 2.2
+                         / (tf.c + 1.2 * (0.25 + 0.75 * dl.dl
+                                          / (SELECT avgdl FROM ad)))
+                        ) AS score,
+                     count(DISTINCT tf.w) AS nt
+              FROM tf JOIN df USING (w) JOIN dl USING (doc_id)
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(score + 1e-9, 4) AS score
+            FROM s WHERE nt = 2 ORDER BY score DESC, doc_id LIMIT 20""",
+        # PMI over the same within-doc adjacent bigram stream the BPE
+        # trainer counts; totals T1/T12 are corpus token/bigram counts
+        "pmi_collocations": r"""
+            WITH wl AS MATERIALIZED (
+              SELECT list_filter(string_split_regex(lower(text), '\W+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), tok AS (SELECT unnest(w) AS t FROM wl),
+            bg AS (
+              SELECT unnest(CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                ELSE [w[i] || ' ' || w[i+1]
+                      FOR i IN generate_series(1, len(w)-1)]
+              END) AS p
+              FROM wl
+            ), bc AS (
+              SELECT string_split(p, ' ')[1] AS w1,
+                     string_split(p, ' ')[2] AS w2,
+                     count(*)::DOUBLE AS n
+              FROM bg GROUP BY 1, 2
+            ), uc AS (
+              SELECT t AS w, count(*)::DOUBLE AS c FROM tok GROUP BY 1
+            ), tot AS (
+              SELECT (SELECT count(*) FROM tok)::DOUBLE AS t1,
+                     (SELECT count(*) FROM bg)::DOUBLE AS t12
+            )
+            SELECT bc.w1, bc.w2, bc.n::BIGINT AS n,
+                   round(ln((bc.n / tot.t12)
+                            / ((u1.c / tot.t1) * (u2.c / tot.t1)))
+                         + 1e-9, 4) AS pmi
+            FROM bc, tot
+            JOIN uc u1 ON u1.w = bc.w1
+            JOIN uc u2 ON u2.w = bc.w2
+            WHERE bc.n >= 5
+            ORDER BY pmi DESC, bc.w1, bc.w2 LIMIT 20""",
         "excluded_filter": """
             SELECT doc_id, source, lang FROM documents
             WHERE source NOT IN ('src0', 'src13', 'src7') AND lang <> 'zh'""",

@@ -132,6 +132,8 @@ QUERY_NAMES = [
     "range_join_shipments",
     "funnel_conversion",
     "triangle_count",
+    "bm25_search",
+    "pmi_collocations",
 ]
 
 

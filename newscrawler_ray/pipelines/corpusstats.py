@@ -1811,3 +1811,131 @@ def paragraph_dedup_docs(
         )
 
     return joined.map_batches(rebuild, batch_format="pyarrow")
+
+
+def pmi_collocations(
+    sf_dir: str,
+    *,
+    top_k: int = 20,
+    min_count: int = 5,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Top-k adjacent-bigram collocations by pointwise mutual
+    information: PMI(w1, w2) = ln( (c12/T12) / ((c1/T1)(c2/T1)) ) over
+    within-document adjacent token pairs (Church/Hanks, "Word
+    association norms, mutual information, and lexicography", 1990) —
+    the corpus-statistics primitive behind phrase mining and
+    tokenizer-merge seeding (``train_bpe_merges`` counts the same
+    pairs; this scores them against independence).
+
+    Shape: one tokenize pass emits per-batch PRE-COMBINED bigram counts
+    (Arrow group_by inside the batch — the shuffle ships one row per
+    distinct in-batch pair, not per occurrence) -> grouped Sum; unigram
+    counts likewise; totals are scalar ``Dataset.aggregate`` folds; two
+    vocab-keyed hash joins attach c1/c2 onto the bigram rows. Every
+    exchange is vocabulary-sized, never corpus-sized; min_count prunes
+    before the join. Output: (w1, w2, n, pmi), PMI DESC top-k,
+    (w1, w2) tie-break, round-4 with the tie-free 1e-9 nudge."""
+    from ray.data.aggregate import Sum
+
+    nparts = _nparts(num_partitions)
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def _flat_tokens(batch: pa.Table):
+        texts = pc.fill_null(batch.column("text"), "")
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts), r"\W+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offs = lists.offsets.to_numpy()
+        flat = lists.values.slice(offs[0], offs[-1] - offs[0])
+        keep = pc.not_equal(pc.binary_length(flat), 0)
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), np.diff(offs)
+        )[keep_np]
+        return flat.filter(keep), doc_of
+
+    def bigram_counts(batch: pa.Table) -> pa.Table:
+        flat, doc_of = _flat_tokens(batch)
+        if len(flat) < 2:
+            return pa.table(
+                {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        adj = doc_of[1:] == doc_of[:-1]  # adjacent AND same doc
+        idx = np.nonzero(adj)[0]
+        t = pa.table(
+            {"w1": flat.take(pa.array(idx)), "w2": flat.take(pa.array(idx + 1))}
+        )
+        agg = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["w1", "w2", "n"])
+
+    def unigram_counts(batch: pa.Table) -> pa.Table:
+        flat, _ = _flat_tokens(batch)
+        t = pa.table({"w": flat})
+        agg = t.group_by(["w"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["w", "c"])
+
+    bc = (
+        docs.map_batches(bigram_counts, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n", alias_name="n"))
+        .repartition(nparts)
+        .materialize()
+    )
+    uc = (
+        docs.map_batches(unigram_counts, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("c", alias_name="c"))
+        .repartition(nparts)
+        .materialize()
+    )
+    t12 = float(bc.aggregate(Sum("n", alias_name="t"))["t"] or 0)
+    t1 = float(uc.aggregate(Sum("c", alias_name="t"))["t"] or 0)
+    if t12 == 0 or t1 == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64()), "pmi": pa.array([], pa.float64())}
+            )
+        )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return pa.table(
+                {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        return batch.filter(pc.greater_equal(batch.column("n"), min_count))
+
+    pruned = bc.map_batches(prune, batch_format="pyarrow").repartition(nparts)
+    j = pruned.join(
+        uc.rename_columns({"w": "w1", "c": "c1"}),
+        join_type="inner", num_partitions=nparts, on=("w1",),
+    ).repartition(nparts)
+    j = j.join(
+        uc.rename_columns({"w": "w2", "c": "c2"}),
+        join_type="inner", num_partitions=nparts, on=("w2",),
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return pa.table(
+                {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64()), "pmi": pa.array([], pa.float64())}
+            )
+        n = batch.column("n").to_numpy().astype(np.float64)
+        c1 = batch.column("c1").to_numpy().astype(np.float64)
+        c2 = batch.column("c2").to_numpy().astype(np.float64)
+        pmi = np.log((n / t12) / ((c1 / t1) * (c2 / t1)))
+        return pa.table(
+            {
+                "w1": batch.column("w1"),
+                "w2": batch.column("w2"),
+                "n": batch.column("n"),
+                "pmi": pa.array(np.round(pmi + 1e-9, 4), pa.float64()),
+            }
+        )
+
+    out = j.map_batches(score, batch_format="pyarrow")
+    return out.sort(["pmi", "w1", "w2"], descending=[True, False, False]).limit(top_k)

@@ -1752,3 +1752,86 @@ def funnel_conversion(sf_dir: str) -> pa.Table:
             "n_purchase": pa.array([p2.count()], pa.int64()),
         }
     )
+
+
+def bm25_search(
+    sf_dir: str,
+    *,
+    words: tuple[str, ...] = ("spark", "merge"),
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> rd.Dataset:
+    """Okapi BM25 ranked retrieval (Robertson/Walker, SIGIR 1994) — the
+    saturating, length-normalized upgrade of ``ranked_search``'s raw
+    tf-idf: score(d) = sum_t idf_t * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))
+    with idf_t = ln((N - df + 0.5)/(df + 0.5) + 1). AND semantics and
+    the same two streaming passes; pass 1's per-block fold additionally
+    carries token totals so avgdl costs nothing extra. All driver state
+    is |words| ints + two scalars."""
+    from ..functions.hashing import tokenize_word_hashes
+
+    term_h = []
+    empty = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+    )
+    for w in words:
+        flat, _ = tokenize_word_hashes([w])
+        if len(flat) != 1:
+            return rd.from_arrow(empty)
+        term_h.append(np.uint64(flat[0]))
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokenize_word_hashes(batch.column("text"))
+        lens = np.diff(offsets)
+        doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+        out = [int(len(np.unique(doc_of[flat == h]))) for h in term_h]
+        return pa.table(
+            {
+                "term": pa.array(range(len(term_h)), pa.int64()),
+                "df": pa.array(out, pa.int64()),
+                "n": pa.array([batch.num_rows] * len(term_h), pa.int64()),
+                "toks": pa.array([int(lens.sum())] * len(term_h), pa.int64()),
+            }
+        )
+
+    df = np.zeros(len(term_h), np.int64)
+    n_docs = 0
+    total_toks = 0
+    for blk in docs.map_batches(df_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if blk.num_rows:
+            terms = blk.column("term").to_numpy()
+            np.add.at(df, terms, blk.column("df").to_numpy())
+            first = terms == 0
+            n_docs += int(blk.column("n").to_numpy()[first].sum())
+            total_toks += int(blk.column("toks").to_numpy()[first].sum())
+    if (df == 0).any() or n_docs == 0 or total_toks == 0:
+        return rd.from_arrow(empty)
+    avgdl = total_toks / n_docs
+    idf = np.log((n_docs - df.astype(np.float64) + 0.5) / (df + 0.5) + 1.0)
+
+    def score(batch: pa.Table) -> pa.Table:
+        flat, offsets = tokenize_word_hashes(batch.column("text"))
+        lens = np.diff(offsets)
+        n = batch.num_rows
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        norm = k1 * (1.0 - b + b * lens.astype(np.float64) / avgdl)
+        total = np.zeros(n, np.float64)
+        all_hit = np.ones(n, bool)
+        for h, wi in zip(term_h, idf):
+            tf = np.bincount(doc_of[flat == h], minlength=n).astype(np.float64)
+            all_hit &= tf > 0
+            total += wi * tf * (k1 + 1.0) / (tf + norm)
+        keep = all_hit
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "score": pa.array(np.round(total[keep] + 1e-9, 4), pa.float64()),
+            }
+        )
+
+    out = docs.map_batches(score, batch_format="pyarrow")
+    return out.sort(["score", "doc_id"], descending=[True, False]).limit(k)
