@@ -413,6 +413,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # components -> keep cluster min; rows-only — union-find parity
         # oracle in tests/)
         "phash_dedup_images": _phash_dedup_images,
+        # keep-BEST cluster policy (max w*h, min-id ties) over the same
+        # pHash near-dup relation (rows-only: union-find + planted-policy
+        # oracles in tests/test_textstats_multimodal.py)
+        "phash_dedup_keep_best": _phash_dedup_keep_best,
         # incremental image-snapshot dedup (bloom over phashes; rows-only
         # — no-false-negative + FP bounds in tests/)
         "bloom_dedup_images": _bloom_dedup_images,
@@ -817,6 +821,24 @@ def _phash_demo_table():
 
     return synth_phash_table(
         "/tmp/newscrawler_ray_fixtures/phash_radius_2000.parquet", 2000, 5
+    )
+
+
+def _phash_dedup_keep_best(sf_dir: str) -> Any:
+    """Rows-only: pHash cluster dedup keeping the highest-resolution
+    member (sf_dir-independent input — the planted-near-dup phash
+    table extended with deterministic (w, h) resolution metadata; the
+    crawl fixture's degenerate gradient phashes chain everything into
+    one component, which demos nothing)."""
+    from newscrawler_ray.pipelines.multimodal import (
+        phash_dedup_keep_best,
+        synth_phash_wh_table,
+    )
+
+    return phash_dedup_keep_best(
+        synth_phash_wh_table(
+            "/tmp/newscrawler_ray_fixtures/phash_wh_2000.parquet", 2000, 5
+        )
     )
 
 

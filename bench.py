@@ -134,6 +134,7 @@ QUERY_NAMES = [
     "triangle_count",
     "bm25_search",
     "pmi_collocations",
+    "phash_dedup_keep_best",
 ]
 
 

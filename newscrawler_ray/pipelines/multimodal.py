@@ -344,3 +344,151 @@ def bloom_dedup_images(
     survivors = new.map_batches(fresh, batch_format="pyarrow")
     out = survivors.groupby("phash").aggregate(Min("image_id", alias_name="image_id"))
     return out.select_columns(["image_id"])
+
+
+def synth_phash_wh_table(
+    path: str | Path, n: int = 2000, seed: int = 5
+) -> Path:
+    """``synth_phash_table`` plus deterministic (w, h) dims — the demo
+    input for the keep-best policy (winner needs resolution metadata).
+    Dims are splitmix-derived in [64, 1088) x [64, 576); pure function
+    of (n, seed), cached by existence (new filename, not a schema
+    change to the cached dims-less table)."""
+    from ..functions.hashing import splitmix64
+
+    path = Path(path)
+    if path.exists():
+        return path
+    base_tab = __import__("pyarrow.parquet", fromlist=["read_table"]).read_table(
+        str(synth_phash_table(path.with_name(f"phash_radius_{n}.parquet"), n, seed))
+    )
+    r = splitmix64(np.arange(n, dtype=np.uint64) + np.uint64(seed * 7919))
+    w = (64 + (r % np.uint64(1024))).astype(np.int32)
+    h = (64 + ((r >> np.uint64(32)) % np.uint64(512))).astype(np.int32)
+    out = base_tab.append_column("w", pa.array(w, pa.int32())).append_column(
+        "h", pa.array(h, pa.int32())
+    )
+    __import__("pyarrow.parquet", fromlist=["write_table"]).write_table(
+        out, str(path)
+    )
+    return path
+
+
+def phash_dedup_keep_best(
+    images: str | Path | rd.Dataset, *, max_hamming: int = 3
+) -> rd.Dataset:
+    """pHash-cluster dedup with the KEEP-BEST policy: every cluster of
+    images connected by hamming(phash) <= max_hamming keeps its
+    highest-resolution member (max w*h, ties -> min image_id) instead
+    of ``phash_dedup_images``'s arbitrary min-id — the policy real
+    image-curation pipelines want, since near-dup crawl copies are
+    usually the same picture at different resolutions and the training
+    set should keep the best copy (LAION-style dedup keeps one
+    representative per cluster; resolution is the standard pick).
+
+    Same distributed skeleton as ``phash_dedup_images`` (4-band
+    pigeonhole pairs -> connected components -> survivor selection);
+    winner selection is two grouped aggregates + a hash join on thin
+    (iid, component, pixels) rows — grouped Max(pixels) per cluster,
+    semi-match on the max, grouped Min(iid) as the tie-break. Payload
+    bytes never move; only ids/hashes/two int32s shuffle."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    from ..pipelines.vision import _image_id_to_int, _int_to_image_id
+    from .dedup import hamming_near_dup_pairs
+    from .graph import connected_components
+
+    if isinstance(images, (str, Path)):
+        ds = rd.read_parquet(str(images), columns=["image_id", "phash", "w", "h"])
+    else:
+        ds = images
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        px = (
+            batch.column("w").to_numpy().astype(np.int64)
+            * batch.column("h").to_numpy().astype(np.int64)
+        )
+        return pa.table(
+            {
+                "iid": _image_id_to_int(batch.column("image_id")),
+                "phash": batch.column("phash"),
+                "pixels": pa.array(px, pa.int64()),
+            }
+        )
+
+    ints = ds.map_batches(to_int, batch_format="pyarrow").materialize()
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+
+    hashed = ints.map_batches(
+        lambda b: pa.table({"iid": b.column("iid"), "phash": b.column("phash")}),
+        batch_format="pyarrow",
+    )
+    pairs = hamming_near_dup_pairs(
+        hashed, max_hamming=max_hamming, id_col="iid", hash_col="phash"
+    )
+    assign = connected_components(pairs).repartition(nparts).materialize()
+
+    # meta/ids/nodes are plain maps of healthy (materialized) blocks —
+    # never 0-column — so they need no join-quirk repartition
+    meta = ints.map_batches(
+        lambda b: pa.table({"iid": b.column("iid"), "pixels": b.column("pixels")}),
+        batch_format="pyarrow",
+    )
+
+    ids = ints.map_batches(
+        lambda b: pa.table({"iid": b.column("iid")}), batch_format="pyarrow"
+    )
+
+    def back(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"image_id": pa.array([], pa.string())})
+        return pa.table(
+            {"image_id": pa.array(
+                _int_to_image_id(batch.column("iid").to_numpy()), pa.string()
+            )}
+        )
+
+    if assign.count() == 0:  # no near-dup pairs at all: everything stays
+        return ids.map_batches(back, batch_format="pyarrow")
+
+    nodes = assign.map_batches(
+        lambda b: pa.table({"iid": b.column("node")}) if b.num_columns else
+        pa.table({"iid": pa.array([], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    members = assign.rename_columns({"node": "iid"}).join(
+        meta, join_type="inner", num_partitions=nparts, on=("iid",)
+    ).repartition(nparts)
+    maxp = (
+        members.groupby("component")
+        .aggregate(Max("pixels", alias_name="max_px"))
+        .repartition(nparts)
+    )
+    cand = members.join(
+        maxp, join_type="inner", num_partitions=nparts, on=("component",)
+    )
+
+    def at_max(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"component": pa.array([], pa.int64()), "iid": pa.array([], pa.int64())}
+            )
+        keep = pc.equal(batch.column("pixels"), batch.column("max_px"))
+        batch = batch.filter(keep)
+        return pa.table(
+            {"component": batch.column("component"), "iid": batch.column("iid")}
+        )
+
+    winners = (
+        cand.map_batches(at_max, batch_format="pyarrow")
+        .groupby("component")
+        .aggregate(Min("iid", alias_name="iid"))
+        .select_columns(["iid"])
+    )
+    singletons = ids.join(
+        nodes, join_type="left_anti", num_partitions=nparts, on=("iid",)
+    )
+    return singletons.union(winners.repartition(nparts)).map_batches(
+        back, batch_format="pyarrow"
+    )

@@ -428,3 +428,79 @@ def test_phash_dedup_images_matches_union_find(ray_session, fixture_dir):
         for r in multimodal.phash_dedup_images(fixture_dir / "images.parquet").take_all()
     )
     assert got == want and 0 < len(got) < len(ids)
+
+
+def test_phash_keep_best_planted_policy(ray_session):
+    """Keep-best picks the max-pixel member per cluster, min id on ties;
+    singletons always survive."""
+    import ray.data as rd
+
+    ha = 0x123456789ABCDEF0
+    hb = 0x0F0F0F0FF0F0F0F0  # hamming(ha, hb) = 36: never merges with A
+    rows = [
+        # cluster A: identical phash, id 3 has the most pixels
+        {"image_id": "img-00000001", "phash": ha, "w": 10, "h": 10},
+        {"image_id": "img-00000002", "phash": ha, "w": 50, "h": 40},
+        {"image_id": "img-00000003", "phash": ha, "w": 100, "h": 90},
+        # cluster B: pixel tie -> smaller id wins
+        {"image_id": "img-00000004", "phash": hb, "w": 64, "h": 64},
+        {"image_id": "img-00000005", "phash": hb ^ 3, "w": 64, "h": 64},
+        # singleton far from everything
+        {"image_id": "img-00000009", "phash": -123456789, "w": 1, "h": 1},
+    ]
+    got = sorted(
+        r["image_id"]
+        for r in multimodal.phash_dedup_keep_best(
+            rd.from_items(rows).repartition(3)
+        ).take_all()
+    )
+    assert got == ["img-00000003", "img-00000004", "img-00000009"]
+
+
+def test_phash_keep_best_matches_union_find(ray_session, fixture_dir):
+    """Survivor set == driver union-find + (max pixels, min id) winner
+    per component over the brute-force pair graph."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        fixture_dir / "images.parquet", columns=["image_id", "phash", "w", "h"]
+    )
+    ids = t.column("image_id").to_pylist()
+    px = (
+        t.column("w").to_numpy().astype(np.int64)
+        * t.column("h").to_numpy().astype(np.int64)
+    )
+    h = t.column("phash").to_numpy().view(np.uint64)
+    parent = list(range(len(ids)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    x = h[:, None] ^ h[None, :]
+    ham = np.unpackbits(x.view(np.uint8).reshape(len(h), len(h), 8), axis=2).sum(axis=2)
+    zero = h == 0
+    for i in range(len(h)):
+        for j in range(i + 1, len(h)):
+            if (zero[i] and zero[j]) or (
+                not zero[i] and not zero[j] and ham[i, j] <= 3
+            ):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    comp: dict[int, list[int]] = {}
+    for i in range(len(ids)):
+        comp.setdefault(find(i), []).append(i)
+    want = sorted(
+        ids[min((m for m in members), key=lambda m: (-px[m], ids[m]))]
+        for members in comp.values()
+    )
+    got = sorted(
+        r["image_id"]
+        for r in multimodal.phash_dedup_keep_best(
+            fixture_dir / "images.parquet"
+        ).take_all()
+    )
+    assert got == want and 0 < len(got) < len(ids)
