@@ -389,6 +389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_shipments": Q.range_join_shipments,
         # ordered funnel view -> click-after-view -> purchase-after-click
         "funnel_conversion": Q.funnel_conversion,
+        # NTILE window: equal-count activity quartiles via global_rank
+        "user_activity_quartiles": Q.user_activity_quartiles,
         # degree-oriented distributed triangle count on the co-purchase
         # projection graph (node-iterator, Suri/Vassilvitskii 2011)
         "triangle_count": _triangle_count,
@@ -2215,6 +2217,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM v) AS n_view,
                    (SELECT count(*) FROM c) AS n_click,
                    (SELECT count(*) FROM p) AS n_purchase""",
+        "user_activity_quartiles": """
+            WITH t AS (
+              SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+            )
+            SELECT user_id, n_events,
+                   ntile(4) OVER (ORDER BY n_events DESC, user_id)::BIGINT
+                       AS quartile
+            FROM t""",
         # triangle count recomputed as the 3-way edge self-join over the
         # same deterministic co-purchase projection
         "triangle_count": """

@@ -135,6 +135,7 @@ QUERY_NAMES = [
     "bm25_search",
     "pmi_collocations",
     "phash_dedup_keep_best",
+    "user_activity_quartiles",
 ]
 
 

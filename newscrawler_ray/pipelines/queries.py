@@ -1835,3 +1835,68 @@ def bm25_search(
 
     out = docs.map_batches(score, batch_format="pyarrow")
     return out.sort(["score", "doc_id"], descending=[True, False]).limit(k)
+
+
+def user_activity_quartiles(sf_dir: str, *, n_tiles: int = 4) -> rd.Dataset:
+    """NTILE window: users bucketed into ``n_tiles`` equal-count groups
+    by activity (event count DESC, user_id ASC) — the remaining window
+    function family member (rank: ``shuffled_training_order``; lag:
+    ``events_daily_delta``; rolling: ``events_rolling_7d``).
+
+    Grouped Count -> distributed ``global_rank`` over the thin
+    (user_id, n_events) rows (histogram-balanced range partition, no
+    single-node sort) -> closed-form SQL NTILE arithmetic per row: the
+    first N % k tiles get one extra member. Count keys are exact ints,
+    so Ray and SQL order identically with no float-sum hazard."""
+    from ray.data.aggregate import Max as _Max
+
+    from .ordering import global_rank
+
+    ev = read_clean(_p(sf_dir, "events"), columns=["user_id"])
+    totals = (
+        ev.groupby("user_id").aggregate(Count(alias_name="n_events")).materialize()
+    )
+    n_users = totals.count()
+    if n_users == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64()),
+                 "quartile": pa.array([], pa.int64())}
+            )
+        )
+    max_n = int(totals.aggregate(_Max("n_events", alias_name="m"))["m"])
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_events").to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "n_events": batch.column("n_events"),
+                "key": pa.array(max_n - n, pa.int64()),  # DESC via flip
+            }
+        )
+
+    ranked = global_rank(
+        totals.map_batches(keyed, batch_format="pyarrow"),
+        "key", "user_id", key_max=max_n + 1, out_col="pos",
+    )
+    q, r = divmod(n_users, n_tiles)
+
+    def tiles(batch: pa.Table) -> pa.Table:
+        p = batch.column("pos").to_numpy()
+        cut = r * (q + 1)
+        tile = np.where(
+            p < cut,
+            p // max(q + 1, 1),
+            r + np.where(q > 0, (p - cut) // max(q, 1), 0),
+        ) + 1
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "n_events": batch.column("n_events"),
+                "quartile": pa.array(tile.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ranked.map_batches(tiles, batch_format="pyarrow")
