@@ -391,6 +391,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_conversion": Q.funnel_conversion,
         # NTILE window: equal-count activity quartiles via global_rank
         "user_activity_quartiles": Q.user_activity_quartiles,
+        # two-level exact COUNT(DISTINCT) per group (no raw-row shuffle)
+        "distinct_users_by_type": Q.distinct_users_by_type,
+        # MODE aggregate: most frequent lang per source, min-lang ties
+        "mode_lang_by_source": Q.mode_lang_by_source,
         # degree-oriented distributed triangle count on the co-purchase
         # projection graph (node-iterator, Suri/Vassilvitskii 2011)
         "triangle_count": _triangle_count,
@@ -2217,6 +2221,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM v) AS n_view,
                    (SELECT count(*) FROM c) AS n_click,
                    (SELECT count(*) FROM p) AS n_purchase""",
+        "distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type""",
+        # DuckDB's mode() tie choice is unspecified; recompute the same
+        # (max count, min lang) winner deterministically
+        "mode_lang_by_source": """
+            WITH c AS (
+              SELECT source, lang, count(*) AS n
+              FROM documents GROUP BY 1, 2
+            )
+            SELECT source, min(lang) AS mode_lang
+            FROM c
+            WHERE (source, n) IN (
+              SELECT (source, max(n)) FROM c GROUP BY source
+            )
+            GROUP BY source""",
         "user_activity_quartiles": """
             WITH t AS (
               SELECT user_id, count(*) AS n_events FROM events GROUP BY 1

@@ -136,6 +136,8 @@ QUERY_NAMES = [
     "pmi_collocations",
     "phash_dedup_keep_best",
     "user_activity_quartiles",
+    "distinct_users_by_type",
+    "mode_lang_by_source",
 ]
 
 

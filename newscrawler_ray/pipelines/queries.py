@@ -1900,3 +1900,46 @@ def user_activity_quartiles(sf_dir: str, *, n_tiles: int = 4) -> rd.Dataset:
         )
 
     return ranked.map_batches(tiles, batch_format="pyarrow")
+
+
+def distinct_users_by_type(sf_dir: str) -> rd.Dataset:
+    """count(DISTINCT user_id) per event_type — the two-level exact
+    distinct idiom: dedupe on the COMPOSITE key first (grouped count
+    whose per-block combiner collapses repeats before the shuffle),
+    then count rows per type. The raw-row shuffle a naive distinct
+    would pay never happens; level 2 runs on |types x users| thin rows."""
+    ev = read_clean(_p(sf_dir, "events"), columns=["event_type", "user_id"])
+    pairs = (
+        ev.groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+    return pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+
+def mode_lang_by_source(sf_dir: str) -> rd.Dataset:
+    """MODE aggregate: the most frequent lang per source (min lang on
+    ties) — SQL's ``mode() WITHIN GROUP``. Two grouped aggregates plus
+    the max-semi-match: counts per (source, lang), grouped Max(n) per
+    source, inner join back on (source, n), grouped Min(lang) as the
+    deterministic tie-break. Every exchange is (source x lang)-sized."""
+    num_partitions = max(2, int(__import__("ray").cluster_resources().get("CPU", 4)) // 2)
+    ds = read_clean(_p(sf_dir, "documents"), columns=["source", "lang"])
+    counts = (
+        ds.groupby(["source", "lang"])
+        .aggregate(Count(alias_name="n"))
+        .repartition(num_partitions)
+        .materialize()
+    )
+    top = (
+        counts.groupby("source")
+        .aggregate(Max("n", alias_name="n"))
+        .repartition(num_partitions)
+    )
+    at_max = counts.join(
+        top, join_type="inner", num_partitions=num_partitions, on=("source", "n")
+    )
+    return (
+        at_max.groupby("source")
+        .aggregate(Min("lang", alias_name="mode_lang"))
+    )
