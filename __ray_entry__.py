@@ -395,6 +395,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": Q.distinct_users_by_type,
         # MODE aggregate: most frequent lang per source, min-lang ties
         "mode_lang_by_source": Q.mode_lang_by_source,
+        # SKYLINE: Pareto-maximal orders on (totalprice, orderdate)
+        "pareto_orders": Q.pareto_orders,
         # degree-oriented distributed triangle count on the co-purchase
         # projection graph (node-iterator, Suri/Vassilvitskii 2011)
         "triangle_count": _triangle_count,
@@ -2221,6 +2223,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT (SELECT count(*) FROM v) AS n_view,
                    (SELECT count(*) FROM c) AS n_click,
                    (SELECT count(*) FROM p) AS n_purchase""",
+        # skyline recomputed as the NOT EXISTS dominator check
+        "pareto_orders": """
+            SELECT o_orderkey, o_totalprice, o_orderdate
+            FROM orders a
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders b
+              WHERE b.o_totalprice >= a.o_totalprice
+                AND b.o_orderdate >= a.o_orderdate
+                AND (b.o_totalprice > a.o_totalprice
+                     OR b.o_orderdate > a.o_orderdate))""",
         "distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type""",

@@ -138,6 +138,7 @@ QUERY_NAMES = [
     "user_activity_quartiles",
     "distinct_users_by_type",
     "mode_lang_by_source",
+    "pareto_orders",
 ]
 
 

@@ -1943,3 +1943,69 @@ def mode_lang_by_source(sf_dir: str) -> rd.Dataset:
         at_max.groupby("source")
         .aggregate(Min("lang", alias_name="mode_lang"))
     )
+
+
+def _skyline2d(price: np.ndarray, date: np.ndarray) -> np.ndarray:
+    """Boolean survivor mask of the 2-D maxima (skyline) under strict
+    Pareto domination: row i is dominated iff some row is >= in both
+    dims and > in at least one. Vectorized: sort by (price DESC, date
+    DESC); survive iff date == max(date) within the equal-price group
+    AND date > running max(date) over strictly-higher-price rows.
+    Exact duplicates all survive (neither strictly exceeds the other)."""
+    n = len(price)
+    keep = np.zeros(n, bool)
+    if n == 0:
+        return keep
+    order = np.lexsort((-date, -price))
+    p, d = price[order], date[order]
+    grp_new = np.r_[True, p[1:] != p[:-1]]
+    gid = np.cumsum(grp_new) - 1
+    # max date per price group == first date in group (sorted date DESC)
+    gmax = d[grp_new][gid]
+    # running max of date over all STRICTLY higher price groups
+    gfirst = np.nonzero(grp_new)[0]
+    gmax_per_group = d[grp_new]
+    prev = np.empty(len(gfirst), d.dtype)
+    prev[0] = np.iinfo(np.int64).min if d.dtype.kind in "iu" else -np.inf
+    if len(gfirst) > 1:
+        np.maximum.accumulate(gmax_per_group[:-1], out=gmax_per_group[:-1])
+        prev[1:] = gmax_per_group[:-1]
+    surv = (d == gmax) & (d > prev[gid])
+    keep[order] = surv
+    return keep
+
+
+def pareto_orders(sf_dir: str) -> rd.Dataset:
+    """SKYLINE (Pareto-maxima) query: orders not dominated on
+    (o_totalprice, o_orderdate) — no other order is >= in both and >
+    in one (Börzsönyi/Kossmann/Stocker, "The Skyline Operator", ICDE
+    2001). The multi-objective top-k a ranking query can't express.
+
+    Distributed 2-D plan: every block computes its LOCAL skyline with
+    one vectorized sort+scan (a globally non-dominated row is
+    non-dominated in its own block, so the global skyline is a subset
+    of the union of local ones); the union of local skylines is
+    skyline-sized per block (~log-size on real data), so the final
+    cross-block pass runs on a k-limited collection exactly like the
+    top-k operators. Blocks ship three thin columns; text/payload
+    never read."""
+    ds = read_clean(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def local(batch: pa.Table) -> pa.Table:
+        price = batch.column("o_totalprice").to_numpy()
+        date = pc.cast(batch.column("o_orderdate"), pa.int64()).to_numpy()
+        return batch.filter(pa.array(_skyline2d(price, date)))
+
+    cand = pa.concat_tables(
+        ds.map_batches(local, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ),
+        promote_options="default",
+    ).combine_chunks()
+    price = cand.column("o_totalprice").to_numpy()
+    date = pc.cast(cand.column("o_orderdate"), pa.int64()).to_numpy()
+    out = cand.filter(pa.array(_skyline2d(price, date)))
+    return rd.from_arrow(out)

@@ -206,3 +206,43 @@ def test_prefix_cutoff_equals_running_sum(rows, budget):
     keep = cum <= budget
     exp = {int(tb[order[i]]): int(cum[i]) for i in np.nonzero(keep)[0]}
     assert {r["tb"]: r["cum"] for r in out} == exp
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 6)), min_size=0, max_size=40
+    ),
+    split=st.integers(1, 5),
+)
+@settings(max_examples=300, deadline=None)
+def test_skyline_kernel_equals_brute_force(rows, split):
+    """_skyline2d == O(n^2) strict-Pareto domination; and the
+    block-local-then-global composition is exact for any block split
+    (tiny domains force heavy duplicate/tie coverage)."""
+    from newscrawler_ray.pipelines.queries import _skyline2d
+
+    price = np.array([r[0] for r in rows], np.float64)
+    date = np.array([r[1] for r in rows], np.int64)
+    n = len(rows)
+    brute = np.ones(n, bool)
+    for i in range(n):
+        for j in range(n):
+            if (
+                price[j] >= price[i]
+                and date[j] >= date[i]
+                and (price[j] > price[i] or date[j] > date[i])
+            ):
+                brute[i] = False
+                break
+    got = _skyline2d(price, date)
+    assert got.tolist() == brute.tolist()
+    # distributed composition: local skyline per block, then global
+    idx = np.arange(n)
+    cand = []
+    for b in range(split):
+        blk = idx[idx % split == b]
+        if len(blk):
+            cand.append(blk[_skyline2d(price[blk], date[blk])])
+    cand = np.concatenate(cand) if cand else np.array([], np.int64)
+    final = cand[_skyline2d(price[cand], date[cand])]
+    assert sorted(final.tolist()) == sorted(idx[brute].tolist())
