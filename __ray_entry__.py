@@ -384,6 +384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy_docs": T.char_entropy_docs,
         # FULL OUTER join of per-(user, day) type counts as one scan
         "user_day_fulljoin": Q.user_day_fulljoin,
+        # association rules: (user, day)-basket pair support/conf/lift
+        "basket_cooccurrence": Q.basket_cooccurrence,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,
@@ -2037,6 +2039,30 @@ def oracle_sql() -> dict[str, str]:
                FROM events WHERE event_type = 'error'
                GROUP BY 1, 2) b
             USING (user_id, day)""",
+        # basket self-join recomputes the bitmask-popcount plan
+        "basket_cooccurrence": """
+            WITH ut AS (
+              SELECT DISTINCT user_id, date_trunc('day', ts) AS day,
+                     event_type
+              FROM events
+            ), n AS (
+              SELECT count(*) AS nb FROM (
+                SELECT DISTINCT user_id, date_trunc('day', ts) FROM events)
+            ), s AS (
+              SELECT event_type, count(*) AS c FROM ut GROUP BY 1
+            ), p AS (
+              SELECT a.event_type AS type_a, b.event_type AS type_b,
+                     count(*) AS n_both
+              FROM ut a JOIN ut b USING (user_id, day)
+              WHERE a.event_type < b.event_type
+              GROUP BY 1, 2
+            )
+            SELECT type_a, type_b, n_both,
+                   round(n_both::DOUBLE / sa.c + 1e-9, 4) AS confidence,
+                   round(nb * n_both::DOUBLE / (sa.c * sb.c) + 1e-9, 4)
+                       AS lift
+            FROM p JOIN s sa ON sa.event_type = p.type_a
+                   JOIN s sb ON sb.event_type = p.type_b, n""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

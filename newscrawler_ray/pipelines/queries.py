@@ -2009,3 +2009,105 @@ def pareto_orders(sf_dir: str) -> rd.Dataset:
     date = pc.cast(cand.column("o_orderdate"), pa.int64()).to_numpy()
     out = cand.filter(pa.array(_skyline2d(price, date)))
     return rd.from_arrow(out)
+
+
+def basket_cooccurrence(sf_dir: str) -> rd.Dataset:
+    """Association-rules co-occurrence (Agrawal/Srikant market-basket):
+    for every pair of event types, how many (user, day) baskets contain
+    both, with confidence P(b|a) and lift — the frequent-itemset family
+    (reference has nothing like it; a curation pipeline uses the same
+    shape for tag/source co-occurrence diagnostics).
+
+    Distributed plan, one wide exchange total:
+      1. tiny type vocabulary from a single-column pruned scan;
+      2. distinct (user, day, type) via grouped Count — the per-block
+         combiner collapses repeats before the shuffle;
+      3. encode each type as a bit and OR per basket with one grouped
+         Sum (rows are distinct, so Sum == bit-OR) keyed (user, day);
+      4. per-batch popcount partials: C(T,2) pair counts + T singles +
+         one basket-count row per block — kilobytes regardless of scale;
+      5. driver folds the partials (sketch-merge style) into the final
+         T*(T-1)/2-row table.
+    Assumes |vocab| < 63 (bitmask in one int64); larger vocabularies
+    would shard the mask into multiple columns."""
+    ev = read_clean(_p(sf_dir, "events"), columns=["user_id", "event_type", "ts"])
+
+    vocab_rows = (
+        read_clean(_p(sf_dir, "events"), columns=["event_type"])
+        .groupby("event_type")
+        .count()
+        .take_all()
+    )
+    vocab = np.sort(np.array([r["event_type"] for r in vocab_rows]))
+    T = len(vocab)
+    if T >= 63:
+        raise NotImplementedError("bitmask plan needs |event types| < 63")
+
+    def day_bit(batch: pa.Table) -> pa.Table:
+        idx = np.searchsorted(vocab, batch.column("event_type").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day": pc.cast(
+                    pc.floor_temporal(batch.column("ts"), unit="day"),
+                    pa.timestamp("us"),
+                ),
+                "bit": pa.array(np.left_shift(np.int64(1), idx), pa.int64()),
+            }
+        )
+
+    distinct = (
+        ev.map_batches(day_bit, batch_format="pyarrow")
+        .groupby(["user_id", "day", "bit"])
+        .count()
+    )
+    masks = distinct.groupby(["user_id", "day"]).aggregate(
+        Sum("bit", alias_name="mask")
+    )
+
+    pairs_i, pairs_j = np.triu_indices(T, k=1)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        m = batch.column("mask").to_numpy()
+        present = (m[:, None] >> np.arange(T)) & 1  # rows x T
+        singles = present.sum(axis=0)
+        both = (present[:, pairs_i] & present[:, pairs_j]).sum(axis=0)
+        return pa.table(
+            {
+                "i": pa.array(
+                    np.concatenate([pairs_i, np.arange(T), [-1]]), pa.int64()
+                ),
+                "j": pa.array(
+                    np.concatenate([pairs_j, np.arange(T), [-1]]), pa.int64()
+                ),
+                "n": pa.array(
+                    np.concatenate([both, singles, [len(m)]]), pa.int64()
+                ),
+            }
+        )
+
+    acc = np.zeros((T + 1, T + 1), dtype=np.int64)
+    for b in masks.map_batches(partials, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        np.add.at(
+            acc,
+            (b.column("i").to_numpy() + 1, b.column("j").to_numpy() + 1),
+            b.column("n").to_numpy(),
+        )
+    nb = acc[0, 0]
+    supp = acc.diagonal()[1:]
+    n_both = acc[1:, 1:][pairs_i, pairs_j]
+    keep = n_both > 0
+    conf = n_both[keep] / supp[pairs_i[keep]]
+    lift = nb * n_both[keep] / (supp[pairs_i[keep]] * supp[pairs_j[keep]])
+    out = pa.table(
+        {
+            "type_a": pa.array(vocab[pairs_i[keep]], pa.string()),
+            "type_b": pa.array(vocab[pairs_j[keep]], pa.string()),
+            "n_both": pa.array(n_both[keep], pa.int64()),
+            "confidence": pa.array(np.round(conf + 1e-9, 4), pa.float64()),
+            "lift": pa.array(np.round(lift + 1e-9, 4), pa.float64()),
+        }
+    )
+    return rd.from_arrow(out)
