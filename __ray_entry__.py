@@ -386,6 +386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_day_fulljoin": Q.user_day_fulljoin,
         # association rules: (user, day)-basket pair support/conf/lift
         "basket_cooccurrence": Q.basket_cooccurrence,
+        # ROWS-frame window: per-user trailing 3-row moving average
+        "user_value_ma3": Q.user_value_ma3,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,
@@ -2063,6 +2065,14 @@ def oracle_sql() -> dict[str, str]:
                        AS lift
             FROM p JOIN s sa ON sa.event_type = p.type_a
                    JOIN s sb ON sb.event_type = p.type_b, n""",
+        # the ROWS frame recomputed as a window over the raw table
+        "user_value_ma3": """
+            SELECT user_id, event_id,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) + 1e-9, 4) AS ma3
+            FROM events""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

@@ -2111,3 +2111,64 @@ def basket_cooccurrence(sf_dir: str) -> rd.Dataset:
         }
     )
     return rd.from_arrow(out)
+
+
+def user_value_ma3(sf_dir: str, *, k: int = 3) -> rd.Dataset:
+    """ROWS-frame window: per-user trailing k-row moving average of
+    ``value`` ordered by (ts, event_id) — SQL's ``ROWS BETWEEN k-1
+    PRECEDING AND CURRENT ROW``, the row-offset frame the RANGE-based
+    ``events_rolling_7d`` can't express (short frames at segment heads
+    average over fewer rows, exactly like SQL).
+
+    Coarse-bucket execution (repo memory: one Python call per USER is
+    the slow idiom): users hash into ~4P buckets, ONE ``map_groups``
+    call per bucket; inside a bucket a single lexsort + per-segment
+    shifted-add kernel computes every user's windows vectorized. The
+    window sum adds the k values directly (not a long prefix-sum
+    difference) so float error stays at ulps of the window, far from
+    the round(4) boundary."""
+    import ray
+
+    ds = read_clean(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "value"]
+    )
+    B = max(8, int(ray.cluster_resources().get("CPU", 4)) * 4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.uint64)
+        part = ((uid * np.uint64(2654435761)) % np.uint64(4294967296)) % np.uint64(B)
+        return batch.append_column("part", pa.array(part.astype(np.int64), pa.int64()))
+
+    def windows(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        val = g.column("value").to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, val = uid[order], ts[order], eid[order], val[order]
+        n = len(uid)
+        bounds = np.empty(n, dtype=bool)
+        bounds[0] = True
+        bounds[1:] = uid[1:] != uid[:-1]
+        seg_first = np.flatnonzero(bounds)
+        seg_start = np.repeat(seg_first, np.diff(np.append(seg_first, n)))
+        idx = np.arange(n)
+        s = val.copy()
+        cnt = np.ones(n)
+        for d in range(1, k):
+            ok = idx - d >= seg_start
+            s[ok] += val[idx[ok] - d]
+            cnt[ok] += 1.0
+        return pa.table(
+            {
+                "user_id": pa.array(uid, pa.int64()),
+                "event_id": pa.array(eid, pa.int64()),
+                "ma3": pa.array(np.round(s / cnt + 1e-9, 4), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(windows, batch_format="pyarrow")
+    )
