@@ -388,6 +388,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_cooccurrence": Q.basket_cooccurrence,
         # ROWS-frame window: per-user trailing 3-row moving average
         "user_value_ma3": Q.user_value_ma3,
+        # weighted sampling w/o replacement (A-ES exponential keys)
+        "weighted_sample_orders": Q.weighted_sample_orders,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,
@@ -2073,6 +2075,14 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
                    ) + 1e-9, 4) AS ma3
             FROM events""",
+        # same hash-derived exponential keys, recomputed in SQL
+        "weighted_sample_orders": """
+            SELECT o_orderkey, round(o_totalprice, 4) AS o_totalprice
+            FROM orders
+            ORDER BY -ln((((o_orderkey * 2654435761) % 4294967296) + 1)
+                         / 4294967297.0) / o_totalprice,
+                     o_orderkey
+            LIMIT 50""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

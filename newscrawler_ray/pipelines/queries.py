@@ -2172,3 +2172,51 @@ def user_value_ma3(sf_dir: str, *, k: int = 3) -> rd.Dataset:
         .groupby("part")
         .map_groups(windows, batch_format="pyarrow")
     )
+
+
+def weighted_sample_orders(sf_dir: str, *, k: int = 50) -> rd.Dataset:
+    """Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    2006, algorithm A-ES): the k orders with the smallest exponential
+    key -ln(u)/w, weight w = o_totalprice — each order's inclusion
+    probability is proportional to its price. u derives from the Knuth
+    multiplicative hash of the key column (the ``hash_sample_events``
+    trick), NOT an RNG: the sample is a pure function of the keys, so
+    retried partitions resample identically at any scale and a SQL
+    oracle recomputes it exactly (k-th boundary gap ~1e-11 on the
+    fixtures vs ~1e-20 cross-engine log ulps).
+
+    Top-k shape: every block keeps its local k smallest keys
+    (argpartition), the driver merges the <= k-per-block candidates —
+    the same prune the recency top-k and kNN operators use; nothing
+    wider than k rows per block ever moves."""
+    ds = read_clean(_p(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ok = batch.column("o_orderkey").to_numpy().astype(np.uint64)
+        w = batch.column("o_totalprice").to_numpy()
+        h = (ok * np.uint64(2654435761)) % np.uint64(4294967296)
+        u = (h.astype(np.float64) + 1.0) / 4294967297.0
+        key = -np.log(u) / w
+        if len(key) > k:
+            keep = np.argpartition(key, k)[:k]
+            batch, key = batch.take(pa.array(keep)), key[keep]
+        return batch.append_column("_key", pa.array(key, pa.float64()))
+
+    cand = pa.concat_tables(
+        ds.map_batches(local_topk, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ),
+        promote_options="default",
+    ).combine_chunks()
+    key = cand.column("_key").to_numpy()
+    ok = cand.column("o_orderkey").to_numpy()
+    top = np.lexsort((ok, key))[:k]
+    out = cand.take(pa.array(top))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "o_orderkey": out.column("o_orderkey"),
+                "o_totalprice": pc.round(out.column("o_totalprice"), ndigits=4),
+            }
+        )
+    )
