@@ -390,6 +390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_ma3": Q.user_value_ma3,
         # weighted sampling w/o replacement (A-ES exponential keys)
         "weighted_sample_orders": Q.weighted_sample_orders,
+        # semi-structured: JSON field extraction + grouped stats
+        "props_json_stats": Q.props_json_stats,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,
@@ -2083,6 +2085,14 @@ def oracle_sql() -> dict[str, str]:
                          / 4294967297.0) / o_totalprice,
                      o_orderkey
             LIMIT 50""",
+        # JSON path extraction via DuckDB's json functions
+        "props_json_stats": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   round(avg(CAST(json_extract_string(props, '$.k')
+                                  AS BIGINT)) + 1e-9, 4) AS avg_k
+            FROM events GROUP BY event_type""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

@@ -2220,3 +2220,46 @@ def weighted_sample_orders(sf_dir: str, *, k: int = 50) -> rd.Dataset:
             }
         )
     )
+
+
+def props_json_stats(sf_dir: str) -> rd.Dataset:
+    """Semi-structured extraction (the reference stores a JSON list
+    column, ``database.py:40``; event payloads are the analog here):
+    pull the integer field ``k`` out of the JSON ``props`` string with
+    ONE vectorized RE2 pass (``pc.extract_regex``) — no per-row json
+    parser — then grouped count/sum/avg per event type. The grouped
+    aggregate ships one partial row per (type, block); the JSON text
+    itself never shuffles."""
+    ds = read_clean(_p(sf_dir, "events"), columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        props = batch.column("props")
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        st = pc.extract_regex(props, pattern=r'"k":\s*(?P<k>-?\d+)')
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "k": pc.cast(pc.struct_field(st, "k"), pa.int64()),
+            }
+        )
+
+    g = (
+        ds.map_batches(extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy()
+        s = batch.column("sum_k").to_numpy()
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": pa.array(n, pa.int64()),
+                "sum_k": pa.array(s, pa.int64()),
+                "avg_k": pa.array(np.round(s / n + 1e-9, 4), pa.float64()),
+            }
+        )
+
+    return g.map_batches(finish, batch_format="pyarrow")
