@@ -139,6 +139,10 @@ QUERY_NAMES = [
     "distinct_users_by_type",
     "mode_lang_by_source",
     "pareto_orders",
+    "basket_cooccurrence",
+    "user_value_ma3",
+    "weighted_sample_orders",
+    "props_json_stats",
 ]
 
 
