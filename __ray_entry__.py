@@ -392,6 +392,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_orders": Q.weighted_sample_orders,
         # semi-structured: JSON field extraction + grouped stats
         "props_json_stats": Q.props_json_stats,
+        # UNNEST family: per-dimension moments over list<float>
+        "embedding_dim_stats": Q.embedding_dim_stats,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,
@@ -2093,6 +2095,17 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CAST(json_extract_string(props, '$.k')
                                   AS BIGINT)) + 1e-9, 4) AS avg_k
             FROM events GROUP BY event_type""",
+        # the SQL plan pays the d-fold unnest blowup the Ray kernel
+        # avoids (flat values buffer reshaped to (n, d) per batch)
+        "embedding_dim_stats": """
+            WITH u AS (
+              SELECT unnest(generate_series(1, len(embedding))) - 1
+                         AS dim,
+                     CAST(unnest(embedding) AS DOUBLE) AS v
+              FROM embeddings)
+            SELECT dim, round(avg(v) + 1e-9, 4) AS mean_v,
+                   round(stddev_pop(v) + 1e-9, 4) AS std_v
+            FROM u GROUP BY dim""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

@@ -143,6 +143,7 @@ QUERY_NAMES = [
     "user_value_ma3",
     "weighted_sample_orders",
     "props_json_stats",
+    "embedding_dim_stats",
 ]
 
 

@@ -2263,3 +2263,58 @@ def props_json_stats(sf_dir: str) -> rd.Dataset:
         )
 
     return g.map_batches(finish, batch_format="pyarrow")
+
+
+def embedding_dim_stats(sf_dir: str) -> rd.Dataset:
+    """Per-dimension mean/std over the ``list<float>`` embedding column
+    — the UNNEST/flatten family on a real list column, and the feature-
+    normalization statistics an ML pipeline computes before whitening.
+
+    Zero-copy kernel: each batch flattens the list array's values
+    buffer straight into an (n, d) view (no per-row Python, no unnest
+    explosion — the d-fold row blowup the SQL plan pays never
+    materializes) and emits d-row moment partials (n, sum, sumsq); the
+    driver folds kilobyte partials and finishes mean / population std.
+    """
+    ds = read_clean(_p(sf_dir, "embeddings"), columns=["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column("embedding")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        offs = arr.offsets.to_numpy()
+        d = int(offs[1] - offs[0]) if n else 0
+        m = arr.flatten().to_numpy().astype(np.float64).reshape(n, d)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+                "n": pa.array(np.full(d, n, dtype=np.int64), pa.int64()),
+                "s": pa.array(m.sum(axis=0), pa.float64()),
+                "ss": pa.array((m * m).sum(axis=0), pa.float64()),
+            }
+        )
+
+    acc: dict[int, np.ndarray] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows == 0:
+            continue
+        dims = b.column("dim").to_numpy()
+        d = int(dims.max()) + 1
+        if not acc:
+            acc = {"n": np.zeros(d), "s": np.zeros(d), "ss": np.zeros(d)}
+        for col in ("n", "s", "ss"):
+            np.add.at(acc[col], dims, b.column(col).to_numpy())
+    mean = acc["s"] / acc["n"]
+    std = np.sqrt(acc["ss"] / acc["n"] - mean * mean)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "dim": pa.array(np.arange(len(mean), dtype=np.int64), pa.int64()),
+                "mean_v": pa.array(np.round(mean + 1e-9, 4), pa.float64()),
+                "std_v": pa.array(np.round(std + 1e-9, 4), pa.float64()),
+            }
+        )
+    )
