@@ -394,6 +394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_json_stats": Q.props_json_stats,
         # UNNEST family: per-dimension moments over list<float>
         "embedding_dim_stats": Q.embedding_dim_stats,
+        # Markov transition matrix (lead() window over user sequences)
+        "event_transitions": Q.event_transitions,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,
@@ -2106,6 +2108,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT dim, round(avg(v) + 1e-9, 4) AS mean_v,
                    round(stddev_pop(v) + 1e-9, 4) AS std_v
             FROM u GROUP BY dim""",
+        # lead() window recomputes the adjacent-pair transitions
+        "event_transitions": """
+            WITH s AS (
+              SELECT event_type,
+                     lead(event_type) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS nxt
+              FROM events)
+            SELECT event_type AS from_type, nxt AS to_type,
+                   count(*) AS n
+            FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

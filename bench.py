@@ -144,6 +144,7 @@ QUERY_NAMES = [
     "weighted_sample_orders",
     "props_json_stats",
     "embedding_dim_stats",
+    "event_transitions",
 ]
 
 

@@ -2318,3 +2318,87 @@ def embedding_dim_stats(sf_dir: str) -> rd.Dataset:
             }
         )
     )
+
+
+def event_transitions(sf_dir: str) -> rd.Dataset:
+    """Markov transition counts: for every adjacent pair of events of
+    the same user (ordered by ts, event_id), count (from_type ->
+    to_type) — the transition matrix behind next-event-prediction
+    training pairs and session-flow analysis; SQL's lead() window.
+
+    Same coarse-bucket shape as ``user_value_ma3`` (a user's rows land
+    in ONE bucket, so no transition crosses a bucket): per bucket one
+    lexsort, a shifted same-user compare, then a bincount over
+    from*T+to codes — each bucket emits at most T*T pre-combined rows,
+    and the final grouped Sum runs on those kilobytes."""
+    import ray
+
+    ds = read_clean(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    vocab_rows = (
+        read_clean(_p(sf_dir, "events"), columns=["event_type"])
+        .groupby("event_type")
+        .count()
+        .take_all()
+    )
+    vocab = np.sort(np.array([r["event_type"] for r in vocab_rows]))
+    T = len(vocab)
+    B = max(8, int(ray.cluster_resources().get("CPU", 4)) * 4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy().astype(np.uint64)
+        part = ((uid * np.uint64(2654435761)) % np.uint64(4294967296)) % np.uint64(B)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "event_id": batch.column("event_id"),
+                "code": pa.array(
+                    np.searchsorted(
+                        vocab,
+                        batch.column("event_type").to_numpy(zero_copy_only=False),
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "part": pa.array(part.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def transitions(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        code = g.column("code").to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, code = uid[order], code[order]
+        same = uid[1:] == uid[:-1]
+        combo = code[:-1][same] * T + code[1:][same]
+        cnt = np.bincount(combo, minlength=T * T)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "from_type": pa.array(vocab[nz // T], pa.string()),
+                "to_type": pa.array(vocab[nz % T], pa.string()),
+                "n_part": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(transitions, batch_format="pyarrow")
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "from_type": batch.column("from_type"),
+                "to_type": batch.column("to_type"),
+                "n": pc.cast(batch.column("n"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
