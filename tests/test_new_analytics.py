@@ -1,0 +1,138 @@
+"""Planted-truth tests for the late-round-3 analytics operators
+(basket co-occurrence, ROWS-frame moving average, weighted sampling,
+Markov transitions). The DuckDB parity suite checks them against SQL at
+sf0.01; these pin the math on hand-computed inputs and determinism."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from newscrawler_ray.pipelines.queries import (
+    basket_cooccurrence,
+    event_transitions,
+    user_value_ma3,
+    weighted_sample_orders,
+)
+
+
+def _ts(day: int, sec: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day) + dt.timedelta(seconds=sec)
+
+
+def _write_events(tmp_path, rows):
+    t = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([float(r[0]) for r in rows], pa.float64()),
+            "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_basket_cooccurrence_planted(ray_session, tmp_path):
+    # baskets: u1d1={click,error} (click repeats), u1d2={click},
+    # u2d1={error,view}, u2d2={click,error}  -> nb=4
+    rows = [
+        (1, _ts(1, 0), 1, "click"),
+        (2, _ts(1, 1), 1, "error"),
+        (3, _ts(1, 2), 1, "click"),
+        (4, _ts(2, 0), 1, "click"),
+        (5, _ts(1, 0), 2, "error"),
+        (6, _ts(1, 1), 2, "view"),
+        (7, _ts(2, 0), 2, "click"),
+        (8, _ts(2, 1), 2, "error"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = basket_cooccurrence(sf).to_pandas().set_index(["type_a", "type_b"])
+    # supp: click=3, error=3, view=1
+    ce = out.loc[("click", "error")]
+    assert ce["n_both"] == 2
+    assert ce["confidence"] == pytest.approx(round(2 / 3 + 1e-9, 4))
+    assert ce["lift"] == pytest.approx(round(4 * 2 / 9 + 1e-9, 4))
+    ev = out.loc[("error", "view")]
+    assert ev["n_both"] == 1
+    assert ev["lift"] == pytest.approx(round(4 / 3 + 1e-9, 4))
+    # zero-support pair never materializes (FULL OUTER of nothing)
+    assert ("click", "view") not in out.index
+
+
+def test_user_value_ma3_matches_pandas_rolling(ray_session, tmp_path):
+    rng = np.random.default_rng(7)
+    n = 400
+    rows = [
+        (
+            i,
+            _ts(1 + int(rng.integers(0, 20)), int(rng.integers(0, 50000))),
+            int(rng.integers(0, 7)),
+            "click",
+        )
+        for i in range(n)
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = (
+        user_value_ma3(sf)
+        .to_pandas()
+        .sort_values(["user_id", "event_id"], ignore_index=True)
+    )
+    df = pd.DataFrame(
+        {
+            "user_id": [r[2] for r in rows],
+            "ts": [r[1] for r in rows],
+            "event_id": [r[0] for r in rows],
+            "value": [float(r[0]) for r in rows],
+        }
+    ).sort_values(["user_id", "ts", "event_id"])
+    df["ma3"] = (
+        df.groupby("user_id")["value"]
+        .rolling(3, min_periods=1)
+        .mean()
+        .reset_index(level=0, drop=True)
+    )
+    want = df.sort_values(["user_id", "event_id"], ignore_index=True)
+    assert len(got) == n
+    np.testing.assert_allclose(
+        got["ma3"].to_numpy(),
+        np.round(want["ma3"].to_numpy() + 1e-9, 4),
+        atol=1e-9,
+    )
+
+
+def test_event_transitions_planted(ray_session, tmp_path):
+    rows = [
+        (1, _ts(1, 0), 1, "click"),
+        (2, _ts(1, 1), 1, "view"),
+        (3, _ts(1, 2), 1, "click"),
+        (4, _ts(1, 0), 2, "error"),
+        (5, _ts(1, 1), 2, "error"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = (
+        event_transitions(sf)
+        .to_pandas()
+        .set_index(["from_type", "to_type"])["n"]
+        .to_dict()
+    )
+    assert out == {
+        ("click", "view"): 1,
+        ("view", "click"): 1,
+        ("error", "error"): 1,
+    }
+
+
+def test_weighted_sample_orders_deterministic(ray_session):
+    sf = "/root/testdata/sf0.001"
+    a = weighted_sample_orders(sf).to_pandas()
+    b = weighted_sample_orders(sf).to_pandas()
+    assert len(a) == 50
+    assert set(a["o_orderkey"]) == set(b["o_orderkey"])
+    # sample is a subset of the table, no repeats
+    assert a["o_orderkey"].nunique() == 50
