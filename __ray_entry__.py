@@ -433,6 +433,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # components -> keep cluster min; rows-only — union-find parity
         # oracle in tests/)
         "phash_dedup_images": _phash_dedup_images,
+        # leakage-safe split: near-dup clusters never span splits
+        "leakage_safe_split_images": _leakage_safe_split_images,
         # keep-BEST cluster policy (max w*h, min-id ties) over the same
         # pHash near-dup relation (rows-only: union-find + planted-policy
         # oracles in tests/test_textstats_multimodal.py)
@@ -860,6 +862,16 @@ def _phash_dedup_keep_best(sf_dir: str) -> Any:
             "/tmp/newscrawler_ray_fixtures/phash_wh_2000.parquet", 2000, 5
         )
     )
+
+
+def _leakage_safe_split_images(sf_dir: str) -> Any:
+    """Rows-only: leakage-safe train/val/test split — every pHash
+    near-dup CLUSTER lands in one split (sf_dir-independent input by
+    design — planted-near-dup phash table; planted-pair co-location +
+    coverage + determinism oracles in tests/test_new_analytics.py)."""
+    from newscrawler_ray.pipelines.multimodal import leakage_safe_split_images
+
+    return leakage_safe_split_images(_phash_demo_table())
 
 
 def _phash_dedup_images(sf_dir: str) -> Any:

@@ -145,6 +145,7 @@ QUERY_NAMES = [
     "props_json_stats",
     "embedding_dim_stats",
     "event_transitions",
+    "leakage_safe_split_images",
 ]
 
 

@@ -19,6 +19,7 @@ from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -492,3 +493,99 @@ def phash_dedup_keep_best(
     return singletons.union(winners.repartition(nparts)).map_batches(
         back, batch_format="pyarrow"
     )
+
+
+def leakage_safe_split_images(
+    images_path: str | Path,
+    *,
+    max_hamming: int = 3,
+    frac_val: float = 0.1,
+    frac_test: float = 0.1,
+) -> rd.Dataset:
+    """Leakage-safe train/val/test split: assign every pHash near-dup
+    CLUSTER (transitive closure at ``max_hamming``) to one split, so a
+    near-duplicate of a training image can never leak into val/test —
+    the contamination a row-wise hash split silently allows and a core
+    training-data-hygiene op (the doc-side ``train_val_test_split``
+    splits rows; this splits equivalence classes).
+
+    Shape: hamming pairs -> connected components -> LEFT OUTER join of
+    all ids against the (node, component) assignment (images in no pair
+    are their own singleton cluster), then one Knuth-hash map of the
+    cluster id onto [0, 1) picks the split — cluster-deterministic, no
+    RNG, retry-stable. Only (image_id, phash) columns ever move."""
+    from ..pipelines.vision import _image_id_to_int, _int_to_image_id
+    from .dedup import hamming_near_dup_pairs
+    from .graph import connected_components
+
+    ds = rd.read_parquet(str(images_path), columns=["image_id", "phash"])
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "iid": _image_id_to_int(batch.column("image_id")),
+                "phash": batch.column("phash"),
+            }
+        )
+
+    ints = ds.map_batches(to_int, batch_format="pyarrow")
+    pairs = hamming_near_dup_pairs(
+        ints, max_hamming=max_hamming, id_col="iid", hash_col="phash"
+    )
+    assign = connected_components(pairs)
+
+    import ray
+
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"iid": pa.array([], pa.int64()),
+                 "component": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"iid": batch.column("node"), "component": batch.column("component")}
+        )
+
+    assign = assign.map_batches(clean, batch_format="pyarrow")
+    ids = ints.map_batches(
+        lambda b: pa.table({"iid": b.column("iid")}), batch_format="pyarrow"
+    ).repartition(nparts)
+    joined = ids.join(
+        assign.repartition(nparts),
+        join_type="left_outer",
+        num_partitions=nparts,
+        on=("iid",),
+    )
+
+    lo_val = 1.0 - frac_val - frac_test
+    lo_test = 1.0 - frac_test
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"image_id": pa.array([], pa.string()),
+                 "split": pa.array([], pa.string())}
+            )
+        iid = batch.column("iid").to_numpy()
+        # singleton clusters: no pair row -> null component -> own id
+        comp = pc.coalesce(
+            pc.cast(batch.column("component"), pa.int64()),
+            batch.column("iid"),
+        ).to_numpy()
+        u = (
+            (comp.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(4294967296)
+        ).astype(np.float64) / 4294967296.0
+        split = np.where(u < lo_val, "train", np.where(u < lo_test, "val", "test"))
+        return pa.table(
+            {
+                "image_id": pa.array(
+                    _int_to_image_id(iid), pa.string()
+                ),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return joined.map_batches(pick, batch_format="pyarrow")

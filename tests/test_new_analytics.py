@@ -136,3 +136,29 @@ def test_weighted_sample_orders_deterministic(ray_session):
     assert set(a["o_orderkey"]) == set(b["o_orderkey"])
     # sample is a subset of the table, no repeats
     assert a["o_orderkey"].nunique() == 50
+
+
+def test_leakage_safe_split_images(ray_session):
+    from newscrawler_ray.pipelines.multimodal import (
+        leakage_safe_split_images,
+        synth_phash_table,
+    )
+
+    p = synth_phash_table(
+        "/tmp/newscrawler_ray_fixtures/phash_radius_2000.parquet", 2000, 5
+    )
+    out = leakage_safe_split_images(p).to_pandas()
+    # every image assigned exactly once
+    assert len(out) == 2000 and out["image_id"].nunique() == 2000
+    m = dict(zip(out["image_id"], out["split"]))
+    # planted near-dup pairs (i, 1000+i at hamming <= 3) never split
+    half = 1000
+    for i in range(0, half, 50):
+        assert m[f"img-{i:08d}"] == m[f"img-{half + i:08d}"], i
+    # the zero-hash star bucket is one cluster too
+    assert m["img-00000003"] == m["img-00000007"]
+    # split fractions near 80/10/10 and deterministic across runs
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9 and frac["val"] < 0.2 and frac["test"] < 0.2
+    again = leakage_safe_split_images(p).to_pandas()
+    assert dict(zip(again["image_id"], again["split"])) == m
