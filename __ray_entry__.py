@@ -396,6 +396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": Q.embedding_dim_stats,
         # Markov transition matrix (lead() window over user sequences)
         "event_transitions": Q.event_transitions,
+        # max-min fair-share (water-filling) budget allocation
+        "fair_share_quota": Q.fair_share_quota,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,
@@ -2131,6 +2133,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type AS from_type, nxt AS to_type,
                    count(*) AS n
             FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2""",
+        # row-ordered water-filling level; feasibility is constant
+        # within demand tie blocks, so it equals the histogram one
+        "fair_share_quota": """
+            WITH d AS (
+              SELECT user_id, count(*)::DOUBLE AS dem
+              FROM events GROUP BY user_id
+            ), s AS (
+              SELECT user_id, dem,
+                     row_number() OVER (ORDER BY dem, user_id) AS rn,
+                     sum(dem) OVER (ORDER BY dem, user_id) AS ps,
+                     count(*) OVER () AS nn
+              FROM d
+            ), f AS (
+              SELECT coalesce(max(rn), 0) AS k,
+                     coalesce(max(ps), 0.0) AS psk
+              FROM s WHERE ps + dem * (nn - rn) <= 9000.0
+            ), lvl AS (
+              SELECT CASE WHEN f.k >= t.nn THEN 1e18
+                          ELSE (9000.0 - f.psk) / (t.nn - f.k) END AS L
+              FROM f, (SELECT count(*) AS nn FROM d) t
+            )
+            SELECT user_id, CAST(dem AS BIGINT) AS demand,
+                   round(least(dem, L) + 1e-9, 4) AS quota
+            FROM d, lvl""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

@@ -146,6 +146,7 @@ QUERY_NAMES = [
     "embedding_dim_stats",
     "event_transitions",
     "leakage_safe_split_images",
+    "fair_share_quota",
 ]
 
 

@@ -2402,3 +2402,69 @@ def event_transitions(sf_dir: str) -> rd.Dataset:
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def fair_share_quota(sf_dir: str, *, budget: float = 9000.0) -> rd.Dataset:
+    """Max-min fair-share (water-filling) budget allocation: split a
+    global budget across users so everyone gets min(demand, L) with the
+    level L chosen to spend the budget exactly — the crawl-scheduler
+    computation that turns per-host frontier demand + a global fetch
+    budget into per-host quotas (hot hosts capped at L, small hosts
+    fully satisfied), expressed over the events table (demand = event
+    count).
+
+    Scale shape: demands via ONE grouped Count (thin rows), then the
+    level is found on the DEMAND-VALUE HISTOGRAM — per-batch bincount
+    partials folded on the driver (kilobytes: distinct demand VALUES,
+    not users). Feasibility `csum_dem(v) + v * n_above(v) <= B` is
+    constant within a tie block, so the histogram threshold equals the
+    SQL row-ordered one exactly. Final quota is a shuffle-free map."""
+    dem = (
+        read_clean(_p(sf_dir, "events"), columns=["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="dem"))
+    ).materialize()
+
+    def hist(batch: pa.Table) -> pa.Table:
+        d = batch.column("dem").to_numpy()
+        cnt = np.bincount(d)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "v": pa.array(nz.astype(np.int64), pa.int64()),
+                "c": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    acc: dict[int, int] = {}
+    for b in dem.map_batches(hist, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for v, c in zip(b.column("v").to_numpy(), b.column("c").to_numpy()):
+            acc[int(v)] = acc.get(int(v), 0) + int(c)
+    vals = np.array(sorted(acc), dtype=np.float64)
+    cnts = np.array([acc[int(v)] for v in vals], dtype=np.float64)
+    n = cnts.sum()
+    csum_users = np.cumsum(cnts)
+    csum_dem = np.cumsum(vals * cnts)
+    feasible = csum_dem + vals * (n - csum_users) <= budget
+    if feasible.any():
+        i = int(np.flatnonzero(feasible).max())
+        k, psk = csum_users[i], csum_dem[i]
+    else:
+        k, psk = 0.0, 0.0
+    level = np.inf if k >= n else (budget - psk) / (n - k)
+
+    def quota(batch: pa.Table) -> pa.Table:
+        d = batch.column("dem").to_numpy().astype(np.float64)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "demand": pa.array(d.astype(np.int64), pa.int64()),
+                "quota": pa.array(
+                    np.round(np.minimum(d, level) + 1e-9, 4), pa.float64()
+                ),
+            }
+        )
+
+    return dem.map_batches(quota, batch_format="pyarrow")

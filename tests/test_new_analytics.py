@@ -162,3 +162,31 @@ def test_leakage_safe_split_images(ray_session):
     assert 0.7 < frac["train"] < 0.9 and frac["val"] < 0.2 and frac["test"] < 0.2
     again = leakage_safe_split_images(p).to_pandas()
     assert dict(zip(again["image_id"], again["split"])) == m
+
+
+def test_fair_share_quota_planted(ray_session, tmp_path):
+    from newscrawler_ray.pipelines.queries import fair_share_quota
+
+    # demands: u1=1, u2=2, u3=10, u4=10
+    rows, eid = [], 0
+    for uid, dem in [(1, 1), (2, 2), (3, 10), (4, 10)]:
+        for j in range(dem):
+            rows.append((eid, _ts(1, eid), uid, "click"))
+            eid += 1
+    sf = _write_events(tmp_path, rows)
+    # budget 10: u1/u2 fully satisfied, level (10-3)/2 = 3.5 caps u3/u4
+    out = (
+        fair_share_quota(sf, budget=10.0)
+        .to_pandas()
+        .set_index("user_id")["quota"]
+        .to_dict()
+    )
+    assert out == {1: 1.0, 2: 2.0, 3: 3.5, 4: 3.5}
+    # budget >= total demand (23): everyone gets their demand
+    out2 = (
+        fair_share_quota(sf, budget=100.0)
+        .to_pandas()
+        .set_index("user_id")["quota"]
+        .to_dict()
+    )
+    assert out2 == {1: 1.0, 2: 2.0, 3: 10.0, 4: 10.0}
