@@ -398,6 +398,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": Q.event_transitions,
         # max-min fair-share (water-filling) budget allocation
         "fair_share_quota": Q.fair_share_quota,
+        # cohort retention triangle (first-activity-week cohorts)
+        "cohort_retention": Q.cohort_retention,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,
@@ -2157,6 +2159,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(dem AS BIGINT) AS demand,
                    round(least(dem, L) + 1e-9, 4) AS quota
             FROM d, lvl""",
+        # cohort triangle recomputed with min() + datediff('week')
+        "cohort_retention": """
+            WITH f AS (
+              SELECT user_id, date_trunc('week', min(ts)) AS cohort
+              FROM events GROUP BY user_id
+            ), act AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+              FROM events
+            ), j AS (
+              SELECT f.cohort,
+                     CAST(datediff('week', f.cohort, a.wk) AS BIGINT)
+                         AS week_offset
+              FROM f JOIN act a USING (user_id)
+            ), c AS (
+              SELECT cohort, week_offset, count(*) AS n_active
+              FROM j GROUP BY 1, 2
+            ), s AS (
+              SELECT cohort, count(*) AS n_cohort FROM f GROUP BY 1
+            )
+            SELECT CAST(c.cohort AS TIMESTAMP) AS cohort, c.week_offset,
+                   c.n_active,
+                   round(c.n_active::DOUBLE / s.n_cohort + 1e-9, 4)
+                       AS retention
+            FROM c JOIN s USING (cohort)""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

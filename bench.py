@@ -147,6 +147,7 @@ QUERY_NAMES = [
     "event_transitions",
     "leakage_safe_split_images",
     "fair_share_quota",
+    "cohort_retention",
 ]
 
 

@@ -2468,3 +2468,89 @@ def fair_share_quota(sf_dir: str, *, budget: float = 9000.0) -> rd.Dataset:
         )
 
     return dem.map_batches(quota, batch_format="pyarrow")
+
+
+def cohort_retention(sf_dir: str) -> rd.Dataset:
+    """Cohort retention matrix: users grouped by first-activity week
+    (the cohort), then for each later week the fraction of the cohort
+    still active — the classic product-analytics triangle, and the
+    recrawl-policy analog (how many hosts discovered in week w are
+    still yielding new pages k weeks on).
+
+    Plan: distinct (user, week) via grouped Count (weeks as int64
+    microseconds so Min/arithmetic stay in numpy); cohort = grouped Min
+    per user; ONE hash join of the two thin sides on user_id; grouped
+    count per (cohort, offset); cohort sizes are a week-count-sized
+    driver fold broadcast into the final shuffle-free retention map."""
+    import ray
+
+    WEEK_US = 7 * 24 * 3600 * 1_000_000
+    ev = read_clean(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def wk(batch: pa.Table) -> pa.Table:
+        w = pc.cast(
+            pc.floor_temporal(batch.column("ts"), unit="week"), pa.int64()
+        )
+        return pa.table({"user_id": batch.column("user_id"), "wk": w})
+
+    act = (
+        ev.map_batches(wk, batch_format="pyarrow")
+        .groupby(["user_id", "wk"])
+        .count()
+        .select_columns(["user_id", "wk"])
+        .materialize()
+    )
+    first = act.groupby("user_id").aggregate(Min("wk", alias_name="cohort"))
+    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    joined = act.repartition(nparts).join(
+        first.repartition(nparts),
+        join_type="inner",
+        num_partitions=nparts,
+        on=("user_id",),
+    )
+
+    def offs(batch: pa.Table) -> pa.Table:
+        wkv = batch.column("wk").to_numpy()
+        co = batch.column("cohort").to_numpy()
+        return pa.table(
+            {
+                "cohort": pa.array(co, pa.int64()),
+                "week_offset": pa.array((wkv - co) // WEEK_US, pa.int64()),
+            }
+        )
+
+    c = (
+        joined.map_batches(offs, batch_format="pyarrow")
+        .groupby(["cohort", "week_offset"])
+        .aggregate(Count(alias_name="n_active"))
+    )
+    sizes: dict[int, int] = {}
+    for b in first.map_batches(
+        lambda t: pa.table({"cohort": t.column("cohort")}),
+        batch_format="pyarrow",
+    ).groupby("cohort").count().iter_batches(batch_format="pyarrow"):
+        for co, n in zip(
+            b.column("cohort").to_numpy(), b.column("count()").to_numpy()
+        ):
+            sizes[int(co)] = int(n)
+    co_keys = np.array(sorted(sizes), dtype=np.int64)
+    co_n = np.array([sizes[int(k)] for k in co_keys], dtype=np.float64)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        co = batch.column("cohort").to_numpy()
+        na = batch.column("n_active").to_numpy().astype(np.int64)
+        denom = co_n[np.searchsorted(co_keys, co)]
+        return pa.table(
+            {
+                "cohort": pc.cast(
+                    pa.array(co, pa.int64()), pa.timestamp("us")
+                ),
+                "week_offset": batch.column("week_offset"),
+                "n_active": pa.array(na, pa.int64()),
+                "retention": pa.array(
+                    np.round(na / denom + 1e-9, 4), pa.float64()
+                ),
+            }
+        )
+
+    return c.map_batches(finish, batch_format="pyarrow")

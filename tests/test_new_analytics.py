@@ -190,3 +190,29 @@ def test_fair_share_quota_planted(ray_session, tmp_path):
         .to_dict()
     )
     assert out2 == {1: 1.0, 2: 2.0, 3: 10.0, 4: 10.0}
+
+
+def test_cohort_retention_planted(ray_session, tmp_path):
+    from newscrawler_ray.pipelines.queries import cohort_retention
+
+    # weeks W1=Jan1 W2=Jan8 W3=Jan15 (Mondays). u1: W1,W2,W3; u2: W1,W3;
+    # u3: W2 only -> cohort W1 has 2 users, cohort W2 has 1.
+    rows = [
+        (1, dt.datetime(2024, 1, 2), 1, "click"),
+        (2, dt.datetime(2024, 1, 9), 1, "click"),
+        (3, dt.datetime(2024, 1, 16), 1, "click"),
+        (4, dt.datetime(2024, 1, 3), 2, "click"),
+        (5, dt.datetime(2024, 1, 17), 2, "click"),
+        (6, dt.datetime(2024, 1, 10), 3, "click"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = cohort_retention(sf).to_pandas()
+    key = out.set_index(["cohort", "week_offset"])
+    w1, w2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 8)
+    assert key.loc[(w1, 0)]["n_active"] == 2
+    assert key.loc[(w1, 1)]["n_active"] == 1
+    assert key.loc[(w1, 1)]["retention"] == pytest.approx(0.5)
+    assert key.loc[(w1, 2)]["n_active"] == 2
+    assert key.loc[(w2, 0)]["n_active"] == 1
+    assert key.loc[(w2, 0)]["retention"] == pytest.approx(1.0)
+    assert len(out) == 4
