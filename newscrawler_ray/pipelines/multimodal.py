@@ -184,6 +184,20 @@ def synth_phash_table(path: str | Path, n: int = 2000, seed: int = 5) -> Path:
     return path
 
 
+def _iid_phash_batch(batch: pa.Table) -> pa.Table:
+    """(image_id, phash) -> (iid, phash): the shared int-id projection
+    every pHash-family operator feeds into pair mining — one definition
+    so the operators cannot disagree on id encoding."""
+    from ..pipelines.vision import _image_id_to_int
+
+    return pa.table(
+        {
+            "iid": _image_id_to_int(batch.column("image_id")),
+            "phash": batch.column("phash"),
+        }
+    )
+
+
 def phash_radius_near_dup(
     images_path: str | Path, *, max_hamming: int = 3
 ) -> rd.Dataset:
@@ -199,16 +213,8 @@ def phash_radius_near_dup(
 
     ds = rd.read_parquet(str(images_path), columns=["image_id", "phash"])
 
-    def to_int(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "iid": _image_id_to_int(batch.column("image_id")),
-                "phash": batch.column("phash"),
-            }
-        )
-
     pairs = hamming_near_dup_pairs(
-        ds.map_batches(to_int, batch_format="pyarrow"),
+        ds.map_batches(_iid_phash_batch, batch_format="pyarrow"),
         max_hamming=max_hamming, id_col="iid", hash_col="phash",
     )
 
@@ -250,15 +256,7 @@ def phash_dedup_images(
 
     ds = rd.read_parquet(str(images_path), columns=["image_id", "phash"])
 
-    def to_int(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "iid": _image_id_to_int(batch.column("image_id")),
-                "phash": batch.column("phash"),
-            }
-        )
-
-    ints = ds.map_batches(to_int, batch_format="pyarrow")
+    ints = ds.map_batches(_iid_phash_batch, batch_format="pyarrow")
     pairs = hamming_near_dup_pairs(
         ints, max_hamming=max_hamming, id_col="iid", hash_col="phash"
     )
@@ -520,15 +518,7 @@ def leakage_safe_split_images(
 
     ds = rd.read_parquet(str(images_path), columns=["image_id", "phash"])
 
-    def to_int(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "iid": _image_id_to_int(batch.column("image_id")),
-                "phash": batch.column("phash"),
-            }
-        )
-
-    ints = ds.map_batches(to_int, batch_format="pyarrow")
+    ints = ds.map_batches(_iid_phash_batch, batch_format="pyarrow")
     pairs = hamming_near_dup_pairs(
         ints, max_hamming=max_hamming, id_col="iid", hash_col="phash"
     )
@@ -548,16 +538,27 @@ def leakage_safe_split_images(
             {"iid": batch.column("node"), "component": batch.column("component")}
         )
 
-    assign = assign.map_batches(clean, batch_format="pyarrow")
+    assign = assign.map_batches(clean, batch_format="pyarrow").materialize()
     ids = ints.map_batches(
         lambda b: pa.table({"iid": b.column("iid")}), batch_format="pyarrow"
     ).repartition(nparts)
-    joined = ids.join(
-        assign.repartition(nparts),
-        join_type="left_outer",
-        num_partitions=nparts,
-        on=("iid",),
-    )
+    if assign.count() > 0:
+        joined = ids.join(
+            assign.repartition(nparts),
+            join_type="left_outer",
+            num_partitions=nparts,
+            on=("iid",),
+        )
+    else:
+        # no near-dup pairs anywhere: every image is a singleton cluster
+        # (the join's empty right side would lack the key column — the
+        # phash_dedup_images guard, same reason)
+        joined = ids.map_batches(
+            lambda b: b.append_column(
+                "component", pa.nulls(b.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
 
     lo_val = 1.0 - frac_val - frac_test
     lo_test = 1.0 - frac_test

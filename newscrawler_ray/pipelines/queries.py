@@ -2011,6 +2011,30 @@ def pareto_orders(sf_dir: str) -> rd.Dataset:
     return rd.from_arrow(out)
 
 
+def _knuth_bucket(keys: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Knuth multiplicative hash of int64 keys onto [0, n_buckets) —
+    the ONE coarse-bucket partitioner the sequence/window operators
+    share (same key always lands in the same bucket; a drift between
+    copies would silently split a user across buckets)."""
+    k = keys.astype(np.uint64)
+    return (
+        ((k * np.uint64(2654435761)) % np.uint64(4294967296))
+        % np.uint64(n_buckets)
+    ).astype(np.int64)
+
+
+def _event_type_vocab(sf_dir: str) -> np.ndarray:
+    """Sorted event-type vocabulary from a single-column pruned scan
+    (tiny grouped count; shared by the bitmask/transition operators)."""
+    rows = (
+        read_clean(_p(sf_dir, "events"), columns=["event_type"])
+        .groupby("event_type")
+        .count()
+        .take_all()
+    )
+    return np.sort(np.array([r["event_type"] for r in rows]))
+
+
 def basket_cooccurrence(sf_dir: str) -> rd.Dataset:
     """Association-rules co-occurrence (Agrawal/Srikant market-basket):
     for every pair of event types, how many (user, day) baskets contain
@@ -2032,13 +2056,7 @@ def basket_cooccurrence(sf_dir: str) -> rd.Dataset:
     would shard the mask into multiple columns."""
     ev = read_clean(_p(sf_dir, "events"), columns=["user_id", "event_type", "ts"])
 
-    vocab_rows = (
-        read_clean(_p(sf_dir, "events"), columns=["event_type"])
-        .groupby("event_type")
-        .count()
-        .take_all()
-    )
-    vocab = np.sort(np.array([r["event_type"] for r in vocab_rows]))
+    vocab = _event_type_vocab(sf_dir)
     T = len(vocab)
     if T >= 63:
         raise NotImplementedError("bitmask plan needs |event types| < 63")
@@ -2069,9 +2087,14 @@ def basket_cooccurrence(sf_dir: str) -> rd.Dataset:
 
     def partials(batch: pa.Table) -> pa.Table:
         m = batch.column("mask").to_numpy()
-        present = (m[:, None] >> np.arange(T)) & 1  # rows x T
-        singles = present.sum(axis=0)
-        both = (present[:, pairs_i] & present[:, pairs_j]).sum(axis=0)
+        # uint8 temporaries: the rows x C(T,2) expansion is the memory
+        # hot spot near the T<63 guard (int64 would be 8x larger);
+        # numpy promotes the axis-0 sums back to int64
+        present = ((m[:, None] >> np.arange(T)) & 1).astype(np.uint8)
+        singles = present.sum(axis=0, dtype=np.int64)
+        both = (present[:, pairs_i] & present[:, pairs_j]).sum(
+            axis=0, dtype=np.int64
+        )
         return pa.table(
             {
                 "i": pa.array(
@@ -2135,9 +2158,8 @@ def user_value_ma3(sf_dir: str, *, k: int = 3) -> rd.Dataset:
     B = max(8, int(ray.cluster_resources().get("CPU", 4)) * 4)
 
     def tag(batch: pa.Table) -> pa.Table:
-        uid = batch.column("user_id").to_numpy().astype(np.uint64)
-        part = ((uid * np.uint64(2654435761)) % np.uint64(4294967296)) % np.uint64(B)
-        return batch.append_column("part", pa.array(part.astype(np.int64), pa.int64()))
+        part = _knuth_bucket(batch.column("user_id").to_numpy(), B)
+        return batch.append_column("part", pa.array(part, pa.int64()))
 
     def windows(g: pa.Table) -> pa.Table:
         uid = g.column("user_id").to_numpy()
@@ -2212,11 +2234,16 @@ def weighted_sample_orders(sf_dir: str, *, k: int = 50) -> rd.Dataset:
     ok = cand.column("o_orderkey").to_numpy()
     top = np.lexsort((ok, key))[:k]
     out = cand.take(pa.array(top))
+    # np.round, not pc.round: arrow's kernel is one ulp off DuckDB's
+    # for some values (see _round_col) — driver hashes are bit-exact
     return rd.from_arrow(
         pa.table(
             {
                 "o_orderkey": out.column("o_orderkey"),
-                "o_totalprice": pc.round(out.column("o_totalprice"), ndigits=4),
+                "o_totalprice": pa.array(
+                    np.round(out.column("o_totalprice").to_numpy(), 4),
+                    pa.float64(),
+                ),
             }
         )
     )
@@ -2237,28 +2264,40 @@ def props_json_stats(sf_dir: str) -> rd.Dataset:
         if isinstance(props, pa.ChunkedArray):
             props = props.combine_chunks()
         st = pc.extract_regex(props, pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(st, "k"), pa.int64())
         return pa.table(
             {
                 "event_type": batch.column("event_type"),
-                "k": pc.cast(pc.struct_field(st, "k"), pa.int64()),
+                "k": k,
+                # SQL's avg ignores NULL k (rows whose props lack the
+                # field); carry the non-null count so both sides divide
+                # by the same denominator (the fixtures have no nulls,
+                # but the semantics must not depend on that)
+                "k_nn": pc.cast(pc.is_valid(k), pa.int64()),
             }
         )
 
     g = (
         ds.map_batches(extract, batch_format="pyarrow")
         .groupby("event_type")
-        .aggregate(Count(alias_name="n"), Sum("k", alias_name="sum_k"))
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="sum_k"),
+            Sum("k_nn", alias_name="n_k"),
+        )
     )
 
     def finish(batch: pa.Table) -> pa.Table:
         n = batch.column("n").to_numpy()
         s = batch.column("sum_k").to_numpy()
+        nk = batch.column("n_k").to_numpy().astype(np.float64)
+        avg = np.round(s / np.maximum(nk, 1.0) + 1e-9, 4)
         return pa.table(
             {
                 "event_type": batch.column("event_type"),
                 "n": pa.array(n, pa.int64()),
                 "sum_k": pa.array(s, pa.int64()),
-                "avg_k": pa.array(np.round(s / n + 1e-9, 4), pa.float64()),
+                "avg_k": pa.array(avg, pa.float64(), mask=nk == 0),
             }
         )
 
@@ -2336,19 +2375,12 @@ def event_transitions(sf_dir: str) -> rd.Dataset:
     ds = read_clean(
         _p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
     )
-    vocab_rows = (
-        read_clean(_p(sf_dir, "events"), columns=["event_type"])
-        .groupby("event_type")
-        .count()
-        .take_all()
-    )
-    vocab = np.sort(np.array([r["event_type"] for r in vocab_rows]))
+    vocab = _event_type_vocab(sf_dir)
     T = len(vocab)
     B = max(8, int(ray.cluster_resources().get("CPU", 4)) * 4)
 
     def tag(batch: pa.Table) -> pa.Table:
-        uid = batch.column("user_id").to_numpy().astype(np.uint64)
-        part = ((uid * np.uint64(2654435761)) % np.uint64(4294967296)) % np.uint64(B)
+        part = _knuth_bucket(batch.column("user_id").to_numpy(), B)
         return pa.table(
             {
                 "user_id": batch.column("user_id"),
@@ -2361,7 +2393,7 @@ def event_transitions(sf_dir: str) -> rd.Dataset:
                     ).astype(np.int64),
                     pa.int64(),
                 ),
-                "part": pa.array(part.astype(np.int64), pa.int64()),
+                "part": pa.array(part, pa.int64()),
             }
         )
 
@@ -2500,7 +2532,13 @@ def cohort_retention(sf_dir: str) -> rd.Dataset:
         .select_columns(["user_id", "wk"])
         .materialize()
     )
-    first = act.groupby("user_id").aggregate(Min("wk", alias_name="cohort"))
+    # materialized: consumed twice (the sizes fold below executes it
+    # eagerly; the join re-reads it when the caller consumes the result)
+    first = (
+        act.groupby("user_id")
+        .aggregate(Min("wk", alias_name="cohort"))
+        .materialize()
+    )
     nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
     joined = act.repartition(nparts).join(
         first.repartition(nparts),
