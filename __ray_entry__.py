@@ -400,6 +400,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fair_share_quota": Q.fair_share_quota,
         # cohort retention triangle (first-activity-week cohorts)
         "cohort_retention": Q.cohort_retention,
+        # PERCENT_RANK window: within-source length percentile
+        "doc_length_percentile": Q.doc_length_percentile,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,
@@ -2183,6 +2185,14 @@ def oracle_sql() -> dict[str, str]:
                    round(c.n_active::DOUBLE / s.n_cohort + 1e-9, 4)
                        AS retention
             FROM c JOIN s USING (cohort)""",
+        # unique (length, doc_id) keys make RANK == ROW_NUMBER, so the
+        # window recomputes the same closed-form (rank-1)/(n-1)
+        "doc_length_percentile": """
+            SELECT doc_id, source,
+                   round(percent_rank() OVER (
+                       PARTITION BY source ORDER BY strlen(text), doc_id
+                   ) + 1e-9, 4) AS pr
+            FROM documents""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

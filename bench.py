@@ -148,6 +148,7 @@ QUERY_NAMES = [
     "leakage_safe_split_images",
     "fair_share_quota",
     "cohort_retention",
+    "doc_length_percentile",
 ]
 
 

@@ -2592,3 +2592,51 @@ def cohort_retention(sf_dir: str) -> rd.Dataset:
         )
 
     return c.map_batches(finish, batch_format="pyarrow")
+
+
+def doc_length_percentile(sf_dir: str) -> rd.Dataset:
+    """PERCENT_RANK window: each document's length percentile WITHIN its
+    source — rank-based quantile normalization, the score-calibration
+    step a mixture pipeline runs before cross-source quality thresholds
+    (absolute scores aren't comparable across sources; percentiles are).
+
+    Group-parallel execution: sources are a bounded vocabulary (the
+    same assumption the grouped-quantiles op documents), so ONE
+    ``map_groups`` call per source runs a vectorized lexsort +
+    closed-form (rank-1)/(n-1); lengths are computed in the pruned
+    scan, the text never shuffles. (doc_id tiebreak makes ranks unique,
+    so RANK == ROW_NUMBER and no tie-sharing pass is needed.)"""
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "source", "text"])
+
+    def lens(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "n_bytes": pc.cast(
+                    pc.binary_length(batch.column("text")), pa.int64()
+                ),
+            }
+        )
+
+    def pr(g: pa.Table) -> pa.Table:
+        did = g.column("doc_id").to_numpy()
+        nb = g.column("n_bytes").to_numpy()
+        order = np.lexsort((did, nb))
+        n = len(did)
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = np.arange(n)
+        denom = max(n - 1, 1)
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id"),
+                "source": g.column("source"),
+                "pr": pa.array(np.round(rank / denom + 1e-9, 4), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(lens, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(pr, batch_format="pyarrow")
+    )
