@@ -416,3 +416,51 @@ def test_snapshot_diff_handles_extreme_phashes(ray_session, tmp_path):
     assert sched["n_pages"] == 3
     assert sched["n_changed"] == 2
     assert sched["n_added"] == 0 and sched["n_removed"] == 0
+
+
+@pytest.mark.parametrize("kill_wave", [1, 5])
+def test_resume_any_kill_point(
+    ray_session, fixture_dir, tmp_path_factory, crawl_run, kill_wave
+):
+    """North-rule 'resumes exactly': the kill point must not matter.
+    (The single-point test above pins wave 2; this sweeps an early and
+    a late cut.)"""
+    _, _, oracle = crawl_run
+    out = tmp_path_factory.mktemp(f"crawl_kill{kill_wave}") / "out"
+    partial = run_crawl(
+        fixture_dir, out, n_seen_shards=3, n_frontier_shards=3,
+        stop_after_wave=kill_wave,
+    )
+    assert partial["partial"]
+    res = run_crawl(
+        fixture_dir, out, n_seen_shards=3, n_frontier_shards=3, resume=True
+    )
+    assert not res["partial"]
+    assert res["seen"] == oracle.seen
+    assert crawl_order(out) == oracle.order
+    assert res["makespan_ms"] == oracle.makespan_ms
+
+
+def test_resume_double_kill(ray_session, fixture_dir, tmp_path_factory, crawl_run):
+    """Two successive kills (kill -> partial resume -> kill -> full
+    resume) still converge to the uninterrupted run — checkpoints of a
+    resumed job are as consistent as first-run checkpoints."""
+    _, _, oracle = crawl_run
+    out = tmp_path_factory.mktemp("crawl_double_kill") / "out"
+    p1 = run_crawl(
+        fixture_dir, out, n_seen_shards=3, n_frontier_shards=3,
+        stop_after_wave=2,
+    )
+    assert p1["partial"]
+    p2 = run_crawl(
+        fixture_dir, out, n_seen_shards=3, n_frontier_shards=3,
+        resume=True, stop_after_wave=6,
+    )
+    assert p2["partial"]
+    res = run_crawl(
+        fixture_dir, out, n_seen_shards=3, n_frontier_shards=3, resume=True
+    )
+    assert not res["partial"]
+    assert res["seen"] == oracle.seen
+    assert crawl_order(out) == oracle.order
+    assert res["makespan_ms"] == oracle.makespan_ms
