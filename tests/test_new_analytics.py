@@ -216,3 +216,72 @@ def test_cohort_retention_planted(ray_session, tmp_path):
     assert key.loc[(w2, 0)]["n_active"] == 1
     assert key.loc[(w2, 0)]["retention"] == pytest.approx(1.0)
     assert len(out) == 4
+
+
+def test_props_json_stats_null_k_matches_sql(ray_session, tmp_path):
+    """Rows whose props lack the field: avg divides by the NON-NULL
+    count (SQL avg semantics), n still counts all rows."""
+    import duckdb
+
+    from newscrawler_ray.pipelines.queries import props_json_stats
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([_ts(1)] * 4, pa.timestamp("us")),
+            "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+            "event_type": pa.array(["click", "click", "view", "view"]),
+            "value": pa.array([0.0] * 4, pa.float64()),
+            "props": pa.array(
+                ['{"k": 10}', '{"other": 1}', '{"k": 7}', '{"k": 8}']
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    got = (
+        props_json_stats(str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    # click: n=2 but only one k -> avg over 1 value
+    assert got.loc["click"]["n"] == 2
+    assert got.loc["click"]["sum_k"] == 10
+    assert got.loc["click"]["avg_k"] == pytest.approx(10.0)
+    assert got.loc["view"]["avg_k"] == pytest.approx(7.5)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    import __ray_entry__ as entrymod
+
+    sql = entrymod.oracle_sql()["props_json_stats"]
+    want = con.execute(sql).fetchdf().set_index("event_type").sort_index()
+    pd.testing.assert_frame_equal(
+        got.astype("float64"), want.astype("float64"), atol=1e-9
+    )
+
+
+def test_leakage_safe_split_no_near_dups(ray_session, tmp_path):
+    """A corpus with ZERO near-dup pairs must split every image as its
+    own singleton cluster, not crash the cluster-assignment join."""
+    from newscrawler_ray.pipelines.multimodal import leakage_safe_split_images
+
+    n = 40
+    hashes = np.arange(1, n + 1, dtype=np.uint64) * np.uint64(
+        0x0F0F0F0F0F0F0F0F
+    )
+    p = tmp_path / "phash_nodups.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "image_id": pa.array([f"img-{i:08d}" for i in range(n)]),
+                "phash": pa.array(hashes.view(np.int64), pa.int64()),
+            }
+        ),
+        str(p),
+    )
+    out = leakage_safe_split_images(str(p)).to_pandas()
+    assert len(out) == n and out["image_id"].nunique() == n
+    assert set(out["split"]) <= {"train", "val", "test"}
