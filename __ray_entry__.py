@@ -402,6 +402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": Q.cohort_retention,
         # PERCENT_RANK window: within-source length percentile
         "doc_length_percentile": Q.doc_length_percentile,
+        # winsorization: clamp values to per-type [p05, p95]
+        "winsorize_values": Q.winsorize_values,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,
@@ -2193,6 +2195,18 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY source ORDER BY strlen(text), doc_id
                    ) + 1e-9, 4) AS pr
             FROM documents""",
+        # quantile_cont == np.quantile linear interpolation; clip
+        # decisions are bit-identical (bounds fall between data points)
+        "winsorize_values": """
+            WITH b AS (
+              SELECT event_type,
+                     quantile_cont(value, 0.05) AS lo,
+                     quantile_cont(value, 0.95) AS hi
+              FROM events GROUP BY event_type)
+            SELECT e.event_id, e.event_type,
+                   round(least(greatest(e.value, b.lo), b.hi) + 1e-9, 4)
+                       AS value_w
+            FROM events e JOIN b USING (event_type)""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

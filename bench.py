@@ -149,6 +149,7 @@ QUERY_NAMES = [
     "fair_share_quota",
     "cohort_retention",
     "doc_length_percentile",
+    "winsorize_values",
 ]
 
 

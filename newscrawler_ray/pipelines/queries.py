@@ -2640,3 +2640,63 @@ def doc_length_percentile(sf_dir: str) -> rd.Dataset:
         .groupby("source")
         .map_groups(pr, batch_format="pyarrow")
     )
+
+
+def winsorize_values(
+    sf_dir: str, *, lo_q: float = 0.05, hi_q: float = 0.95
+) -> rd.Dataset:
+    """Winsorization: clamp each event's value to its type's
+    [p05, p95] — the outlier-clipping pass run before training-data
+    normalization (z-scores over raw heavy tails are garbage; clip
+    first). Two stages: per-type exact quantile bounds (the grouped
+    order-statistics op, bounded-type-cardinality assumption as
+    documented in ``value_quantiles_by_type``) collected as a
+    types-sized broadcast, then one shuffle-free clip map over the
+    events — the big table never moves. np.quantile's linear
+    interpolation matches DuckDB's ``quantile_cont``, and interpolated
+    bounds fall strictly between data points, so the clip decisions are
+    bit-identical across engines."""
+    import pandas as pd
+
+    ds = read_clean(
+        _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def bounds(g: "pd.DataFrame") -> "pd.DataFrame":
+        v = np.quantile(g["value"].to_numpy(), [lo_q, hi_q])
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "lo": [v[0]],
+                "hi": [v[1]],
+            }
+        )
+
+    b = (
+        ds.map_batches(
+            lambda t: t.select(["event_type", "value"]), batch_format="pyarrow"
+        )
+        .groupby("event_type")
+        .map_groups(bounds, batch_format="pandas")
+        .take_all()
+    )
+    types = np.array(sorted(r["event_type"] for r in b))
+    by = {r["event_type"]: r for r in b}
+    lo = np.array([by[t]["lo"] for t in types], dtype=np.float64)
+    hi = np.array([by[t]["hi"] for t in types], dtype=np.float64)
+
+    def clip(batch: pa.Table) -> pa.Table:
+        idx = np.searchsorted(
+            types, batch.column("event_type").to_numpy(zero_copy_only=False)
+        )
+        v = batch.column("value").to_numpy()
+        w = np.minimum(np.maximum(v, lo[idx]), hi[idx])
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "value_w": pa.array(np.round(w + 1e-9, 4), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(clip, batch_format="pyarrow")
