@@ -404,6 +404,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_percentile": Q.doc_length_percentile,
         # winsorization: clamp values to per-type [p05, p95]
         "winsorize_values": Q.winsorize_values,
+        # HLL inclusion-exclusion audience overlap (rows-only: approx)
+        "approx_type_overlap": Q.approx_type_overlap,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,

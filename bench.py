@@ -150,6 +150,7 @@ QUERY_NAMES = [
     "cohort_retention",
     "doc_length_percentile",
     "winsorize_values",
+    "approx_type_overlap",
 ]
 
 

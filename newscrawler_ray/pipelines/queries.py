@@ -2700,3 +2700,63 @@ def winsorize_values(
         )
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def approx_type_overlap(sf_dir: str, *, p: int = 12) -> pa.Table:
+    """Approximate audience overlap |users(A) ∩ users(B)| for every
+    event-type pair via HyperLogLog inclusion-exclusion:
+    est(A) + est(B) - est(A ∪ B), where the union sketch is the
+    register-wise max — the mergeable-sketch answer to the question
+    ``basket_cooccurrence`` answers exactly. No raw user ids ever
+    shuffle: each block emits one ~4 KB sketch per type present, the
+    driver folds kilobytes, pairwise unions are register maxima.
+    Accuracy ±~1.6%/term at p=12 (linear-counting regime is near-exact
+    at fixture scale); asserted against the exact overlap in tests.
+    Rows-only for the driver (approximate ≠ SQL-exact)."""
+    from ..functions.sketches import HyperLogLog
+
+    vocab = _event_type_vocab(sf_dir)
+    T = len(vocab)
+    ds = read_clean(_p(sf_dir, "events"), columns=["user_id", "event_type"])
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        uid = batch.column("user_id").to_numpy()
+        tis, blobs = [], []
+        for i, t in enumerate(vocab):
+            sel = uid[et == t]
+            if len(sel) == 0:
+                continue
+            h = HyperLogLog(p)
+            h.add_ints(sel)
+            tis.append(i)
+            blobs.append(h.serialize())
+        return pa.table(
+            {"ti": pa.array(tis, pa.int64()), "sketch": pa.array(blobs, pa.binary())}
+        )
+
+    per_type: list = [None] * T
+    for b in ds.map_batches(
+        sketch_batch, batch_size=8192, batch_format="pyarrow"
+    ).iter_batches(batch_size=256, batch_format="pyarrow"):
+        for ti, blob in zip(b.column("ti").to_pylist(), b.column("sketch").to_pylist()):
+            s = HyperLogLog.deserialize(blob)
+            per_type[ti] = s if per_type[ti] is None else per_type[ti].merge(s)
+
+    ta, tb, est = [], [], []
+    for i in range(T):
+        for j in range(i + 1, T):
+            a, b_ = per_type[i], per_type[j]
+            if a is None or b_ is None:
+                continue
+            both = a.estimate() + b_.estimate() - a.merge(b_).estimate()
+            ta.append(vocab[i])
+            tb.append(vocab[j])
+            est.append(max(0, int(round(both))))
+    return pa.table(
+        {
+            "type_a": pa.array(ta, pa.string()),
+            "type_b": pa.array(tb, pa.string()),
+            "approx_both": pa.array(est, pa.int64()),
+        }
+    )

@@ -285,3 +285,51 @@ def test_leakage_safe_split_no_near_dups(ray_session, tmp_path):
     out = leakage_safe_split_images(str(p)).to_pandas()
     assert len(out) == n and out["image_id"].nunique() == n
     assert set(out["split"]) <= {"train", "val", "test"}
+
+
+def test_approx_type_overlap_planted_and_vs_exact(ray_session, tmp_path):
+    from newscrawler_ray.pipelines.queries import approx_type_overlap
+
+    # users 0..99 click, users 50..149 view -> true overlap 50
+    rows = []
+    eid = 0
+    for u in range(100):
+        rows.append((eid, _ts(1, eid), u, "click")); eid += 1
+    for u in range(50, 150):
+        rows.append((eid, _ts(1, eid), u, "view")); eid += 1
+    sf = _write_events(tmp_path, rows)
+    out = approx_type_overlap(sf)
+    d = {
+        (a, b): n
+        for a, b, n in zip(
+            out.column("type_a").to_pylist(),
+            out.column("type_b").to_pylist(),
+            out.column("approx_both").to_pylist(),
+        )
+    }
+    # linear-counting regime at this scale: tight bound
+    assert abs(d[("click", "view")] - 50) <= 5
+
+    # sf0.01: every pair within 10% of the exact overlap
+    import duckdb
+
+    sf01 = "/root/testdata/sf0.01"
+    got = approx_type_overlap(sf01)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf01}/events.parquet')"
+    )
+    exact = con.execute("""
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n
+        FROM ut a JOIN ut b USING (user_id)
+        WHERE a.event_type < b.event_type GROUP BY 1, 2
+    """).fetchall()
+    want = {(a, b): n for a, b, n in exact}
+    for a, b, n in zip(
+        got.column("type_a").to_pylist(),
+        got.column("type_b").to_pylist(),
+        got.column("approx_both").to_pylist(),
+    ):
+        assert abs(n - want[(a, b)]) <= max(5, 0.1 * want[(a, b)]), (a, b)
