@@ -499,6 +499,7 @@ def leakage_safe_split_images(
     max_hamming: int = 3,
     frac_val: float = 0.1,
     frac_test: float = 0.1,
+    nparts: int | None = None,
 ) -> rd.Dataset:
     """Leakage-safe train/val/test split: assign every pHash near-dup
     CLUSTER (transitive closure at ``max_hamming``) to one split, so a
@@ -526,7 +527,8 @@ def leakage_safe_split_images(
 
     import ray
 
-    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    if nparts is None:
+        nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
 
     def clean(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:

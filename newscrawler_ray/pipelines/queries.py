@@ -2502,7 +2502,7 @@ def fair_share_quota(sf_dir: str, *, budget: float = 9000.0) -> rd.Dataset:
     return dem.map_batches(quota, batch_format="pyarrow")
 
 
-def cohort_retention(sf_dir: str) -> rd.Dataset:
+def cohort_retention(sf_dir: str, *, nparts: int | None = None) -> rd.Dataset:
     """Cohort retention matrix: users grouped by first-activity week
     (the cohort), then for each later week the fraction of the cohort
     still active — the classic product-analytics triangle, and the
@@ -2539,7 +2539,8 @@ def cohort_retention(sf_dir: str) -> rd.Dataset:
         .aggregate(Min("wk", alias_name="cohort"))
         .materialize()
     )
-    nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    if nparts is None:
+        nparts = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
     joined = act.repartition(nparts).join(
         first.repartition(nparts),
         join_type="inner",

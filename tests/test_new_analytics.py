@@ -333,3 +333,25 @@ def test_approx_type_overlap_planted_and_vs_exact(ray_session, tmp_path):
         got.column("approx_both").to_pylist(),
     ):
         assert abs(n - want[(a, b)]) <= max(5, 0.1 * want[(a, b)]), (a, b)
+
+
+def test_new_join_ops_at_high_partition_counts(ray_session):
+    """Regression guard (join-quirk pattern): run the two new
+    join-bearing ops at 8 partitions (2x the 4-CPU test session — the
+    documented join-actor ceiling) on tiny inputs where most partitions
+    are empty, so the empty-block/join-schema class can't hide behind
+    small partition counts."""
+    from newscrawler_ray.pipelines.multimodal import (
+        leakage_safe_split_images,
+        synth_phash_table,
+    )
+    from newscrawler_ray.pipelines.queries import cohort_retention
+
+    out = cohort_retention("/root/testdata/sf0.001", nparts=8).to_pandas()
+    assert len(out) >= 1 and (out["n_active"] > 0).all()
+
+    p = synth_phash_table(
+        "/tmp/newscrawler_ray_fixtures/phash_radius_2000.parquet", 2000, 5
+    )
+    split = leakage_safe_split_images(p, nparts=8).to_pandas()
+    assert len(split) == 2000 and split["image_id"].nunique() == 2000
