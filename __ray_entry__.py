@@ -406,6 +406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_values": Q.winsorize_values,
         # HLL inclusion-exclusion audience overlap (rows-only: approx)
         "approx_type_overlap": Q.approx_type_overlap,
+        # session-path trigrams (two-lead window over user sequences)
+        "session_trigrams": Q.session_trigrams,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,
@@ -2209,6 +2211,17 @@ def oracle_sql() -> dict[str, str]:
                    round(least(greatest(e.value, b.lo), b.hi) + 1e-9, 4)
                        AS value_w
             FROM events e JOIN b USING (event_type)""",
+        # two-lead window recomputes the 3-event paths (full counts —
+        # no LIMIT: a top-k boundary tie would be nondeterministic)
+        "session_trigrams": """
+            WITH s AS (
+              SELECT event_type AS a,
+                     lead(event_type) OVER w AS b,
+                     lead(event_type, 2) OVER w AS c
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT a, b, c, count(*) AS n FROM s
+            WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2, 3""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

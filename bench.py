@@ -151,6 +151,7 @@ QUERY_NAMES = [
     "doc_length_percentile",
     "winsorize_values",
     "approx_type_overlap",
+    "session_trigrams",
 ]
 
 

@@ -2761,3 +2761,80 @@ def approx_type_overlap(sf_dir: str, *, p: int = 12) -> pa.Table:
             "approx_both": pa.array(est, pa.int64()),
         }
     )
+
+
+def session_trigrams(sf_dir: str) -> rd.Dataset:
+    """Session-path trigrams: counts of every 3-event same-user path
+    (ordered by ts, event_id) — the two-lead window extension of
+    ``event_transitions``, the shape behind session-flow mining and
+    next-k-event training data. Same coarse-bucket execution: one
+    lexsort per bucket, a double shifted same-user compare, then one
+    bincount over base-T³ codes — at most T³ pre-combined rows leave
+    any bucket; the final grouped Sum runs on kilobytes."""
+    import ray
+
+    ds = read_clean(
+        _p(sf_dir, "events"), columns=["user_id", "ts", "event_id", "event_type"]
+    )
+    vocab = _event_type_vocab(sf_dir)
+    T = len(vocab)
+    B = max(8, int(ray.cluster_resources().get("CPU", 4)) * 4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        part = _knuth_bucket(batch.column("user_id").to_numpy(), B)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "event_id": batch.column("event_id"),
+                "code": pa.array(
+                    np.searchsorted(
+                        vocab,
+                        batch.column("event_type").to_numpy(zero_copy_only=False),
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def trigrams(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        code = g.column("code").to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, code = uid[order], code[order]
+        same3 = (uid[2:] == uid[:-2]) & (uid[1:-1] == uid[:-2])
+        combo = (
+            code[:-2][same3] * T * T + code[1:-1][same3] * T + code[2:][same3]
+        )
+        cnt = np.bincount(combo, minlength=T * T * T)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "a": pa.array(vocab[nz // (T * T)], pa.string()),
+                "b": pa.array(vocab[(nz // T) % T], pa.string()),
+                "c": pa.array(vocab[nz % T], pa.string()),
+                "n_part": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(trigrams, batch_format="pyarrow")
+        .groupby(["a", "b", "c"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "a": t.column("a"),
+                "b": t.column("b"),
+                "c": t.column("c"),
+                "n": pc.cast(t.column("n"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
