@@ -408,6 +408,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_type_overlap": Q.approx_type_overlap,
         # session-path trigrams (two-lead window over user sequences)
         "session_trigrams": Q.session_trigrams,
+        # per-type OLS trend (regr_slope/intercept via grouped moments)
+        "value_trend_by_type": Q.value_trend_by_type,
+        # per-source Shannon entropy (bits) of the language mix
+        "lang_entropy_by_source": Q.lang_entropy_by_source,
+        # per-type Herfindahl concentration of events over users
+        "type_user_hhi": Q.type_user_hhi,
+        # reciprocal-rank-fusion hybrid keyword retrieval
+        "rrf_keyword_search": Q.rrf_keyword_search,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,
@@ -2222,6 +2230,48 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
             SELECT a, b, c, count(*) AS n FROM s
             WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2, 3""",
+        # regr_* over (value, hour); raw-moments closed form on the Ray
+        # side — same float-tolerance profile as value_hour_corr
+        "value_trend_by_type": """
+            SELECT event_type,
+                   round(regr_slope(value, CAST(hour(ts) AS DOUBLE))
+                         + 1e-9, 4) AS slope,
+                   round(regr_intercept(value, CAST(hour(ts) AS DOUBLE))
+                         + 1e-9, 4) AS intercept
+            FROM events GROUP BY event_type""",
+        # DuckDB entropy() is base-2 Shannon over value frequencies
+        "lang_entropy_by_source": """
+            SELECT source, count(*) AS n_docs,
+                   round(entropy(lang) + 1e-9, 4) AS lang_entropy
+            FROM documents GROUP BY source""",
+        "type_user_hhi": """
+            WITH c AS (
+              SELECT event_type, user_id, count(*)::DOUBLE AS c
+              FROM events GROUP BY 1, 2)
+            SELECT event_type,
+                   CAST(sum(c) AS BIGINT) AS n_events,
+                   count(*) AS n_users,
+                   round(sum(c * c) / (sum(c) * sum(c)) + 1e-9, 4) AS hhi
+            FROM c GROUP BY event_type""",
+        # non-overlapping replace-length tf == pc.count_substring;
+        # (tf DESC, doc_id) ranks are deterministic, so the fused list is
+        "rrf_keyword_search": """
+            WITH tf AS (
+              SELECT k.kw, d.doc_id,
+                     (strlen(d.text) - strlen(replace(d.text, k.kw, '')))
+                       / strlen(k.kw) AS tf
+              FROM documents d
+              CROSS JOIN (VALUES ('spark'), ('merge'), ('window')) k(kw)
+            ), ranked AS (
+              SELECT kw, doc_id,
+                     row_number() OVER (
+                       PARTITION BY kw ORDER BY tf DESC, doc_id) AS rn
+              FROM tf WHERE tf > 0
+              QUALIFY rn <= 100
+            )
+            SELECT doc_id, round(sum(1.0 / (60 + rn)) + 1e-9, 4) AS rrf
+            FROM ranked GROUP BY doc_id
+            ORDER BY rrf DESC, doc_id LIMIT 20""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

@@ -152,6 +152,10 @@ QUERY_NAMES = [
     "winsorize_values",
     "approx_type_overlap",
     "session_trigrams",
+    "value_trend_by_type",
+    "lang_entropy_by_source",
+    "type_user_hhi",
+    "rrf_keyword_search",
 ]
 
 

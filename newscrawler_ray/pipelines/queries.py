@@ -2838,3 +2838,241 @@ def session_trigrams(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def value_trend_by_type(sf_dir: str) -> rd.Dataset:
+    """Per-type OLS trend of event value on hour-of-day (SQL
+    ``regr_slope`` / ``regr_intercept`` GROUP BY event_type) — the
+    drift detector a curation pipeline runs to catch a source whose
+    quality score decays over the day. Same distributed-raw-moments
+    shape as ``value_hour_corr``, but grouped: each batch pre-combines
+    (n, sx, sy, sxx, sxy) per type with ONE vectorized
+    ``pa.Table.group_by``, the grouped Sum ships one 5-double row per
+    (type, block), and the closed form runs on the types-sized result.
+    Raw values never shuffle."""
+    ds = read_clean(_p(sf_dir, "events"), columns=["ts", "event_type", "value"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = pc.cast(pc.hour(batch.column("ts")), pa.float64())
+        y = batch.column("value")
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "n": pa.array(np.ones(len(x)), pa.float64()),
+                "sx": x,
+                "sy": y,
+                "sxx": pc.multiply(x, x),
+                "sxy": pc.multiply(x, y),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("sxy", "sum")]
+        )
+        return g.rename_columns(["event_type", "n", "sx", "sy", "sxx", "sxy"])
+
+    agg = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+            Sum("sxy", alias_name="sxy"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy()
+        sx = t.column("sx").to_numpy()
+        sy = t.column("sy").to_numpy()
+        sxx = t.column("sxx").to_numpy()
+        sxy = t.column("sxy").to_numpy()
+        denom = n * sxx - sx * sx
+        slope = np.where(denom != 0, (n * sxy - sx * sy) / np.where(denom == 0, 1.0, denom), 0.0)
+        intercept = (sy - slope * sx) / n
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "slope": pa.array(np.round(slope + 1e-9, 4), pa.float64()),
+                "intercept": pa.array(np.round(intercept + 1e-9, 4), pa.float64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def lang_entropy_by_source(sf_dir: str) -> rd.Dataset:
+    """Per-source Shannon entropy (bits) of the language mix — the
+    diversity audit a multilingual mixture pipeline runs per upstream
+    feed (a source whose entropy collapses stopped being multilingual).
+    Counts pre-combine per batch (one row per (source, lang) per
+    block), the grouped Sum is the only shuffle, and the bounded
+    (source x lang) result folds to entropy with vectorized log2.
+    Matches DuckDB's ``entropy()`` (base-2) under the shared
+    round-nudge convention."""
+    ds = read_clean(_p(sf_dir, "documents"), columns=["source", "lang"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "lang"]).aggregate([("lang", "count")])
+        return g.rename_columns(["source", "lang", "c"])
+
+    agg = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def entropy(g: pa.Table) -> pa.Table:
+        c = g.column("c").to_numpy().astype(np.float64)
+        n = c.sum()
+        p = c / n
+        h = float(-(p * np.log2(p)).sum())
+        return pa.table(
+            {
+                "source": g.column("source").slice(0, 1),
+                "n_docs": pa.array([int(n)], pa.int64()),
+                "lang_entropy": pa.array(
+                    [float(np.round(h + 1e-9, 4))], pa.float64()
+                ),
+            }
+        )
+
+    return agg.groupby("source").map_groups(entropy, batch_format="pyarrow")
+
+
+def type_user_hhi(sf_dir: str) -> rd.Dataset:
+    """Per-type Herfindahl-Hirschman concentration of events over
+    users: HHI = sum_u (c_u / n)^2 — the skew audit that flags an
+    event type dominated by a handful of users (bot traffic, hot-key
+    hazard for any later per-user shuffle). Two grouped Sums: exact
+    (type, user) counts (pre-combined per block), then per-type
+    sum(c^2) / sum(c)^2 — user ids never reach the second shuffle, so
+    the final exchange is types-sized."""
+    ds = read_clean(_p(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["event_type", "user_id"]).aggregate(
+            [("user_id", "count")]
+        )
+        return g.rename_columns(["event_type", "user_id", "c"])
+
+    per_user = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        c = pc.cast(batch.column("c"), pa.float64())
+        t = pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "sc": c,
+                "scc": pc.multiply(c, c),
+                "nu": pa.array(np.ones(len(c)), pa.float64()),
+            }
+        )
+        g = t.group_by("event_type").aggregate(
+            [("sc", "sum"), ("scc", "sum"), ("nu", "sum")]
+        )
+        return g.rename_columns(["event_type", "sc", "scc", "nu"])
+
+    agg = (
+        per_user.map_batches(partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("sc", alias_name="sc"), Sum("scc", alias_name="scc"),
+            Sum("nu", alias_name="nu"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        sc = t.column("sc").to_numpy()
+        scc = t.column("scc").to_numpy()
+        nu = t.column("nu").to_numpy()
+        return pa.table(
+            {
+                "event_type": t.column("event_type"),
+                "n_events": pa.array(sc.astype(np.int64), pa.int64()),
+                "n_users": pa.array(nu.astype(np.int64), pa.int64()),
+                "hhi": pa.array(
+                    np.round(scc / (sc * sc) + 1e-9, 4), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def rrf_keyword_search(
+    sf_dir: str,
+    *,
+    keywords: tuple[str, ...] = ("spark", "merge", "window"),
+    per_list: int = 100,
+    k_rrf: int = 60,
+    top_n: int = 20,
+) -> pa.Table:
+    """Reciprocal-rank-fusion hybrid retrieval: each keyword produces a
+    term-frequency-ranked top-``per_list`` list (tf DESC, doc_id ASC —
+    deterministic), fused as sum(1 / (k + rank)) and cut to ``top_n``.
+    The rank-fusion step every multi-retriever search stack runs.
+
+    Distributed shape mirrors ``knn_topk``: tf for all keywords is one
+    vectorized ``pc.count_substring`` pass per batch, each batch prunes
+    to its local top-``per_list`` per keyword (argpartition, no full
+    sort), and only blocks x K x per_list candidate rows reach the
+    driver for the exact global cut — the text column never leaves the
+    scan. Non-overlapping substring counting matches SQL's
+    replace-length idiom."""
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    kws = list(keywords)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id").to_numpy()
+        outs = []
+        for i, kw in enumerate(kws):
+            tf = pc.count_substring(batch.column("text"), kw).to_numpy()
+            m = tf > 0
+            d, t = did[m], tf[m]
+            if len(d) > per_list:
+                # top per_list by (tf desc, doc_id asc): argpartition on
+                # composite key keeps the cut exact without a full sort
+                key = t.astype(np.int64) * (1 << 40) - d
+                idx = np.argpartition(key, len(key) - per_list)[-per_list:]
+                d, t = d[idx], t[idx]
+            outs.append(
+                pa.table(
+                    {
+                        "kw": pa.array(np.full(len(d), i), pa.int32()),
+                        "doc_id": pa.array(d, pa.int64()),
+                        "tf": pa.array(t.astype(np.int64), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
+    if not cand:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "rrf": pa.array([], pa.float64())}
+        )
+    kw = np.array([r["kw"] for r in cand])
+    did = np.array([r["doc_id"] for r in cand])
+    tf = np.array([r["tf"] for r in cand])
+
+    scores: dict[int, float] = {}
+    for i in range(len(kws)):
+        m = kw == i
+        d, t = did[m], tf[m]
+        order = np.lexsort((d, -t))[:per_list]
+        for rank, doc in enumerate(d[order], start=1):
+            scores[int(doc)] = scores.get(int(doc), 0.0) + 1.0 / (k_rrf + rank)
+    docs = np.array(sorted(scores))
+    sc = np.array([scores[int(x)] for x in docs])
+    order = np.lexsort((docs, -sc))[:top_n]
+    return pa.table(
+        {
+            "doc_id": pa.array(docs[order], pa.int64()),
+            "rrf": pa.array(np.round(sc[order] + 1e-9, 4), pa.float64()),
+        }
+    )

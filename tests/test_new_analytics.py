@@ -355,3 +355,101 @@ def test_new_join_ops_at_high_partition_counts(ray_session):
     )
     split = leakage_safe_split_images(p, nparts=8).to_pandas()
     assert len(split) == 2000 and split["image_id"].nunique() == 2000
+
+
+def test_value_trend_by_type_planted_line(ray_session, tmp_path):
+    """Events whose value is exactly 2*hour + 5 must regress to
+    slope=2, intercept=5 (value == event_id in the fixture helper, so
+    plant via event_id)."""
+    rows = []
+    for h in range(6):
+        rows.append((2 * h + 5, _ts(1, sec=h * 3600), 1, "lin"))
+    # a constant-value type: slope 0, intercept == the value
+    for i, h in enumerate(range(3)):
+        rows.append((7, _ts(2, sec=h * 3600), 2, "flat"))
+    from newscrawler_ray.pipelines.queries import value_trend_by_type
+
+    out = (
+        value_trend_by_type(_write_events(tmp_path, rows))
+        .to_pandas()
+        .set_index("event_type")
+    )
+    assert out.loc["lin", "slope"] == pytest.approx(2.0, abs=1e-9)
+    assert out.loc["lin", "intercept"] == pytest.approx(5.0, abs=1e-9)
+    assert out.loc["flat", "slope"] == pytest.approx(0.0, abs=1e-9)
+    assert out.loc["flat", "intercept"] == pytest.approx(7.0, abs=1e-9)
+
+
+def test_type_user_hhi_planted(ray_session, tmp_path):
+    """One-user type -> HHI 1.0; four equal users -> 0.25; a 3:1 split
+    -> (9+1)/16 = 0.625."""
+    rows = []
+    eid = 1
+    for _ in range(5):
+        rows.append((eid, _ts(1, sec=eid), 10, "solo")); eid += 1
+    for u in range(4):
+        rows.append((eid, _ts(1, sec=eid), 20 + u, "even")); eid += 1
+    for _ in range(3):
+        rows.append((eid, _ts(1, sec=eid), 30, "skew")); eid += 1
+    rows.append((eid, _ts(1, sec=eid), 31, "skew")); eid += 1
+    from newscrawler_ray.pipelines.queries import type_user_hhi
+
+    out = type_user_hhi(_write_events(tmp_path, rows)).to_pandas().set_index(
+        "event_type"
+    )
+    assert out.loc["solo", "hhi"] == pytest.approx(1.0)
+    assert out.loc["solo", "n_users"] == 1 and out.loc["solo", "n_events"] == 5
+    assert out.loc["even", "hhi"] == pytest.approx(0.25)
+    assert out.loc["skew", "hhi"] == pytest.approx(0.625)
+
+
+def _write_docs(tmp_path, rows):
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_lang_entropy_by_source_planted(ray_session, tmp_path):
+    """Uniform 4-language source -> 2 bits; monolingual source -> 0."""
+    rows = [(i, "x", lang, "multi") for i, lang in enumerate(["en", "de", "fr", "es"])]
+    rows += [(10 + i, "x", "en", "mono") for i in range(3)]
+    from newscrawler_ray.pipelines.queries import lang_entropy_by_source
+
+    out = (
+        lang_entropy_by_source(_write_docs(tmp_path, rows))
+        .to_pandas()
+        .set_index("source")
+    )
+    assert out.loc["multi", "lang_entropy"] == pytest.approx(2.0)
+    assert out.loc["multi", "n_docs"] == 4
+    assert out.loc["mono", "lang_entropy"] == pytest.approx(0.0)
+
+
+def test_rrf_keyword_search_planted(ray_session, tmp_path):
+    """Hand-checkable fusion: doc 1 is rank-1 on both keywords
+    (score 2/61), doc 2 rank-2 on kw1 only (1/62), doc 3 rank-2 on kw2
+    only (1/62, doc-id tiebreak after doc 2); doc 4 matches nothing."""
+    rows = [
+        (1, "aa bb aa bb aa bb", "en", "s"),
+        (2, "aa bb aa", "en", "s"),   # tf(aa)=2, tf(bb)=1 -> kw ranks 2/3
+        (3, "bb aa bb", "en", "s"),
+        (4, "cc cc cc", "en", "s"),
+    ]
+    from newscrawler_ray.pipelines.queries import rrf_keyword_search
+
+    out = rrf_keyword_search(
+        _write_docs(tmp_path, rows), keywords=("aa", "bb"), top_n=10
+    ).to_pandas()
+    assert list(out["doc_id"]) == [1, 2, 3]
+    assert out["rrf"].iloc[0] == pytest.approx(round(2 / 61 + 1e-9, 4))
+    # docs 2 and 3 are each rank 2 on one list and rank 3 on the other
+    assert out["rrf"].iloc[1] == pytest.approx(round(1 / 62 + 1 / 63 + 1e-9, 4))
+    assert out["rrf"].iloc[2] == pytest.approx(round(1 / 62 + 1 / 63 + 1e-9, 4))
