@@ -416,6 +416,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_user_hhi": Q.type_user_hhi,
         # reciprocal-rank-fusion hybrid keyword retrieval
         "rrf_keyword_search": Q.rrf_keyword_search,
+        # robust median/MAD outlier detection per type
+        "mad_anomaly_events": Q.mad_anomaly_events,
+        # per-user exponentially time-decayed value sum
+        "time_decay_user_value": Q.time_decay_user_value,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,
@@ -2272,6 +2276,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(sum(1.0 / (60 + rn)) + 1e-9, 4) AS rrf
             FROM ranked GROUP BY doc_id
             ORDER BY rrf DESC, doc_id LIMIT 20""",
+        # quantile_cont(0.5) == np.quantile median (bit-identical); the
+        # cut compares the ROUNDED modified z on both engines
+        "mad_anomaly_events": """
+            WITH m1 AS (
+              SELECT event_type, quantile_cont(value, 0.5) AS med
+              FROM events GROUP BY event_type
+            ), m2 AS (
+              SELECT e.event_type,
+                     quantile_cont(abs(e.value - m1.med), 0.5) AS mad
+              FROM events e JOIN m1 USING (event_type)
+              GROUP BY e.event_type
+            ), sc AS (
+              SELECT e.event_id, e.event_type, e.value,
+                     round(0.6745 * (e.value - m1.med) / m2.mad + 1e-9, 4)
+                         AS rz
+              FROM events e JOIN m1 USING (event_type)
+                            JOIN m2 USING (event_type)
+            )
+            SELECT event_id, event_type, round(value, 4) AS value, rz
+            FROM sc WHERE abs(rz) > 3.5""",
+        # exact-integer microsecond age / one double divide -> identical
+        # exponents; pow-vs-exp2 ulp noise dies in the round-nudge
+        "time_decay_user_value": """
+            WITH mx AS (SELECT max(ts) AS m FROM events)
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value * pow(2.0,
+                       -CAST(epoch_us(mx.m) - epoch_us(ts) AS DOUBLE)
+                        / (86400000000.0 * 7.0))) + 1e-9, 4)
+                       AS decayed_value
+            FROM events, mx GROUP BY user_id""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

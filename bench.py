@@ -156,6 +156,8 @@ QUERY_NAMES = [
     "lang_entropy_by_source",
     "type_user_hhi",
     "rrf_keyword_search",
+    "mad_anomaly_events",
+    "time_decay_user_value",
 ]
 
 

@@ -3076,3 +3076,140 @@ def rrf_keyword_search(
             "rrf": pa.array(np.round(sc[order] + 1e-9, 4), pa.float64()),
         }
     )
+
+
+def mad_anomaly_events(sf_dir: str, *, z_cut: float = 3.5) -> rd.Dataset:
+    """Robust (median/MAD) outlier detection per event type — what
+    ``zscore_anomaly_events`` should be when the tail itself is the
+    contamination (mean/sd are dragged by the outliers they're meant to
+    flag; median/MAD have a 50% breakdown point). Three thin passes:
+    per-type exact medians (grouped order statistics, bounded type
+    cardinality — the ``winsorize_values`` machinery), a shuffle-free
+    map tags |v - med| with the broadcast medians and a second grouped
+    median yields the MAD, then one more shuffle-free map emits rows
+    with modified z = 0.6745 (v - med) / MAD beyond ``z_cut``. The cut
+    compares the ROUNDED score on both engines (np.quantile linear
+    interpolation == DuckDB quantile_cont, so medians are
+    bit-identical)."""
+    import pandas as pd
+
+    ds = read_clean(
+        _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
+    )
+
+    def med_of(col: str):
+        def f(g: "pd.DataFrame") -> "pd.DataFrame":
+            return pd.DataFrame(
+                {
+                    "event_type": [g["event_type"].iloc[0]],
+                    "med": [float(np.quantile(g[col].to_numpy(), 0.5))],
+                }
+            )
+
+        return f
+
+    m1 = (
+        ds.map_batches(
+            lambda t: t.select(["event_type", "value"]), batch_format="pyarrow"
+        )
+        .groupby("event_type")
+        .map_groups(med_of("value"), batch_format="pandas")
+        .take_all()
+    )
+    types = np.array(sorted(r["event_type"] for r in m1))
+    med = np.array(
+        [dict((r["event_type"], r["med"]) for r in m1)[t] for t in types]
+    )
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        idx = np.searchsorted(
+            types, batch.column("event_type").to_numpy(zero_copy_only=False)
+        )
+        v = batch.column("value").to_numpy()
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "dev": pa.array(np.abs(v - med[idx]), pa.float64()),
+            }
+        )
+
+    m2 = (
+        ds.map_batches(absdev, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(med_of("dev"), batch_format="pandas")
+        .take_all()
+    )
+    mad = np.array(
+        [dict((r["event_type"], r["med"]) for r in m2)[t] for t in types]
+    )
+
+    def flag(batch: pa.Table) -> pa.Table:
+        idx = np.searchsorted(
+            types, batch.column("event_type").to_numpy(zero_copy_only=False)
+        )
+        v = batch.column("value").to_numpy()
+        rz = np.round(0.6745 * (v - med[idx]) / mad[idx] + 1e-9, 4)
+        keep = np.abs(rz) > z_cut
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").filter(pa.array(keep)),
+                "event_type": batch.column("event_type").filter(pa.array(keep)),
+                "value": pa.array(np.round(v[keep], 4), pa.float64()),
+                "rz": pa.array(rz[keep], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def time_decay_user_value(
+    sf_dir: str, *, half_life_days: float = 7.0
+) -> rd.Dataset:
+    """Per-user exponentially time-decayed value sum (half-life
+    ``half_life_days``) anchored at the corpus max timestamp — the
+    recency-weighted engagement feature every ranking/recrawl model
+    consumes. One cheap global Max, then per-batch decayed
+    contributions feed ONE grouped Sum (Ray pre-combines per block, so
+    only (user, partial) rows shuffle). Exponents are exact-integer
+    microsecond differences divided once in double — bit-identical
+    across engines; exp2/pow last-ulp noise dies in the shared
+    round-nudge."""
+    ds = read_clean(_p(sf_dir, "events"), columns=["user_id", "ts", "value"])
+
+    def us(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"m": pc.cast(batch.column("ts"), pa.int64())}
+        )
+
+    mx = ds.map_batches(us, batch_format="pyarrow").aggregate(Max("m"))["max(m)"]
+    denom = 86400000000.0 * half_life_days
+
+    def decay(batch: pa.Table) -> pa.Table:
+        t = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        v = batch.column("value").to_numpy()
+        w = v * np.exp2(-((mx - t).astype(np.float64) / denom))
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "wv": pa.array(w, pa.float64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(decay, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"), Sum("wv", alias_name="wv"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "n_events": pc.cast(t.column("n_events"), pa.int64()),
+                "decayed_value": pa.array(
+                    np.round(t.column("wv").to_numpy() + 1e-9, 4), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -453,3 +453,39 @@ def test_rrf_keyword_search_planted(ray_session, tmp_path):
     # docs 2 and 3 are each rank 2 on one list and rank 3 on the other
     assert out["rrf"].iloc[1] == pytest.approx(round(1 / 62 + 1 / 63 + 1e-9, 4))
     assert out["rrf"].iloc[2] == pytest.approx(round(1 / 62 + 1 / 63 + 1e-9, 4))
+
+
+def test_mad_anomaly_events_planted(ray_session, tmp_path):
+    """Values 1..9 plus a 1000 outlier: med=5.5, MAD=2.5 -> only the
+    outlier exceeds |0.6745 (v - med) / MAD| > 3.5 (the plain z-score
+    would drag the mean/sd toward the outlier and shrink its score)."""
+    rows = [(v, _ts(1, sec=v), 1, "t") for v in range(1, 10)]
+    rows.append((1000, _ts(1, sec=100), 2, "t"))
+    from newscrawler_ray.pipelines.queries import mad_anomaly_events
+
+    out = mad_anomaly_events(_write_events(tmp_path, rows)).to_pandas()
+    assert list(out["event_id"]) == [1000]
+    assert out["rz"].iloc[0] == pytest.approx(
+        round(0.6745 * (1000 - 5.5) / 2.5 + 1e-9, 4)
+    )
+
+
+def test_time_decay_user_value_planted(ray_session, tmp_path):
+    """An event exactly one half-life before the corpus max timestamp
+    contributes exactly half its value (value == event_id in the
+    fixture helper)."""
+    rows = [
+        (10, _ts(8), 1, "a"),          # at the anchor: weight 1
+        (20, _ts(1), 1, "a"),          # 7 days earlier: weight 0.5
+        (8, _ts(8), 2, "b"),
+    ]
+    from newscrawler_ray.pipelines.queries import time_decay_user_value
+
+    out = (
+        time_decay_user_value(_write_events(tmp_path, rows))
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert out.loc[1, "decayed_value"] == pytest.approx(20.0)
+    assert out.loc[1, "n_events"] == 2
+    assert out.loc[2, "decayed_value"] == pytest.approx(8.0)
