@@ -420,6 +420,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_anomaly_events": Q.mad_anomaly_events,
         # per-user exponentially time-decayed value sum
         "time_decay_user_value": Q.time_decay_user_value,
+        # running distinct-user count (first-day trick, no window scan)
+        "cumulative_users_by_day": Q.cumulative_users_by_day,
+        # week-over-week churn from one distinct (user, week) exchange
+        "weekly_churn": Q.weekly_churn,
+        # per-source Gini coefficient of document lengths
+        "length_gini_by_source": Q.length_gini_by_source,
+        # lag-1 autocorrelation of each type's daily value series
+        "autocorr_daily_value": Q.autocorr_daily_value,
+        # per-type inter-arrival gap stats over (user, type) runs
+        "inter_arrival_gaps": Q.inter_arrival_gaps,
+        # k-core of the document link graph (fixed-round distributed
+        # peel; SQL-paired — rounds unrolled as chained CTEs)
+        "kcore_nodes": _kcore_nodes,
+        # CUSUM level-shift scan over each type's daily value series
+        "cusum_changepoint": Q.cusum_changepoint,
+        # pre-shuffle skew audit: top-1 key share per event type
+        "hot_key_audit": Q.hot_key_audit,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,
@@ -600,6 +617,65 @@ def _link_pagerank(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.graph import link_pagerank
 
     return link_pagerank(sf_dir)
+
+
+def _kcore_nodes(sf_dir: str) -> Any:
+    """SQL-paired: k-core (k=4, 12 peel rounds, converged at both test
+    scales) of the deterministic document link graph."""
+    from newscrawler_ray.pipelines.graph import kcore_nodes
+
+    return kcore_nodes(sf_dir)
+
+
+def _kcore_oracle(
+    k: int = 4,
+    rounds: int = 12,
+    link_k: int = 3,
+    mul: int = 48271,
+    add: int = 10007,
+    skip: int = 7,
+) -> str:
+    """Unrolled-round DuckDB k-core peel over the same deterministic
+    link graph as ``_pagerank_oracle``: each round keeps nodes whose
+    symmetric degree is >= k and the edges they induce. Canonical edge
+    orientation (u=greatest, v=least) mirrors ``graph._make_orient``.
+    Every per-round CTE is AS MATERIALIZED (CLAUDE.md invariant: DuckDB
+    re-inlines repeated CTE references exponentially otherwise)."""
+    parts = [
+        f"""
+WITH dc AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents),
+raw AS MATERIALIZED (
+  SELECT CAST(doc_id AS BIGINT) AS src,
+         (CAST(doc_id AS BIGINT) * {mul} + j.j * {add} + 1) % dc.cnt AS dst
+  FROM documents CROSS JOIN dc CROSS JOIN range(0, {link_k}) AS j(j)
+  WHERE doc_id % {skip} <> 0
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT greatest(src, dst) AS u, least(src, dst) AS v
+  FROM raw WHERE src <> dst
+)"""
+    ]
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+n{i} AS MATERIALIZED (
+  SELECT u FROM (SELECT u FROM {prev} UNION ALL SELECT v AS u FROM {prev})
+  GROUP BY u HAVING count(*) >= {k}
+),
+e{i} AS MATERIALIZED (
+  SELECT e.u, e.v FROM {prev} e
+  JOIN n{i} a ON e.u = a.u JOIN n{i} b ON e.v = b.u
+)"""
+        )
+        prev = f"e{i}"
+    parts.append(
+        f"""
+SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+FROM (SELECT u FROM {prev} UNION ALL SELECT v AS u FROM {prev})
+GROUP BY u"""
+    )
+    return "".join(parts)
 
 
 def _pagerank_oracle(
@@ -2306,6 +2382,125 @@ def oracle_sql() -> dict[str, str]:
                         / (86400000000.0 * 7.0))) + 1e-9, 4)
                        AS decayed_value
             FROM events, mx GROUP BY user_id""",
+        # COUNT(DISTINCT) OVER == cumsum of first-appearance counts
+        "cumulative_users_by_day": """
+            WITH f AS (
+              SELECT user_id, min(date_trunc('day', ts)) AS day
+              FROM events GROUP BY user_id
+            ), d AS (
+              SELECT day, count(*) AS new_users FROM f GROUP BY day
+            )
+            SELECT day, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+                       AS cum_users
+            FROM d""",
+        # churned(w) = active(w) - |active(w) ∩ active(w + 7 days)|;
+        # the max observed week has no successor to churn into
+        "weekly_churn": """
+            WITH uw AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+              FROM events
+            ), ret AS (
+              SELECT a.week, count(*) AS retained
+              FROM uw a JOIN uw b ON a.user_id = b.user_id
+                   AND b.week = a.week + INTERVAL 7 DAY
+              GROUP BY a.week
+            ), act AS (
+              SELECT week, count(*) AS active FROM uw GROUP BY week
+            )
+            SELECT act.week, act.active,
+                   act.active - coalesce(ret.retained, 0) AS churned,
+                   round((act.active - coalesce(ret.retained, 0))
+                         / CAST(act.active AS DOUBLE) + 1e-9, 4)
+                       AS churn_rate
+            FROM act LEFT JOIN ret USING (week)
+            WHERE act.week < (SELECT max(week) FROM act)""",
+        # tied lengths make the (2i - n - 1) x_i sum order-free; strlen
+        # is bytes, matching pc.binary_length
+        "length_gini_by_source": """
+            WITH l AS (
+              SELECT source, CAST(strlen(text) AS DOUBLE) AS x
+              FROM documents
+            ), r AS (
+              SELECT source, x,
+                     row_number() OVER (
+                       PARTITION BY source ORDER BY x) AS i,
+                     count(*) OVER (PARTITION BY source) AS n,
+                     sum(x) OVER (PARTITION BY source) AS s
+              FROM l
+            )
+            SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+                   round(sum((2 * i - n - 1) * x) / (max(n) * max(s))
+                         + 1e-9, 4) AS gini
+            FROM r GROUP BY source""",
+        # lag() over observed days only (calendar gaps ignored — both
+        # sides); corr() is Pearson, n-1 factors cancel vs np.corrcoef
+        "autocorr_daily_value": """
+            WITH d AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     sum(value) AS v
+              FROM events GROUP BY event_type, day
+            ), l AS (
+              SELECT event_type, v,
+                     lag(v) OVER (
+                       PARTITION BY event_type ORDER BY day) AS pv
+              FROM d
+            )
+            SELECT event_type, count(pv) AS n_pairs,
+                   round(corr(v, pv) + 1e-9, 4) AS autocorr
+            FROM l WHERE pv IS NOT NULL GROUP BY event_type""",
+        # integer-exact us partials both sides; mean divides in the
+        # same order (sum / 1e6 / n) so the doubles agree bit-for-bit
+        "inter_arrival_gaps": """
+            WITH g AS (
+              SELECT event_type,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS gap_us
+              FROM events
+            )
+            SELECT event_type, count(gap_us) AS n_gaps,
+                   round(CAST(sum(gap_us) AS DOUBLE) / 1000000.0
+                         / count(gap_us) + 1e-9, 4) AS mean_gap_s,
+                   min(gap_us) / 1000000.0 AS min_gap_s,
+                   max(gap_us) / 1000000.0 AS max_gap_s
+            FROM g WHERE gap_us IS NOT NULL GROUP BY event_type""",
+        "kcore_nodes": _kcore_oracle(),
+        # statistic rounded BEFORE the rank so near-equal float peaks
+        # order identically; earliest day wins ties on both sides
+        "cusum_changepoint": """
+            WITH d AS (
+              SELECT event_type, date_trunc('day', ts) AS day,
+                     sum(value) AS v
+              FROM events GROUP BY event_type, day
+            ), m AS (
+              SELECT event_type, avg(v) AS mu FROM d GROUP BY event_type
+            ), s AS (
+              SELECT d.event_type, d.day,
+                     round(abs(sum(d.v - m.mu) OVER (
+                       PARTITION BY d.event_type ORDER BY d.day))
+                       + 1e-9, 4) AS cs
+              FROM d JOIN m USING (event_type)
+            ), r AS (
+              SELECT event_type, day, cs,
+                     row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY cs DESC, day) AS rn
+              FROM s
+            )
+            SELECT event_type, day AS change_day, cs AS cusum_stat
+            FROM r WHERE rn = 1""",
+        "hot_key_audit": """
+            WITH pk AS (
+              SELECT event_type, user_id, count(*) AS c
+              FROM events GROUP BY event_type, user_id
+            )
+            SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events,
+                   count(*) AS n_keys,
+                   CAST(max(c) AS BIGINT) AS top_key_rows,
+                   round(CAST(max(c) AS DOUBLE)
+                         / CAST(sum(c) AS DOUBLE) + 1e-9, 4) AS top_share
+            FROM pk GROUP BY event_type""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

@@ -999,3 +999,104 @@ def triangle_count(
     return pa.table(
         {"n_edges": pa.array([n_edges], _I64), "n_triangles": pa.array([n_tri], _I64)}
     )
+
+
+def kcore_nodes(
+    sf_dir: str,
+    *,
+    k: int = 4,
+    rounds: int = 12,
+    link_k: int = 3,
+    edges: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """k-core of the document link graph: the maximal subgraph where
+    every node keeps degree >= k, the classic density filter a crawl
+    pipeline runs over its link graph to separate well-connected hubs
+    from peripheral leaf pages (reference discovers page graphs via
+    out-link parsing, ``utils/article_extractor.py`` link walk; the
+    rebuild adds the density analytic the reference leaves on the
+    table). Completes the graph family next to PageRank / HITS /
+    connected components / triangles.
+
+    Distributed peeling (Montresor, De Pellegrini, Miorandi, "Distributed
+    k-core decomposition", PODC 2011, specialized to a fixed k): each
+    round computes per-node degrees as per-block partial bincounts folded
+    on the driver (same O(active nodes) driver budget as the pagerank
+    rank fold and the CC minima fold — see ``_collect_minima`` for the
+    sharded-join alternative beyond ~10^8 nodes), broadcasts the sorted
+    survivor array with ``ray.put``, and drops incident edges inside
+    ``map_batches`` via two searchsorted probes. Edges only shrink, so
+    each round re-materializes a smaller dataset; the loop stops early at
+    the fixed point (extra rounds are no-ops, so the fixed ``rounds``
+    unroll in the SQL oracle agrees whenever it, too, has converged —
+    tests assert convergence at the shipped defaults).
+
+    Returns (node, deg): every k-core member with its degree inside the
+    core (>= k by construction)."""
+    e = edges if edges is not None else doc_link_edges(sf_dir, k=link_k)
+    # simple undirected graph: canonical (u=max, v=min), self-loops out,
+    # duplicates collapsed — one hash aggregate, no per-group Python
+    cur = _distinct_uv(e.map_batches(_make_orient("src", "dst"), batch_format="pyarrow"))
+    cur = cur.map_batches(_orient_down, batch_format="pyarrow").materialize()
+
+    def _degrees(ds: rd.Dataset) -> tuple[np.ndarray, np.ndarray]:
+        """(sorted distinct node, degree) folded from per-block partials."""
+        def partial(batch: pa.Table) -> pa.Table:
+            if batch.num_columns == 0 or batch.num_rows == 0:
+                return pa.table({"node": pa.array([], _I64), "c": pa.array([], _I64)})
+            both = np.concatenate(
+                [batch.column("u").to_numpy(), batch.column("v").to_numpy()]
+            )
+            nodes, cnt = np.unique(both, return_counts=True)
+            return pa.table(
+                {"node": pa.array(nodes, _I64), "c": pa.array(cnt, _I64)}
+            )
+
+        acc_n = np.empty(0, np.int64)
+        acc_c = np.empty(0, np.int64)
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            if b.num_rows == 0:
+                continue
+            n = np.concatenate([acc_n, b.column("node").to_numpy()])
+            c = np.concatenate([acc_c, b.column("c").to_numpy()])
+            acc_n, inv = np.unique(n, return_inverse=True)
+            acc_c = np.bincount(inv, weights=c).astype(np.int64)
+        return acc_n, acc_c
+
+    n_edges = cur.count()
+    for _ in range(rounds):
+        if n_edges == 0:
+            break
+        nodes, deg = _degrees(cur)
+        keep = nodes[deg >= k]
+        if len(keep) == len(nodes):  # fixed point: every node survives
+            break
+        keep_ref = ray.put(keep)
+
+        def drop(batch: pa.Table, _ref=keep_ref) -> pa.Table:
+            if batch.num_columns == 0 or batch.num_rows == 0:
+                return _empty_uv()
+            kp = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+            u = batch.column("u").to_numpy()
+            v = batch.column("v").to_numpy()
+            pu = np.searchsorted(kp, u)
+            pv = np.searchsorted(kp, v)
+            ok = (
+                (pu < len(kp)) & (pv < len(kp))
+            )
+            ok[ok] &= (kp[pu[ok]] == u[ok]) & (kp[pv[ok]] == v[ok])
+            return _pairs(u[ok], v[ok])
+
+        cur = cur.map_batches(drop, batch_format="pyarrow").materialize()
+        n_edges = cur.count()
+
+    if n_edges == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], _I64), "deg": pa.array([], _I64)})
+        )
+    nodes, deg = _degrees(cur)
+    return rd.from_arrow(
+        pa.table({"node": pa.array(nodes, _I64), "deg": pa.array(deg, _I64)})
+    )

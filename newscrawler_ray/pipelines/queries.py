@@ -3213,3 +3213,464 @@ def time_decay_user_value(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def cumulative_users_by_day(sf_dir: str) -> pa.Table:
+    """Running count of distinct users ever seen, per day — the
+    audience-growth curve. COUNT(DISTINCT) OVER a window is quadratic
+    in naive engines; here it is exact in two thin exchanges: grouped
+    Min ships each user's FIRST day once (pre-combined per block), the
+    bounded per-day first-appearance counts fold on the driver, and a
+    vectorized cumsum over the day-sorted counts is the whole window.
+    User ids never reach the second exchange."""
+    ds = read_clean(_p(sf_dir, "events"), columns=["user_id", "ts"])
+
+    def days(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day": pc.cast(
+                    pc.floor_temporal(batch.column("ts"), unit="day"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    first = (
+        ds.map_batches(days, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Min("day", alias_name="first_day"))
+    )
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("first_day").aggregate([("first_day", "count")])
+        return g.rename_columns(["day", "c"])
+
+    parts = [
+        b
+        for b in first.map_batches(cnt, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+        if b.num_rows
+    ]
+    t = pa.concat_tables(parts).combine_chunks()
+    day = t.column("day").to_numpy()
+    c = t.column("c").to_numpy()
+    order = np.argsort(day)
+    uday, inv = np.unique(day[order], return_inverse=True)
+    totals = np.bincount(inv, weights=c[order].astype(np.float64))
+    return pa.table(
+        {
+            "day": pc.cast(pa.array(uday, pa.int64()), pa.timestamp("us")),
+            "new_users": pa.array(totals.astype(np.int64), pa.int64()),
+            "cum_users": pa.array(
+                np.cumsum(totals).astype(np.int64), pa.int64()
+            ),
+        }
+    )
+
+
+def weekly_churn(sf_dir: str) -> pa.Table:
+    """Week-over-week churn: of the users active in week w, how many
+    are absent in week w+1 — the retention complement every growth
+    dashboard carries. Fully distributed, no driver-side id
+    materialization: distinct (user, week) pairs come from ONE grouped
+    Count (pre-combined per block); each pair then votes twice — into
+    its own week as ACTIVE and into the PREVIOUS week as a
+    retention-candidate — so a second grouped Sum over (user, week)
+    finds retained users as groups holding both votes, and the final
+    exchange is the bounded per-week counts. User ids never reach the
+    driver."""
+    ds = read_clean(_p(sf_dir, "events"), columns=["user_id", "ts"])
+    STEP = 604800000000  # one calendar week in epoch microseconds
+
+    def weeks(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "week": pc.cast(
+                    pc.floor_temporal(batch.column("ts"), unit="week"),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    uw = (
+        ds.map_batches(weeks, batch_format="pyarrow")
+        .groupby(["user_id", "week"])
+        .aggregate(Count(alias_name="c"))
+    )
+
+    def votes(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id")
+        w = batch.column("week")
+        n = len(u)
+        return pa.table(
+            {
+                "user_id": pa.concat_arrays(
+                    [pc.cast(u, pa.int64()).combine_chunks(),
+                     pc.cast(u, pa.int64()).combine_chunks()]
+                ),
+                "week": pa.concat_arrays(
+                    [pc.cast(w, pa.int64()).combine_chunks(),
+                     pc.cast(pc.subtract(w, STEP), pa.int64()).combine_chunks()]
+                ),
+                "a": pa.array(
+                    np.concatenate([np.ones(n), np.zeros(n)]).astype(np.int64),
+                    pa.int64(),
+                ),
+                "b": pa.array(
+                    np.concatenate([np.zeros(n), np.ones(n)]).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    flags = (
+        uw.map_batches(votes, batch_format="pyarrow")
+        .groupby(["user_id", "week"])
+        .aggregate(Sum("a", alias_name="sa"), Sum("b", alias_name="sb"))
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        w = batch.column("week").to_numpy()
+        sa = batch.column("sa").to_numpy()
+        sb = batch.column("sb").to_numpy()
+        act = sa > 0
+        ret = act & (sb > 0)
+        t = pa.table(
+            {
+                "week": pa.array(w[act], pa.int64()),
+                "active": pa.array(np.ones(int(act.sum()), np.int64)),
+                "retained": pa.array(ret[act].astype(np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("week").aggregate([("active", "sum"), ("retained", "sum")])
+        return g.rename_columns(["week", "active", "retained"])
+
+    per_week = (
+        flags.map_batches(counts, batch_format="pyarrow")
+        .groupby("week")
+        .aggregate(
+            Sum("active", alias_name="active"),
+            Sum("retained", alias_name="retained"),
+        )
+    )
+    parts = [
+        b for b in per_week.iter_batches(batch_format="pyarrow") if b.num_rows
+    ]
+    t = pa.concat_tables(parts).combine_chunks()
+    w = t.column("week").to_numpy()
+    order = np.argsort(w)
+    w = w[order]
+    active = t.column("active").to_numpy()[order]
+    retained = t.column("retained").to_numpy()[order]
+    keep = w < w.max()  # the max observed week has no successor
+    churned = active[keep] - retained[keep]
+    return pa.table(
+        {
+            "week": pc.cast(pa.array(w[keep], pa.int64()), pa.timestamp("us")),
+            "active": pa.array(active[keep].astype(np.int64), pa.int64()),
+            "churned": pa.array(churned.astype(np.int64), pa.int64()),
+            "churn_rate": pa.array(
+                np.round(churned / active[keep] + 1e-9, 4), pa.float64()
+            ),
+        }
+    )
+
+
+def length_gini_by_source(sf_dir: str) -> rd.Dataset:
+    """Per-source Gini coefficient of document lengths — the
+    inequality audit that catches a feed mixing stubs with full
+    articles (high Gini = a few huge docs carry the corpus mass).
+    Group-parallel like the other per-source order statistics (bounded
+    source vocabulary): one vectorized sort per group and the
+    closed-form sum((2i - n - 1) x_i) / (n sum x); text stays in the
+    pruned scan — only (source, n_bytes) shuffles."""
+    ds = read_clean(_p(sf_dir, "documents"), columns=["source", "text"])
+
+    def lens(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_bytes": pc.cast(
+                    pc.binary_length(batch.column("text")), pa.float64()
+                ),
+            }
+        )
+
+    def gini(g: pa.Table) -> pa.Table:
+        x = np.sort(g.column("n_bytes").to_numpy())
+        n = len(x)
+        i = np.arange(1, n + 1, dtype=np.float64)
+        gsum = float(((2.0 * i - n - 1.0) * x).sum())
+        denom = n * float(x.sum())
+        return pa.table(
+            {
+                "source": g.column("source").slice(0, 1),
+                "n_docs": pa.array([n], pa.int64()),
+                "gini": pa.array(
+                    [float(np.round(gsum / denom + 1e-9, 4))], pa.float64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(lens, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(gini, batch_format="pyarrow")
+    )
+
+
+def autocorr_daily_value(sf_dir: str) -> rd.Dataset:
+    """Lag-1 autocorrelation of each event type's daily value series —
+    the one-number seasonality probe (near +1: trending/weekday-bound
+    load, near 0: memoryless). The heavy exchange is the grouped daily
+    Sum (pre-combined per block, ships at most types x days rows); the
+    per-type Pearson correlation of (v_t, v_{t-1}) then runs inside
+    ``map_groups`` on the bounded day series. Gaps in the calendar are
+    ignored (lag over observed days), matching the SQL lag() window."""
+    ds = read_clean(_p(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": pc.cast(
+                    pc.floor_temporal(batch.column("ts"), unit="day"), pa.int64()
+                ),
+                "value": batch.column("value"),
+            }
+        )
+
+    daily = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("value", alias_name="v"))
+    )
+
+    def fin(g: pa.Table) -> pa.Table:
+        day = g.column("day").to_numpy()
+        v = g.column("v").to_numpy()[np.argsort(day)]
+        if len(v) < 2:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "autocorr": pa.array([], pa.float64()),
+                }
+            )
+        r = float(np.corrcoef(v[1:], v[:-1])[0, 1])
+        return pa.table(
+            {
+                "event_type": g.column("event_type").slice(0, 1),
+                "n_pairs": pa.array([len(v) - 1], pa.int64()),
+                "autocorr": pa.array(
+                    [float(np.round(r + 1e-9, 4))], pa.float64()
+                ),
+            }
+        )
+
+    return daily.groupby("event_type").map_groups(fin, batch_format="pyarrow")
+
+
+def inter_arrival_gaps(sf_dir: str) -> pa.Table:
+    """Inter-arrival statistics: per event type, the count / mean / min /
+    max of the gaps between a user's consecutive events OF THAT TYPE —
+    the cadence profile behind rate-limiter sizing and bot detection.
+    Same coarse-bucket execution as ``session_trigrams``: events hash
+    into ~4 buckets per CPU by user, one lexsort per bucket orders every
+    (user, type) run, a shifted same-key compare yields the gaps, and
+    per-type integer partials (n, sum_us, min_us, max_us — all exact in
+    int64) pre-combine inside the bucket so the final grouped fold runs
+    on kilobytes. User ids never leave their bucket."""
+    import ray
+
+    ds = read_clean(
+        _p(sf_dir, "events"), columns=["user_id", "event_type", "ts", "event_id"]
+    )
+    vocab = _event_type_vocab(sf_dir)
+    B = max(8, int(ray.cluster_resources().get("CPU", 4)) * 4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        part = _knuth_bucket(batch.column("user_id").to_numpy(), B)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": pc.cast(batch.column("ts"), pa.int64()),
+                "event_id": batch.column("event_id"),
+                "code": pa.array(
+                    np.searchsorted(
+                        vocab,
+                        batch.column("event_type").to_numpy(zero_copy_only=False),
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    T = len(vocab)
+
+    def gaps(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        ts = g.column("ts").to_numpy()
+        eid = g.column("event_id").to_numpy()
+        code = g.column("code").to_numpy()
+        order = np.lexsort((eid, ts, code, uid))
+        uid, ts, code = uid[order], ts[order], code[order]
+        same = (uid[1:] == uid[:-1]) & (code[1:] == code[:-1])
+        gap = (ts[1:] - ts[:-1])[same]
+        cg = code[1:][same]
+        n = np.bincount(cg, minlength=T)
+        s = np.zeros(T, np.int64)
+        mn = np.full(T, np.iinfo(np.int64).max)
+        mx = np.full(T, np.iinfo(np.int64).min)
+        np.add.at(s, cg, gap)
+        np.minimum.at(mn, cg, gap)
+        np.maximum.at(mx, cg, gap)
+        nz = np.flatnonzero(n)
+        return pa.table(
+            {
+                "event_type": pa.array(vocab[nz], pa.string()),
+                "n_part": pa.array(n[nz], pa.int64()),
+                "s_part": pa.array(s[nz], pa.int64()),
+                "mn_part": pa.array(mn[nz], pa.int64()),
+                "mx_part": pa.array(mx[nz], pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(gaps, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_part", alias_name="n_gaps"),
+            Sum("s_part", alias_name="s_us"),
+            Min("mn_part", alias_name="mn_us"),
+            Max("mx_part", alias_name="mx_us"),
+        )
+    )
+    parts = [b for b in agg.iter_batches(batch_format="pyarrow") if b.num_rows]
+    t = pa.concat_tables(parts).combine_chunks()
+    n = t.column("n_gaps").to_numpy()
+    s = t.column("s_us").to_numpy().astype(np.float64)
+    return pa.table(
+        {
+            "event_type": t.column("event_type"),
+            "n_gaps": pa.array(n, pa.int64()),
+            "mean_gap_s": pa.array(
+                np.round(s / 1e6 / n + 1e-9, 4), pa.float64()
+            ),
+            "min_gap_s": pa.array(
+                t.column("mn_us").to_numpy() / 1e6, pa.float64()
+            ),
+            "max_gap_s": pa.array(
+                t.column("mx_us").to_numpy() / 1e6, pa.float64()
+            ),
+        }
+    )
+
+
+def cusum_changepoint(sf_dir: str) -> rd.Dataset:
+    """CUSUM change-point scan: for each event type, the day where the
+    cumulative deviation of the daily value series from its own mean
+    peaks — the classic level-shift detector (Page 1954) a crawl
+    operator runs over throughput series to spot when a source changed
+    behavior. One grouped daily Sum is the only wide exchange; the
+    per-type scan is a vectorized cumsum over the bounded day series.
+    The statistic is rounded to 4 decimals BEFORE the argmax (earliest
+    day wins ties), so near-equal float peaks order identically in the
+    SQL oracle's window rank."""
+    ds = read_clean(_p(sf_dir, "events"), columns=["event_type", "ts", "value"])
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "day": pc.cast(
+                    pc.floor_temporal(batch.column("ts"), unit="day"), pa.int64()
+                ),
+                "value": batch.column("value"),
+            }
+        )
+
+    daily = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("value", alias_name="v"))
+    )
+
+    def fin(g: pa.Table) -> pa.Table:
+        day = g.column("day").to_numpy()
+        order = np.argsort(day)
+        day = day[order]
+        v = g.column("v").to_numpy()[order]
+        cs = np.round(np.abs(np.cumsum(v - v.mean())) + 1e-9, 4)
+        i = int(np.argmax(cs))  # first occurrence == earliest day
+        return pa.table(
+            {
+                "event_type": g.column("event_type").slice(0, 1),
+                "change_day": pc.cast(
+                    pa.array([day[i]], pa.int64()), pa.timestamp("us")
+                ),
+                "cusum_stat": pa.array([float(cs[i])], pa.float64()),
+            }
+        )
+
+    return daily.groupby("event_type").map_groups(fin, batch_format="pyarrow")
+
+
+def hot_key_audit(sf_dir: str) -> pa.Table:
+    """Shuffle-skew audit: per event type, how concentrated the rows
+    are on their hottest user key — the number a distributed engine
+    checks BEFORE partitioning by that key (this repo's own salting and
+    coarse-bucket patterns exist because of exactly this measurement).
+    Reports rows, distinct keys, and the top-1 key's share. One grouped
+    Count over (type, user) — pre-combined per block — then a thin
+    per-type fold of (max, sum, count) partials; raw keys never reach
+    the driver."""
+    ds = read_clean(_p(sf_dir, "events"), columns=["event_type", "user_id"])
+
+    per_key = ds.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="c")
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "mx": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "k": pa.array([], pa.int64()),
+                }
+            )
+        g = batch.group_by("event_type").aggregate(
+            [("c", "max"), ("c", "sum"), ("c", "count")]
+        )
+        return g.rename_columns(["event_type", "mx", "s", "k"])
+
+    agg = (
+        per_key.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Max("mx", alias_name="mx"),
+            Sum("s", alias_name="n_events"),
+            Sum("k", alias_name="n_keys"),
+        )
+    )
+    parts = [b for b in agg.iter_batches(batch_format="pyarrow") if b.num_rows]
+    t = pa.concat_tables(parts).combine_chunks()
+    mx = t.column("mx").to_numpy().astype(np.float64)
+    n = t.column("n_events").to_numpy().astype(np.float64)
+    return pa.table(
+        {
+            "event_type": t.column("event_type"),
+            "n_events": t.column("n_events"),
+            "n_keys": t.column("n_keys"),
+            "top_key_rows": pc.cast(t.column("mx"), pa.int64()),
+            "top_share": pa.array(np.round(mx / n + 1e-9, 4), pa.float64()),
+        }
+    )

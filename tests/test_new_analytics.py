@@ -489,3 +489,118 @@ def test_time_decay_user_value_planted(ray_session, tmp_path):
     assert out.loc[1, "decayed_value"] == pytest.approx(20.0)
     assert out.loc[1, "n_events"] == 2
     assert out.loc[2, "decayed_value"] == pytest.approx(8.0)
+
+
+def test_inter_arrival_gaps_planted(ray_session, tmp_path):
+    # u1 click at t=0s,10s,40s -> gaps 10,30; u1 view at 5s (no gap);
+    # u2 click at 0s,7s -> gap 7
+    rows = [
+        (1, _ts(1, 0), 1, "click"),
+        (2, _ts(1, 10), 1, "click"),
+        (3, _ts(1, 40), 1, "click"),
+        (4, _ts(1, 5), 1, "view"),
+        (5, _ts(1, 0), 2, "click"),
+        (6, _ts(1, 7), 2, "click"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    from newscrawler_ray.pipelines.queries import inter_arrival_gaps
+
+    out = inter_arrival_gaps(sf).to_pandas().set_index("event_type")
+    assert "view" not in out.index  # a single event has no gap
+    c = out.loc["click"]
+    assert c["n_gaps"] == 3
+    assert c["mean_gap_s"] == pytest.approx(round((10 + 30 + 7) / 3 / 1.0 + 1e-9, 4))
+    assert c["min_gap_s"] == 7.0 and c["max_gap_s"] == 30.0
+
+
+def test_autocorr_daily_value_planted(ray_session, tmp_path):
+    # type "click" daily sums: day1=1+2=3, day2=7, day3=11 (values are
+    # event_id floats per _write_events) -> perfectly linear series,
+    # lag-1 autocorr == 1.0
+    rows = [
+        (1, _ts(1, 0), 1, "click"),
+        (2, _ts(1, 1), 2, "click"),
+        (7, _ts(2, 0), 1, "click"),
+        (11, _ts(3, 0), 2, "click"),
+        (5, _ts(1, 0), 1, "view"),  # single day: no lag pair, no row
+    ]
+    sf = _write_events(tmp_path, rows)
+    from newscrawler_ray.pipelines.queries import autocorr_daily_value
+
+    out = autocorr_daily_value(sf).to_pandas().set_index("event_type")
+    assert "view" not in out.index
+    assert out.loc["click", "n_pairs"] == 2
+    assert out.loc["click", "autocorr"] == pytest.approx(1.0)
+
+
+def test_kcore_planted_and_fixed_point(ray_session):
+    import ray.data as rd
+
+    from newscrawler_ray.pipelines.graph import kcore_nodes
+
+    # planted: a K4 clique (0-3) plus a pendant path 3-4-5.  2-core =
+    # the clique; the path peels off in two rounds.
+    e = pa.table(
+        {
+            "src": pa.array([0, 0, 0, 1, 1, 2, 3, 4], pa.int64()),
+            "dst": pa.array([1, 2, 3, 2, 3, 3, 4, 5], pa.int64()),
+        }
+    )
+    out = (
+        kcore_nodes("", k=2, rounds=12, edges=rd.from_arrow(e))
+        .to_pandas()
+        .sort_values("node", ignore_index=True)
+    )
+    assert out["node"].tolist() == [0, 1, 2, 3]
+    assert out["deg"].tolist() == [3, 3, 3, 3]
+
+    # shipped defaults on the real link graph: every surviving degree
+    # >= k (fixed point actually reached, so the 12-round SQL unroll
+    # and the early-stopping Ray peel agree by construction)
+    full = kcore_nodes("/root/testdata/sf0.001", k=4, rounds=12).to_pandas()
+    assert len(full) > 0
+    assert (full["deg"] >= 4).all()
+    again = kcore_nodes("/root/testdata/sf0.001", k=4, rounds=13).to_pandas()
+    pd.testing.assert_frame_equal(
+        full.sort_values("node", ignore_index=True),
+        again.sort_values("node", ignore_index=True),
+    )
+
+
+def test_cusum_changepoint_planted(ray_session, tmp_path):
+    # "click" daily sums: 1,1,1,9,9 (value == event_id float). Mean is
+    # 4.2; |cusum| peaks at day 3 (|1+1+1 - 3*4.2| = 9.6) right before
+    # the level shift — the textbook CUSUM answer.
+    rows = [
+        (1, _ts(1, 0), 1, "click"),
+        (1, _ts(2, 0), 1, "click"),
+        (1, _ts(3, 0), 1, "click"),
+        (9, _ts(4, 0), 1, "click"),
+        (9, _ts(5, 0), 1, "click"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    from newscrawler_ray.pipelines.queries import cusum_changepoint
+
+    out = cusum_changepoint(sf).to_pandas().set_index("event_type")
+    assert out.loc["click", "change_day"] == _ts(3)
+    assert out.loc["click", "cusum_stat"] == pytest.approx(9.6)
+
+
+def test_hot_key_audit_planted(ray_session, tmp_path):
+    # click: u1 x3, u2 x1 -> top share 0.75; view: u1 x1, u2 x1 -> 0.5
+    rows = [
+        (1, _ts(1, 0), 1, "click"),
+        (2, _ts(1, 1), 1, "click"),
+        (3, _ts(1, 2), 1, "click"),
+        (4, _ts(1, 3), 2, "click"),
+        (5, _ts(1, 0), 1, "view"),
+        (6, _ts(1, 1), 2, "view"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    from newscrawler_ray.pipelines.queries import hot_key_audit
+
+    out = hot_key_audit(sf).to_pandas().set_index("event_type")
+    c = out.loc["click"]
+    assert (c["n_events"], c["n_keys"], c["top_key_rows"]) == (4, 2, 3)
+    assert c["top_share"] == pytest.approx(0.75)
+    assert out.loc["view", "top_share"] == pytest.approx(0.5)
