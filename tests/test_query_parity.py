@@ -76,7 +76,7 @@ def test_every_query_has_oracle_or_is_marked():
                                        # table isn't a registered DuckDB
                                        # view (rows-only by necessity)
                                        "aspect", "bucketed", "caption",
-                                       "leakage",
+                                       "leakage", "augment",
                                        # iterative BPE / composed tiers /
                                        # model-based mining: no SQL analog
                                        "train_bpe", "bpe_encode",

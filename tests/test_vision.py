@@ -524,3 +524,56 @@ def test_caption_dedup_images_planted_dups(ray_session, tmp_path):
     )
     want = sorted(ids[i] for i in (0, 1, 3, 4, 7, 8, 9))
     assert got == want
+
+
+def test_augment_images_pixel_oracle_and_determinism(ray_session, fixture_dir):
+    from newscrawler_ray.functions.hashing import splitmix64
+    from newscrawler_ray.pipelines.multimodal import decode_any
+
+    path = fixture_dir / "images.parquet"
+    src = _read_images(fixture_dir, 24)
+    out = (
+        vision.augment_images(path, seed=7, out_w=32, out_h=48)
+        .to_pandas()
+        .set_index("image_id")
+    )
+    assert len(out) == _read_images(fixture_dir).num_rows
+    assert out["aug_error"].isna().all()
+    # brute-force per-row oracle: replay the documented transform chain
+    ids = src.column("image_id").to_pylist()
+    raws = src.column("bytes").to_pylist()
+    fmts = src.column("fmt").to_pylist()
+    seed = np.uint64((7 * 0x9E3779B97F4A7C15 + 1) % (1 << 64))
+    for i in range(src.num_rows):
+        img = decode_any(raws[i], fmts[i])
+        h, w = img.shape[:2]
+        d = int(splitmix64(np.array([int(ids[i][4:])], np.uint64) ^ seed)[0])
+        ch, cw = max(1, int(h * 0.875)), max(1, int(w * 0.875))
+        cy, cx = (d >> 1) % (h - ch + 1), (d >> 32) % (w - cw + 1)
+        win = img[cy : cy + ch, cx : cx + cw]
+        if d & 1:
+            win = win[:, ::-1]
+        iy = (np.arange(48) * ch) // 48
+        ix = (np.arange(32) * cw) // 32
+        want = win[iy][:, ix]
+        row = out.loc[ids[i]]
+        got = codecs.decode_ppm(row["bytes"])
+        assert got.shape == (48, 32, 3)
+        np.testing.assert_array_equal(got, want)
+        assert (row["flipped"], row["crop_y"], row["crop_x"]) == (
+            bool(d & 1), cy, cx,
+        )
+    # determinism across runs / partitionings: byte-identical output
+    again = (
+        vision.augment_images(path, seed=7, out_w=32, out_h=48, batch_size=5)
+        .to_pandas()
+        .set_index("image_id")
+    )
+    assert (out["bytes"] == again.loc[out.index, "bytes"]).all()
+    # a different seed changes at least one crop or flip
+    other = (
+        vision.augment_images(path, seed=8, out_w=32, out_h=48)
+        .to_pandas()
+        .set_index("image_id")
+    )
+    assert (out["bytes"] != other.loc[out.index, "bytes"]).any()
