@@ -158,6 +158,15 @@ QUERY_NAMES = [
     "rrf_keyword_search",
     "mad_anomaly_events",
     "time_decay_user_value",
+    "cumulative_users_by_day",
+    "weekly_churn",
+    "length_gini_by_source",
+    "autocorr_daily_value",
+    "inter_arrival_gaps",
+    "cusum_changepoint",
+    "hot_key_audit",
+    "kcore_nodes",
+    "augment_images",
 ]
 
 
