@@ -437,6 +437,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_changepoint": Q.cusum_changepoint,
         # pre-shuffle skew audit: top-1 key share per event type
         "hot_key_audit": Q.hot_key_audit,
+        # sweep-line max-overlap: per-day peak concurrent 30-min
+        # sessions via the distributed-prefix-sum histogram fold
+        "peak_concurrency_daily": Q.peak_concurrency_daily,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,
@@ -2514,6 +2517,22 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(max(c) AS DOUBLE)
                          / CAST(sum(c) AS DOUBLE) + 1e-9, 4) AS top_share
             FROM pk GROUP BY event_type""",
+        "peak_concurrency_daily": """
+            WITH b AS (
+              SELECT epoch_us(ts) * 2 + 1 AS k, 1 AS d,
+                     date_trunc('day', ts) AS day
+              FROM events
+              UNION ALL
+              SELECT epoch_us(ts + INTERVAL 30 MINUTE) * 2 AS k, -1 AS d,
+                     NULL AS day
+              FROM events
+            ), r AS (
+              SELECT day, d,
+                     CAST(SUM(d) OVER (ORDER BY k) AS BIGINT) AS running
+              FROM b
+            )
+            SELECT day, MAX(running) AS peak
+            FROM r WHERE d = 1 GROUP BY day ORDER BY day""",
         # the same regex token counts -> SQL-expressible likewise
         "quality_score_docs": r"""
             WITH b AS (

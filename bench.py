@@ -167,6 +167,7 @@ QUERY_NAMES = [
     "hot_key_audit",
     "kcore_nodes",
     "augment_images",
+    "peak_concurrency_daily",
 ]
 
 

@@ -3674,3 +3674,153 @@ def hot_key_audit(sf_dir: str) -> pa.Table:
             "top_share": pa.array(np.round(mx / n + 1e-9, 4), pa.float64()),
         }
     )
+
+
+def peak_concurrency_daily(
+    sf_dir: str, *, duration_min: int = 30, n_buckets: int | None = None
+) -> rd.Dataset:
+    """Sweep-line max-overlap: treating every event as an open session
+    interval [ts, ts + duration), the per-day PEAK number of
+    simultaneously open sessions — the capacity number (max concurrent
+    connections / politeness slots / decode workers) an operator sizes
+    a fleet against, where grouped counts only give totals.
+
+    A global running sum over +1/-1 boundary rows needs a distributed
+    prefix sum, which Ray Data lacks; this reuses the ``global_rank``
+    fine-histogram discipline (``pipelines/ordering.py``) with SIGNED
+    per-bucket delta sums:
+
+      1. one pass folds per-fine-bucket (sum of deltas, boundary count)
+         to the driver — F int64 pairs, independent of row count;
+      2. the driver's exclusive prefix over the delta sums is the exact
+         concurrency ENTERING each fine bucket; contiguous fine buckets
+         group into count-balanced coarse partitions (skew-proof cuts);
+      3. each coarse partition sorts its boundaries, adds base + local
+         cumsum, and pre-folds per-day maxima — one thin (day, peak)
+         row per day per partition reaches the final grouped Max.
+
+    Boundary ordering: composite key 2*(t - t0) + is_start sorts ends
+    before starts at equal t (half-open intervals: a session ending
+    exactly when another starts never overlaps it) and makes equal-key
+    peers share one fine bucket, so no partition cut can split a tie.
+    SQL's RANGE-frame running sum gives every (t, d) peer the group
+    total; the per-row cumsum's within-peer max equals that total, so
+    the per-day maxima agree row-for-row.
+
+    Output: (day, peak) per day that contains at least one session
+    START, day ascending."""
+    import ray
+
+    dur_us = int(duration_min) * 60_000_000
+    ds = read_clean(_p(sf_dir, "events"), columns=["ts"]).materialize()
+    mm = ds.aggregate(Min("ts"), Max("ts"))
+    t0 = int(pa.scalar(mm["min(ts)"]).cast(pa.int64()).as_py())
+    t1 = int(pa.scalar(mm["max(ts)"]).cast(pa.int64()).as_py())
+    key_max = max((t1 + dur_us - t0) * 2 + 2, 2)
+    C = max(4, int(ray.cluster_resources().get("CPU", 4)) * 2) if n_buckets is None else n_buckets
+    F = max(C, min(max(4096, C * 64), (1 << 62) // key_max))
+
+    def keys_of(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        t = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
+        start_k = (t - t0) * 2 + 1
+        end_k = (t + dur_us - t0) * 2
+        return start_k, end_k
+
+    def hist(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"b": pa.array([], pa.int64()), "d": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64())}
+            )
+        sk, ek = keys_of(batch)
+        dsum = np.bincount(sk * F // key_max, minlength=F).astype(np.int64)
+        ecnt = np.bincount(ek * F // key_max, minlength=F).astype(np.int64)
+        cnt = dsum + ecnt
+        dsum -= ecnt
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"b": pa.array(nz, pa.int64()), "d": pa.array(dsum[nz], pa.int64()),
+             "n": pa.array(cnt[nz], pa.int64())}
+        )
+
+    deltas = np.zeros(F, dtype=np.int64)
+    counts = np.zeros(F, dtype=np.int64)
+    for part in ds.map_batches(hist, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if part.num_rows:
+            b = part.column("b").to_numpy()
+            np.add.at(deltas, b, part.column("d").to_numpy())
+            np.add.at(counts, b, part.column("n").to_numpy())
+    empty = pa.table(
+        {"day": pa.array([], pa.timestamp("us")), "peak": pa.array([], pa.int64())}
+    )
+    total = int(counts.sum())
+    if total == 0:
+        return rd.from_arrow(empty)
+    base = np.cumsum(deltas) - deltas  # concurrency entering each bucket
+    cumn = np.cumsum(counts) - counts
+    fine2coarse = np.minimum((cumn * C) // total, C - 1)
+    base_coarse = np.zeros(C, dtype=np.int64)
+    present, first_idx = np.unique(fine2coarse, return_index=True)
+    base_coarse[present] = base[first_idx]
+    bundle_ref = ray.put((fine2coarse, base_coarse))
+
+    def boundaries(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"k": pa.array([], pa.int64()), "d": pa.array([], pa.int64()),
+                 "day": pa.array([], pa.int64()),
+                 "_bucket": pa.array([], pa.int64())}
+            )
+        sk, ek = keys_of(batch)
+        day = pc.cast(
+            pc.floor_temporal(batch.column("ts"), unit="day"), pa.int64()
+        ).to_numpy()
+        k = np.concatenate([sk, ek])
+        d = np.concatenate(
+            [np.ones(len(sk), np.int64), -np.ones(len(ek), np.int64)]
+        )
+        dy = np.concatenate([day, np.zeros(len(ek), np.int64)])
+        f2c, _ = ray.get(bundle_ref)
+        return pa.table(
+            {"k": pa.array(k, pa.int64()), "d": pa.array(d, pa.int64()),
+             "day": pa.array(dy, pa.int64()),
+             "_bucket": pa.array(f2c[k * F // key_max], pa.int64())}
+        )
+
+    def fold_peaks(group: pa.Table) -> pa.Table:
+        k = group.column("k").to_numpy()
+        d = group.column("d").to_numpy()
+        dy = group.column("day").to_numpy()
+        order = np.argsort(k, kind="stable")  # key parity orders ends first
+        _, bases = ray.get(bundle_ref)
+        run = bases[int(group.column("_bucket")[0].as_py())] + np.cumsum(d[order])
+        starts = d[order] > 0
+        sdays = dy[order][starts]
+        uniq, inv = np.unique(sdays, return_inverse=True)
+        peaks = np.zeros(len(uniq), np.int64)
+        np.maximum.at(peaks, inv, run[starts])
+        return pa.table(
+            {"day": pa.array(uniq, pa.int64()), "p": pa.array(peaks, pa.int64())}
+        )
+
+    folded = (
+        ds.map_batches(boundaries, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(fold_peaks, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Max("p", alias_name="peak"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return empty
+        return pa.table(
+            {
+                "day": pc.cast(batch.column("day"), pa.timestamp("us")),
+                "peak": pc.cast(batch.column("peak"), pa.int64()),
+            }
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow").sort("day")

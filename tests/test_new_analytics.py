@@ -604,3 +604,39 @@ def test_hot_key_audit_planted(ray_session, tmp_path):
     assert (c["n_events"], c["n_keys"], c["top_key_rows"]) == (4, 2, 3)
     assert c["top_share"] == pytest.approx(0.75)
     assert out.loc["view", "top_share"] == pytest.approx(0.5)
+
+
+def test_peak_concurrency_planted(ray_session, tmp_path):
+    """Hand-built sessions: half-open [ts, ts+30m) intervals — an end
+    meeting a start exactly must NOT overlap it; nesting across a
+    midnight boundary credits the peak to the day of the START."""
+    from newscrawler_ray.pipelines.queries import peak_concurrency_daily
+
+    rows = [
+        # day 1: three nested starts inside 30 min -> peak 3
+        (1, _ts(1, 0), 1, "click"),
+        (2, _ts(1, 600), 1, "click"),
+        (3, _ts(1, 1200), 1, "click"),
+        # exactly at the first session's end (t0 + 30 min): no overlap
+        # with it (half-open), still overlaps sessions 2 and 3 -> 3
+        (4, _ts(1, 1800), 2, "view"),
+        # day 2, far away: two simultaneous starts (equal-ts tie) -> 2
+        (5, _ts(2, 7200), 3, "click"),
+        (6, _ts(2, 7200), 4, "click"),
+        # day 3: a start 10 min before midnight whose interval crosses
+        # into day 4, plus one on day 4 at 00:05 overlapping it; day 4's
+        # peak sees BOTH (the running sum carries over the cut)
+        (7, dt.datetime(2024, 1, 3, 23, 50), 5, "click"),
+        (8, dt.datetime(2024, 1, 4, 0, 5), 6, "click"),
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = {
+        str(r["day"])[:10]: r["peak"]
+        for r in peak_concurrency_daily(sf).take_all()
+    }
+    assert out == {
+        "2024-01-01": 3,
+        "2024-01-02": 2,
+        "2024-01-03": 1,
+        "2024-01-04": 2,
+    }
