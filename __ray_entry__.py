@@ -440,6 +440,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sweep-line max-overlap: per-day peak concurrent 30-min
         # sessions via the distributed-prefix-sum histogram fold
         "peak_concurrency_daily": Q.peak_concurrency_daily,
+        # multi-source BFS depth over the deterministic link graph
+        # (crawl-depth analytic; broadcast frontier, streamed edges)
+        "link_bfs_depth": _link_bfs_depth,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,
@@ -631,6 +634,14 @@ def _kcore_nodes(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.graph import kcore_nodes
 
     return kcore_nodes(sf_dir)
+
+
+def _link_bfs_depth(sf_dir: str) -> Any:
+    """SQL-paired: multi-source BFS depth (seeds doc_id % 100 == 0,
+    max depth 6) over the deterministic document link graph."""
+    from newscrawler_ray.pipelines.graph import link_bfs_depth
+
+    return link_bfs_depth(sf_dir)
 
 
 def _kcore_oracle(
@@ -2517,6 +2528,24 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(max(c) AS DOUBLE)
                          / CAST(sum(c) AS DOUBLE) + 1e-9, 4) AS top_share
             FROM pk GROUP BY event_type""",
+        "link_bfs_depth": """
+            WITH RECURSIVE dc AS (
+              SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents
+            ), e AS MATERIALIZED (
+              SELECT CAST(doc_id AS BIGINT) AS src,
+                     (CAST(doc_id AS BIGINT) * 48271 + j.j * 10007 + 1)
+                         % dc.cnt AS dst
+              FROM documents CROSS JOIN dc CROSS JOIN range(0, 3) AS j(j)
+              WHERE doc_id % 7 <> 0
+            ), r AS (
+              SELECT CAST(doc_id AS BIGINT) AS node, 0 AS depth
+              FROM documents WHERE doc_id % 100 = 0
+              UNION
+              SELECT e.dst AS node, r.depth + 1 AS depth
+              FROM r JOIN e ON e.src = r.node WHERE r.depth < 6
+            )
+            SELECT node, CAST(MIN(depth) AS BIGINT) AS depth
+            FROM r GROUP BY node""",
         "peak_concurrency_daily": """
             WITH b AS (
               SELECT epoch_us(ts) * 2 + 1 AS k, 1 AS d,

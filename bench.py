@@ -168,6 +168,7 @@ QUERY_NAMES = [
     "kcore_nodes",
     "augment_images",
     "peak_concurrency_daily",
+    "link_bfs_depth",
 ]
 
 

@@ -1100,3 +1100,109 @@ def kcore_nodes(
     return rd.from_arrow(
         pa.table({"node": pa.array(nodes, _I64), "deg": pa.array(deg, _I64)})
     )
+
+
+def bfs_depth(
+    edges: rd.Dataset,
+    seeds: np.ndarray,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 6,
+) -> rd.Dataset:
+    """Multi-source BFS: minimum number of directed hops from ANY seed
+    to each reachable node, capped at ``max_depth`` — the crawl-depth
+    analytic (the reference's frontier expands exactly this way,
+    ``services/news_service.py`` wave loop; here it runs over an
+    arbitrary edge dataset instead of the live frontier).
+
+    Execution shape = ``pagerank``'s: the thin edge set is materialized
+    once and streamed once per level against the broadcast sorted
+    frontier array (``ray.put``, zero-copy numpy in every task); each
+    block emits its DISTINCT matched destinations, the driver merges
+    them (O(frontier) per round) and subtracts the visited set. The
+    driver holds one int64 per reachable node — the same ~10^8-node
+    budget as the CC minima fold, with the same sharded-join escape
+    (visited set as a Dataset + hash anti-join) documented there.
+
+    Returns (node, depth): seeds at depth 0, unreachable nodes absent."""
+    seeds = np.unique(np.asarray(seeds, dtype=np.int64))
+    empty = rd.from_arrow(
+        pa.table({"node": pa.array([], _I64), "depth": pa.array([], _I64)})
+    )
+    if len(seeds) == 0:
+        return empty
+    sch = edges.schema(fetch_if_missing=True)
+    have_edges = sch is not None and len(sch.names) > 0
+    if have_edges:
+        edges = edges.select_columns([src, dst]).materialize()
+    visited = seeds
+    depths = np.zeros(len(seeds), np.int64)
+    frontier = seeds
+    for level in range(1, max_depth + 1):
+        if not have_edges or len(frontier) == 0:
+            break
+        ref = ray.put(frontier)
+
+        def nbrs(batch: pa.Table, _ref=ref) -> pa.Table:
+            if batch.num_columns == 0 or batch.num_rows == 0:
+                return pa.table({"node": pa.array([], _I64)})
+            f = ray.get(_ref)
+            s = batch.column(src).to_numpy()
+            d = batch.column(dst).to_numpy()
+            pos = np.searchsorted(f, s)
+            ok = pos < len(f)
+            ok[ok] = f[pos[ok]] == s[ok]
+            return pa.table({"node": pa.array(np.unique(d[ok]), _I64)})
+
+        found = []
+        for b in edges.map_batches(nbrs, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            if b.num_rows:
+                found.append(b.column("node").to_numpy())
+        if not found:
+            break
+        cand = np.unique(np.concatenate(found))
+        # exact membership (searchsorted alone only bounds): keep cand
+        # not present in visited
+        mask = np.ones(len(cand), bool)
+        pos = np.searchsorted(visited, cand)
+        inside = pos < len(visited)
+        mask[inside] = visited[pos[inside]] != cand[inside]
+        new = cand[mask]
+        if len(new) == 0:
+            break
+        order_all = np.argsort(np.concatenate([visited, new]), kind="stable")
+        merged_nodes = np.concatenate([visited, new])[order_all]
+        merged_depths = np.concatenate(
+            [depths, np.full(len(new), level, np.int64)]
+        )[order_all]
+        visited, depths, frontier = merged_nodes, merged_depths, new
+    return rd.from_arrow(
+        pa.table({"node": pa.array(visited, _I64), "depth": pa.array(depths, _I64)})
+    )
+
+
+def link_bfs_depth(
+    sf_dir: str, *, seed_mod: int = 100, max_depth: int = 6, link_k: int = 3
+) -> rd.Dataset:
+    """BFS depth over the deterministic document link graph from the
+    SQL-expressible seed set ``doc_id % seed_mod == 0`` — hard DuckDB
+    oracle via a WITH RECURSIVE min-depth closure."""
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id"])
+
+    def seed_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table({"node": pa.array(ids[ids % seed_mod == 0], _I64)})
+
+    seed_l = []
+    for b in docs.map_batches(seed_rows, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            seed_l.append(b.column("node").to_numpy())
+    seeds = np.concatenate(seed_l) if seed_l else np.empty(0, np.int64)
+    return bfs_depth(
+        doc_link_edges(sf_dir, k=link_k), seeds, max_depth=max_depth
+    )

@@ -384,3 +384,36 @@ def test_triangle_count_planted_clique(ray_session):
     out = triangle_count("unused", events=ev, num_partitions=4)
     assert out.column("n_edges").to_pylist() == [4]
     assert out.column("n_triangles").to_pylist() == [1]
+
+
+def test_bfs_depth_planted(ray_session):
+    """Hand graph: shortest path wins when two routes reach a node,
+    edges are DIRECTED, the depth cap prunes, and isolated seeds stay
+    at depth 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from newscrawler_ray.pipelines.graph import bfs_depth
+
+    #   0 -> 1 -> 2 -> 3 -> 4 -> 5 -> 6 -> 7   (chain)
+    #   0 -> 9 -> 3                            (shortcut: 3 at depth 2)
+    #   8 -> 0                                 (into the seed, not out)
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 1, 2, 3, 4, 5, 6, 0, 9, 8], pa.int64()),
+                "dst": pa.array([1, 2, 3, 4, 5, 6, 7, 9, 3, 0], pa.int64()),
+            }
+        )
+    ).repartition(4)
+    out = {
+        r["node"]: r["depth"]
+        for r in bfs_depth(edges, [0, 100], max_depth=4).take_all()
+    }
+    assert out == {
+        0: 0, 100: 0,          # seeds (100 isolated)
+        1: 1, 9: 1,
+        2: 2, 3: 2,            # shortcut beats the 3-hop chain route
+        4: 3, 5: 4,            # capped at max_depth=4: 6, 7 absent
+    }
+    assert 8 not in out  # directed: in-edge to the seed doesn't reach 8
