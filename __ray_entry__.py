@@ -443,6 +443,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-source BFS depth over the deterministic link graph
         # (crawl-depth analytic; broadcast frontier, streamed edges)
         "link_bfs_depth": _link_bfs_depth,
+        # per-source bigram type-token ratio (template-farm audit)
+        "bigram_ttr_by_source": _bigram_ttr_by_source,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,
@@ -642,6 +644,13 @@ def _link_bfs_depth(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.graph import link_bfs_depth
 
     return link_bfs_depth(sf_dir)
+
+
+def _bigram_ttr_by_source(sf_dir: str) -> Any:
+    """SQL-paired: per-source bigram type-token ratio."""
+    from newscrawler_ray.pipelines.corpusstats import bigram_ttr_by_source
+
+    return bigram_ttr_by_source(sf_dir)
 
 
 def _kcore_oracle(
@@ -2528,6 +2537,25 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(max(c) AS DOUBLE)
                          / CAST(sum(c) AS DOUBLE) + 1e-9, 4) AS top_share
             FROM pk GROUP BY event_type""",
+        "bigram_ttr_by_source": r"""
+            WITH wl AS MATERIALIZED (
+              SELECT source,
+                     list_filter(string_split_regex(lower(text), '\W+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            ), bg AS (
+              SELECT source,
+                     unnest(CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+                       ELSE [w[i] || ' ' || w[i+1]
+                             FOR i IN generate_series(1, len(w)-1)]
+                     END) AS p
+              FROM wl
+            )
+            SELECT source, count(*) AS n_bigrams,
+                   count(DISTINCT p) AS n_distinct,
+                   round(count(DISTINCT p)::DOUBLE / count(*) + 1e-9, 4)
+                       AS ttr
+            FROM bg GROUP BY source""",
         "link_bfs_depth": """
             WITH RECURSIVE dc AS (
               SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents

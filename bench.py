@@ -169,6 +169,7 @@ QUERY_NAMES = [
     "augment_images",
     "peak_concurrency_daily",
     "link_bfs_depth",
+    "bigram_ttr_by_source",
 ]
 
 

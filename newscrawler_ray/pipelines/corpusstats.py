@@ -1939,3 +1939,99 @@ def pmi_collocations(
 
     out = j.map_batches(score, batch_format="pyarrow")
     return out.sort(["pmi", "w1", "w2"], descending=[True, False, False]).limit(top_k)
+
+
+def bigram_ttr_by_source(sf_dir: str) -> pa.Table:
+    """Per-source bigram type-token ratio (distinct adjacent word pairs
+    / total pairs) — the lexical-diversity audit that catches template
+    farms and spun content: a source whose bigram TTR collapses is
+    recombining the same phrases (its unigram mix can still look
+    normal, which is why ``lang_entropy_by_source`` alone misses it).
+
+    Shape: ONE tokenize pass emits per-batch PRE-COMBINED
+    (source, w1, w2, n) rows (the ``pmi_collocations`` kernel keyed by
+    source) into one grouped Sum — after it, every (source, bigram) is
+    a single row, so distinct = a per-block row count and total = a
+    per-block Sum, folded per source by a second (source-cardinality-
+    sized) aggregate. Exchanges are vocabulary-sized; at 10^10-doc
+    scale swap the gram strings for the repo's 64-bit gram hashes
+    (``functions/hashing.py``) — counts are then exact up to hash
+    collisions instead of string-exact.
+
+    Output: (source, n_bigrams, n_distinct, ttr round-4 +1e-9 nudge)."""
+    from ray.data.aggregate import Sum
+
+    docs = read_clean(_p(sf_dir, "documents"), columns=["source", "text"])
+
+    def bg_counts(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column("text"), "")
+        lists = pc.split_pattern_regex(pc.utf8_lower(texts), r"\W+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offs = lists.offsets.to_numpy()
+        flat = lists.values.slice(offs[0], offs[-1] - offs[0])
+        keep = pc.not_equal(pc.binary_length(flat), 0)
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(
+            np.arange(batch.num_rows, dtype=np.int64), np.diff(offs)
+        )[keep_np]
+        flat = flat.filter(keep)
+        empty = pa.table(
+            {"source": pa.array([], pa.string()),
+             "w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+             "n": pa.array([], pa.int64())}
+        )
+        if len(flat) < 2:
+            return empty
+        adj = doc_of[1:] == doc_of[:-1]
+        idx = np.nonzero(adj)[0]
+        if len(idx) == 0:
+            return empty
+        src = batch.column("source").take(pa.array(doc_of[idx]))
+        t = pa.table(
+            {"source": src, "w1": flat.take(pa.array(idx)),
+             "w2": flat.take(pa.array(idx + 1))}
+        )
+        agg = t.group_by(["source", "w1", "w2"]).aggregate([([], "count_all")])
+        return agg.rename_columns(["source", "w1", "w2", "n"])
+
+    per_pair = (
+        docs.map_batches(bg_counts, batch_format="pyarrow")
+        .groupby(["source", "w1", "w2"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "d": pa.array([], _I64), "t": pa.array([], _I64)}
+            )
+        g = batch.group_by("source").aggregate([([], "count_all"), ("n", "sum")])
+        return g.rename_columns(["source", "d", "t"])
+
+    agg = (
+        per_pair.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("d", alias_name="n_distinct"), Sum("t", alias_name="n_bigrams")
+        )
+    )
+    parts = [b for b in agg.iter_batches(batch_format="pyarrow") if b.num_rows]
+    if not parts:
+        return pa.table(
+            {"source": pa.array([], pa.string()),
+             "n_bigrams": pa.array([], _I64), "n_distinct": pa.array([], _I64),
+             "ttr": pa.array([], pa.float64())}
+        )
+    t = pa.concat_tables(parts).combine_chunks()
+    d = t.column("n_distinct").to_numpy().astype(np.float64)
+    n = t.column("n_bigrams").to_numpy().astype(np.float64)
+    return pa.table(
+        {
+            "source": t.column("source"),
+            "n_bigrams": pc.cast(t.column("n_bigrams"), _I64),
+            "n_distinct": pc.cast(t.column("n_distinct"), _I64),
+            "ttr": pa.array(np.round(d / n + 1e-9, 4), pa.float64()),
+        }
+    )

@@ -571,3 +571,39 @@ def test_paragraph_dedup_keep_first(ray_session, tmp_path):
     assert out[4]["n_dropped"] == 1 and out[4]["clean_text"] == ""
     # block accounting: ceil(n_words / k)
     assert out[0]["n_blocks"] == 2 and out[3]["n_blocks"] == 1
+
+
+def test_bigram_ttr_planted(ray_session, tmp_path):
+    """A spun-content source recombining one phrase scores a low TTR;
+    an all-distinct source scores 1.0; bigrams never cross docs."""
+    from newscrawler_ray.pipelines.corpusstats import bigram_ttr_by_source
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "red fox red fox red fox",   # bigrams: rf,fr,rf,fr,rf
+                    "red fox red fox",           # rf, fr, rf
+                    "one two three four",        # all distinct
+                    "five six seven",            # all distinct
+                ],
+                pa.string(),
+            ),
+            "source": pa.array(["spun", "spun", "fresh", "fresh"]),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = {
+        r["source"]: r
+        for b in [bigram_ttr_by_source(str(tmp_path))]
+        for r in b.to_pylist()
+    }
+    # spun: 8 bigram tokens, 2 distinct ('red fox', 'fox red')
+    assert out["spun"]["n_bigrams"] == 8
+    assert out["spun"]["n_distinct"] == 2
+    assert out["spun"]["ttr"] == round(2 / 8 + 1e-9, 4)
+    # fresh: 3 + 2 bigrams, all distinct
+    assert out["fresh"]["n_bigrams"] == 5
+    assert out["fresh"]["n_distinct"] == 5
+    assert out["fresh"]["ttr"] == 1.0
