@@ -473,6 +473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_video_metadata": _extract_video_metadata,
         # multimodal stages (over synthetic payload tables)
         "image_features": _image_features,
+        "image_channel_stats": _image_channel_stats,
         "phash_near_dup": _phash_near_dup,
         # hamming-radius pHash pairs (re-encoded/resized copies land a
         # few bits off the exact hash; shared 4-band pigeonhole kernel;
@@ -954,6 +955,15 @@ def _image_features(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.multimodal import image_features
 
     return image_features(_fixture_images()).drop_columns(["thumbnail"])
+
+
+def _image_channel_stats(sf_dir: str) -> Any:
+    """Rows-only: corpus-wide per-channel normalization constants over
+    the synthetic image table (sf_dir-independent input; brute-force
+    driver oracle in tests/test_textstats_multimodal.py)."""
+    from newscrawler_ray.pipelines.multimodal import image_channel_stats
+
+    return image_channel_stats(_fixture_images())
 
 
 def _bloom_dedup_images(sf_dir: str) -> Any:

@@ -170,6 +170,7 @@ QUERY_NAMES = [
     "peak_concurrency_daily",
     "link_bfs_depth",
     "bigram_ttr_by_source",
+    "image_channel_stats",
 ]
 
 

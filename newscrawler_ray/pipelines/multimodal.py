@@ -592,3 +592,88 @@ def leakage_safe_split_images(
         )
 
     return joined.map_batches(pick, batch_format="pyarrow")
+
+
+def image_channel_stats(
+    images_path: "str | Path | rd.Dataset", *, batch_size: int = 64
+) -> pa.Table:
+    """Corpus-wide per-channel pixel mean/std — the normalization
+    constants (torchvision ``Normalize(mean, std)``) a training run
+    computes ONCE over the curated corpus and bakes into every loader.
+
+    Per-batch decode folds each image straight into nine doubles
+    (per-channel sum, sum-of-squares, pixel count), so one (channel,
+    s, s2, n) row per channel per block reaches the driver — payload
+    bytes never leave the read stage and the driver holds a constant
+    regardless of corpus size. Undecodable rows (stubbed external
+    codecs) are skipped and counted. Population std over all pixels:
+    sqrt(E[x^2] - E[x]^2).
+
+    Returns a 3-row Arrow table (channel r/g/b, n_pixels, mean, std,
+    n_failed) with round-6 floats; float-sum reordering across blocks
+    keeps reruns equal to ~1e-12 relative, far under the rounding."""
+    ds = (
+        images_path
+        if isinstance(images_path, rd.Dataset)
+        else rd.read_parquet(str(images_path), columns=["bytes", "fmt"])
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..stages import pin_worker_threads
+
+        pin_worker_threads()
+        s = np.zeros(3, np.float64)
+        s2 = np.zeros(3, np.float64)
+        n = 0
+        failed = 0
+        raw = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        for i in range(batch.num_rows):
+            try:
+                img = decode_any(raw[i], fmts[i]).reshape(-1, 3).astype(np.float64)
+            except Exception:  # noqa: BLE001 — stubbed codec formats
+                failed += 1
+                continue
+            s += img.sum(axis=0)
+            s2 += (img * img).sum(axis=0)
+            n += img.shape[0]
+        return pa.table(
+            {
+                "c": pa.array([0, 1, 2], pa.int64()),
+                "s": pa.array(s, pa.float64()),
+                "s2": pa.array(s2, pa.float64()),
+                "n": pa.array([n] * 3, pa.int64()),
+                "failed": pa.array([failed] * 3, pa.int64()),
+            }
+        )
+
+    s = np.zeros(3, np.float64)
+    s2 = np.zeros(3, np.float64)
+    n = 0
+    failed = 0
+    folded = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    )
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0:
+            continue
+        c = b.column("c").to_numpy()
+        np.add.at(s, c, b.column("s").to_numpy())
+        np.add.at(s2, c, b.column("s2").to_numpy())
+        n += int(b.column("n").to_numpy()[c == 0].sum())
+        failed += int(b.column("failed").to_numpy()[c == 0].sum())
+    if n == 0:
+        mean = np.zeros(3)
+        std = np.zeros(3)
+    else:
+        mean = s / n
+        std = np.sqrt(np.maximum(s2 / n - mean * mean, 0.0))
+    return pa.table(
+        {
+            "channel": pa.array(["r", "g", "b"], pa.string()),
+            "n_pixels": pa.array([n] * 3, pa.int64()),
+            "mean": pa.array(np.round(mean, 6), pa.float64()),
+            "std": pa.array(np.round(std, 6), pa.float64()),
+            "n_failed": pa.array([failed] * 3, pa.int64()),
+        }
+    )

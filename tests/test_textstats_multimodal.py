@@ -504,3 +504,33 @@ def test_phash_keep_best_matches_union_find(ray_session, fixture_dir):
         ).take_all()
     )
     assert got == want and 0 < len(got) < len(ids)
+
+
+def test_image_channel_stats_brute(ray_session, fixture_dir):
+    """Distributed fold equals a single-process brute force over every
+    decodable image, and the skipped-format counter is exact."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    out = multimodal.image_channel_stats(fixture_dir / "images.parquet")
+    t = pq.read_table(fixture_dir / "images.parquet", columns=["bytes", "fmt"])
+    s = np.zeros(3)
+    s2 = np.zeros(3)
+    n = 0
+    failed = 0
+    for raw, fmt in zip(t.column("bytes").to_pylist(), t.column("fmt").to_pylist()):
+        try:
+            img = multimodal.decode_any(raw, fmt).reshape(-1, 3).astype(np.float64)
+        except NotImplementedError:
+            failed += 1
+            continue
+        s += img.sum(axis=0)
+        s2 += (img * img).sum(axis=0)
+        n += img.shape[0]
+    mean = s / n
+    std = np.sqrt(s2 / n - mean * mean)
+    assert out.column("channel").to_pylist() == ["r", "g", "b"]
+    assert out.column("n_pixels").to_pylist() == [n] * 3
+    assert out.column("n_failed").to_pylist() == [failed] * 3
+    np.testing.assert_allclose(out.column("mean").to_numpy(), np.round(mean, 6), atol=1e-6)
+    np.testing.assert_allclose(out.column("std").to_numpy(), np.round(std, 6), atol=1e-6)
