@@ -445,6 +445,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_bfs_depth": _link_bfs_depth,
         # per-source bigram type-token ratio (template-farm audit)
         "bigram_ttr_by_source": _bigram_ttr_by_source,
+        # TPC-H Q5: 6-table local-supplier revenue per nation
+        "regional_revenue_q5": Q.regional_revenue_q5,
+        # one-pass column profiler (n / nulls / exact distinct / min/max)
+        "profile_events": Q.profile_events,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,
@@ -2547,6 +2551,39 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(max(c) AS DOUBLE)
                          / CAST(sum(c) AS DOUBLE) + 1e-9, 4) AS top_share
             FROM pk GROUP BY event_type""",
+        "profile_events": """
+            SELECT 'event_id' AS col, count(*) AS n,
+                   count(*) - count(event_id) AS n_null,
+                   count(DISTINCT event_id) AS n_distinct,
+                   CAST(min(event_id) AS DOUBLE) AS min_v,
+                   CAST(max(event_id) AS DOUBLE) AS max_v
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(*), count(*) - count(user_id),
+                   count(DISTINCT user_id),
+                   CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'value', count(*), count(*) - count(value),
+                   count(DISTINCT value),
+                   min(value), max(value)
+            FROM events""",
+        "regional_revenue_q5": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name""",
         "bigram_ttr_by_source": r"""
             WITH wl AS MATERIALIZED (
               SELECT source,

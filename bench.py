@@ -171,6 +171,8 @@ QUERY_NAMES = [
     "link_bfs_depth",
     "bigram_ttr_by_source",
     "image_channel_stats",
+    "regional_revenue_q5",
+    "profile_events",
 ]
 
 

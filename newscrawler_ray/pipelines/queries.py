@@ -3824,3 +3824,248 @@ def peak_concurrency_daily(
         )
 
     return folded.map_batches(finish, batch_format="pyarrow").sort("day")
+
+
+def regional_revenue_q5(
+    sf_dir: str,
+    *,
+    region: str = "ASIA",
+    year: str = "1996",
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """TPC-H Q5 (local-supplier volume): revenue per nation from line
+    items where the CUSTOMER and the SUPPLIER sit in the same nation of
+    one region, over one order-date year — the classic 6-table join
+    stress every warehouse engine benchmarks.
+
+    Join plan by table size, never by join count:
+
+      * region -> nation (25 rows): folds to one in-memory set of
+        qualifying nation keys at plan time;
+      * supplier and customer: key -> nationkey BROADCAST bundles
+        (sorted numpy via ``ray.put``, zero-copy in every task —
+        fine to ~10^8 keys; past that each lookup becomes one more
+        hash join on the already-shuffled orderkey rows);
+      * lineitem (largest): one streaming map attaches the supplier
+        nation, drops non-region rows EARLY, and pre-combines
+        (orderkey, s_nat, rev) per batch — orderkey-clustered input
+        makes this a near-total combine;
+      * orders: date window pushed down to the parquet reader (row
+        groups outside the year never leave storage), customer nation
+        attached in the same map;
+      * ONE big-big hash join on orderkey, then the c_nat == s_nat
+        equality filter and a 25-row grouped Sum.
+
+    Output (n_name, revenue round-2), revenue DESC / n_name ASC."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
+    t_lo = pa.compute.strptime(f"{year}-01-01", "%Y-%m-%d", "us").as_py()
+    t_hi = pa.compute.strptime(f"{int(year) + 1}-01-01", "%Y-%m-%d", "us").as_py()
+
+    nat = pq.read_table(
+        _p(sf_dir, "nation"), columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    reg = pq.read_table(_p(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    rkey = reg.filter(pc.equal(reg.column("r_name"), region)).column(
+        "r_regionkey"
+    )[0].as_py()
+    nat_in = nat.filter(pc.equal(nat.column("n_regionkey"), rkey))
+    nat_keys = np.sort(nat_in.column("n_nationkey").to_numpy().astype(np.int64))
+    name_by_key = dict(
+        zip(
+            nat_in.column("n_nationkey").to_pylist(),
+            nat_in.column("n_name").to_pylist(),
+        )
+    )
+
+    supp = pq.read_table(_p(sf_dir, "supplier"), columns=["s_suppkey", "s_nationkey"])
+    cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    supp_ref = broadcast_table(table_to_mapping(supp, "s_suppkey", "s_nationkey"))
+    cust_ref = broadcast_table(table_to_mapping(cust, "c_custkey", "c_nationkey"))
+    nat_ref = ray.put(nat_keys)
+
+    li = read_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    supp_lookup = make_broadcast_map_fn("l_suppkey", "s_nat", supp_ref, pa.int32())
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        batch = supp_lookup(batch)
+        s_nat = pc.cast(batch.column("s_nat"), pa.int64()).to_numpy()
+        keys = ray.get(nat_ref)
+        pos = np.minimum(np.searchsorted(keys, s_nat), len(keys) - 1)
+        batch = batch.filter(pa.array(keys[pos] == s_nat))
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        t = pa.table(
+            {
+                "o_orderkey": batch.column("l_orderkey"),
+                "s_nat": pc.cast(batch.column("s_nat"), pa.int64()),
+                "rev": rev,
+            }
+        )
+        g = t.group_by(["o_orderkey", "s_nat"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["o_orderkey", "s_nat", "rev"])
+
+    per_line = li.map_batches(line_partial, batch_format="pyarrow")
+
+    orders = read_clean(
+        _p(sf_dir, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(
+            (pads.field("o_orderdate") >= pa.scalar(t_lo))
+            & (pads.field("o_orderdate") < pa.scalar(t_hi))
+        ),
+    )
+    cust_lookup = make_broadcast_map_fn("o_custkey", "c_nat", cust_ref, pa.int32())
+
+    def order_rows(batch: pa.Table) -> pa.Table:
+        batch = cust_lookup(batch)
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey"),
+                "c_nat": pc.cast(batch.column("c_nat"), pa.int64()),
+            }
+        )
+
+    ord_thin = orders.map_batches(order_rows, batch_format="pyarrow")
+    joined = per_line.join(
+        ord_thin, join_type="inner", num_partitions=num_partitions,
+        on=("o_orderkey",),
+    )
+
+    def local_only(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"s_nat": pa.array([], pa.int64()), "rev": pa.array([], pa.float64())}
+            )
+        keep = pc.equal(batch.column("s_nat"), batch.column("c_nat"))
+        out = batch.filter(keep)
+        return pa.table({"s_nat": out.column("s_nat"), "rev": out.column("rev")})
+
+    agg = (
+        joined.map_batches(local_only, batch_format="pyarrow")
+        .groupby("s_nat")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"n_name": pa.array([], pa.string()),
+                 "revenue": pa.array([], pa.float64())}
+            )
+        keys = batch.column("s_nat").to_pylist()
+        return pa.table(
+            {
+                "n_name": pa.array([name_by_key[k] for k in keys], pa.string()),
+                "revenue": pa.array(
+                    np.round(batch.column("revenue").to_numpy(), 2), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort(
+        ["revenue", "n_name"], descending=[True, False]
+    )
+
+
+def profile_events(sf_dir: str) -> pa.Table:
+    """Column profiler (the Deequ/whylogs data-quality pass a pipeline
+    runs before trusting a new snapshot): per numeric column — row
+    count, null count, EXACT distinct count, min, max — in two thin
+    exchanges. Row/null/min/max fold as one 5-number partial per
+    column per block (driver holds a constant); exact distincts dedupe
+    per batch, collapse in ONE hash aggregate over (column, value)
+    rows, and count as per-block row partials — the same two-level
+    shape as ``distinct_users_by_type``. At 10^10 rows the distinct
+    half is the HLL sketch (``approx_distinct_users``); this is the
+    exact small-table twin the SQL oracle can check."""
+    cols = ["event_id", "user_id", "value"]
+    ds = read_clean(_p(sf_dir, "events"), columns=cols)
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        names, ns, nulls, mns, mxs = [], [], [], [], []
+        for i, c in enumerate(cols):
+            col = batch.column(c)
+            names.append(i)
+            ns.append(batch.num_rows)
+            nulls.append(col.null_count)
+            v = col.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+            mns.append(float(v.min()) if len(v) else np.inf)
+            mxs.append(float(v.max()) if len(v) else -np.inf)
+        return pa.table(
+            {"i": pa.array(names, pa.int64()), "n": pa.array(ns, pa.int64()),
+             "nulls": pa.array(nulls, pa.int64()),
+             "mn": pa.array(mns, pa.float64()), "mx": pa.array(mxs, pa.float64())}
+        )
+
+    n = np.zeros(len(cols), np.int64)
+    nulls = np.zeros(len(cols), np.int64)
+    mn = np.full(len(cols), np.inf)
+    mx = np.full(len(cols), -np.inf)
+    for b in ds.map_batches(stat_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows == 0:
+            continue
+        i = b.column("i").to_numpy()
+        np.add.at(n, i, b.column("n").to_numpy())
+        np.add.at(nulls, i, b.column("nulls").to_numpy())
+        np.minimum.at(mn, i, b.column("mn").to_numpy())
+        np.maximum.at(mx, i, b.column("mx").to_numpy())
+
+    def distinct_rows(batch: pa.Table) -> pa.Table:
+        is_, vs = [], []
+        for i, c in enumerate(cols):
+            v = np.unique(
+                batch.column(c).drop_null().to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            is_.append(np.full(len(v), i, np.int64))
+            vs.append(v)
+        return pa.table(
+            {"i": pa.array(np.concatenate(is_), pa.int64()),
+             "v": pa.array(np.concatenate(vs), pa.float64())}
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    deduped = (
+        ds.map_batches(distinct_rows, batch_format="pyarrow")
+        .groupby(["i", "v"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"i": pa.array([], pa.int64()), "d": pa.array([], pa.int64())}
+            )
+        i = batch.column("i").to_numpy()
+        u, c = np.unique(i, return_counts=True)
+        return pa.table({"i": pa.array(u, pa.int64()), "d": pa.array(c, pa.int64())})
+
+    dist = np.zeros(len(cols), np.int64)
+    for b in deduped.map_batches(count_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        if b.num_rows:
+            np.add.at(dist, b.column("i").to_numpy(), b.column("d").to_numpy())
+    return pa.table(
+        {
+            "col": pa.array(cols, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "n_null": pa.array(nulls, pa.int64()),
+            "n_distinct": pa.array(dist, pa.int64()),
+            "min_v": pa.array(mn, pa.float64()),
+            "max_v": pa.array(mx, pa.float64()),
+        }
+    )

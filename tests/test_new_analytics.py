@@ -640,3 +640,31 @@ def test_peak_concurrency_planted(ray_session, tmp_path):
         "2024-01-03": 1,
         "2024-01-04": 2,
     }
+
+
+def test_profile_events_nulls_planted(ray_session, tmp_path):
+    """Null handling is the whole point of a profiler: nulls count in n
+    and n_null but never in distinct/min/max."""
+    from newscrawler_ray.pipelines.queries import profile_events
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array([_ts(1)] * 4, pa.timestamp("us")),
+            "user_id": pa.array([7, None, 7, 9], pa.int64()),
+            "event_type": pa.array(["click"] * 4, pa.string()),
+            "value": pa.array([2.5, 2.5, None, -1.0], pa.float64()),
+            "props": pa.array(["{}"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = {r["col"]: r for r in profile_events(str(tmp_path)).to_pylist()}
+    assert out["user_id"] == {
+        "col": "user_id", "n": 4, "n_null": 1, "n_distinct": 2,
+        "min_v": 7.0, "max_v": 9.0,
+    }
+    assert out["value"] == {
+        "col": "value", "n": 4, "n_null": 1, "n_distinct": 2,
+        "min_v": -1.0, "max_v": 2.5,
+    }
+    assert out["event_id"]["n_distinct"] == 4
