@@ -449,6 +449,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_revenue_q5": Q.regional_revenue_q5,
         # one-pass column profiler (n / nulls / exact distinct / min/max)
         "profile_events": Q.profile_events,
+        # FK orphan audit: broadcast probes + union-aggregate anti-join
+        "fk_integrity_audit": Q.fk_integrity_audit,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,
@@ -2551,6 +2553,22 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(max(c) AS DOUBLE)
                          / CAST(sum(c) AS DOUBLE) + 1e-9, 4) AS top_share
             FROM pk GROUP BY event_type""",
+        "fk_integrity_audit": """
+            SELECT 'orders.custkey' AS relation, count(*) AS n_rows,
+                   count(*) FILTER (c_custkey IS NULL) AS n_orphans
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            UNION ALL
+            SELECT 'lineitem.suppkey', count(*),
+                   count(*) FILTER (s_suppkey IS NULL)
+            FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+            UNION ALL
+            SELECT 'lineitem.partkey', count(*),
+                   count(*) FILTER (p_partkey IS NULL)
+            FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+            UNION ALL
+            SELECT 'lineitem.orderkey', count(*),
+                   count(*) FILTER (o_orderkey IS NULL)
+            FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey""",
         "profile_events": """
             SELECT 'event_id' AS col, count(*) AS n,
                    count(*) - count(event_id) AS n_null,

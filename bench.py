@@ -173,6 +173,7 @@ QUERY_NAMES = [
     "image_channel_stats",
     "regional_revenue_q5",
     "profile_events",
+    "fk_integrity_audit",
 ]
 
 

@@ -4069,3 +4069,124 @@ def profile_events(sf_dir: str) -> pa.Table:
             "max_v": pa.array(mx, pa.float64()),
         }
     )
+
+
+def fk_integrity_audit(sf_dir: str) -> pa.Table:
+    """Referential-integrity audit (the cross-table half of
+    ``profile_events``): orphan counts for every foreign key in the
+    star schema — the check a warehouse runs on each snapshot before
+    joins silently drop rows.
+
+    Small parents (customer / supplier / part) audit as broadcast
+    sorted-key membership probes inside ``map_batches`` — per-batch
+    (n, orphans) partials, constant driver state. The big-big edge
+    (lineitem.orderkey -> orders) uses the union + origin-flag + ONE
+    hash aggregate shape (``incremental_exact_dedup``'s anti-join
+    without a join): lineitem pre-combines (key, n) per batch, orders
+    ships (key, parent=1) once, one groupby folds both sides, and
+    orphans = sum of child counts in groups with no parent — one row
+    per distinct key in the only exchange.
+
+    Output: (relation, n_rows, n_orphans), one row per FK edge."""
+    import pyarrow.parquet as pq
+    import ray
+
+    names: list[str] = []
+    n_rows: list[int] = []
+    n_orph: list[int] = []
+
+    def bcast_audit(
+        rel: str, child_tbl: str, child_col: str, parent_tbl: str, parent_col: str
+    ) -> None:
+        keys = np.unique(
+            pq.read_table(_p(sf_dir, parent_tbl), columns=[parent_col])
+            .column(parent_col)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        ref = ray.put(keys)
+        ds = read_clean(_p(sf_dir, child_tbl), columns=[child_col])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            k = batch.column(child_col).to_numpy().astype(np.int64)
+            ks = ray.get(ref)
+            pos = np.minimum(np.searchsorted(ks, k), max(len(ks) - 1, 0))
+            hit = ks[pos] == k if len(ks) else np.zeros(len(k), bool)
+            return pa.table(
+                {"n": pa.array([len(k)], pa.int64()),
+                 "o": pa.array([int((~hit).sum())], pa.int64())}
+            )
+
+        tn = to = 0
+        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            tn += int(pc.sum(b.column("n")).as_py() or 0)
+            to += int(pc.sum(b.column("o")).as_py() or 0)
+        names.append(rel)
+        n_rows.append(tn)
+        n_orph.append(to)
+
+    bcast_audit("orders.custkey", "orders", "o_custkey", "customer", "c_custkey")
+    bcast_audit("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey")
+    bcast_audit("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey")
+
+    # big-big edge: lineitem.orderkey -> orders via union + hash aggregate
+    li = read_clean(_p(sf_dir, "lineitem"), columns=["l_orderkey"])
+
+    def child_rows(batch: pa.Table) -> pa.Table:
+        k, c = np.unique(
+            batch.column("l_orderkey").to_numpy().astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table(
+            {"k": pa.array(k, pa.int64()), "n": pa.array(c, pa.int64()),
+             "p": pa.array(np.zeros(len(k), np.int64), pa.int64())}
+        )
+
+    orders = read_clean(_p(sf_dir, "orders"), columns=["o_orderkey"])
+
+    def parent_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey").to_numpy().astype(np.int64)
+        return pa.table(
+            {"k": pa.array(k, pa.int64()),
+             "n": pa.array(np.zeros(len(k), np.int64), pa.int64()),
+             "p": pa.array(np.ones(len(k), np.int64), pa.int64())}
+        )
+
+    both = li.map_batches(child_rows, batch_format="pyarrow").union(
+        orders.map_batches(parent_rows, batch_format="pyarrow")
+    )
+    per_key = both.groupby("k").aggregate(
+        Sum("n", alias_name="n"), Sum("p", alias_name="p")
+    )
+
+    def orphan_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"n": pa.array([0], pa.int64()), "o": pa.array([0], pa.int64())}
+            )
+        n = batch.column("n").to_numpy()
+        p = batch.column("p").to_numpy()
+        return pa.table(
+            {"n": pa.array([int(n.sum())], pa.int64()),
+             "o": pa.array([int(n[p == 0].sum())], pa.int64())}
+        )
+
+    tn = to = 0
+    for b in per_key.map_batches(orphan_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        tn += int(pc.sum(b.column("n")).as_py() or 0)
+        to += int(pc.sum(b.column("o")).as_py() or 0)
+    names.append("lineitem.orderkey")
+    n_rows.append(tn)
+    n_orph.append(to)
+
+    return pa.table(
+        {
+            "relation": pa.array(names, pa.string()),
+            "n_rows": pa.array(n_rows, pa.int64()),
+            "n_orphans": pa.array(n_orph, pa.int64()),
+        }
+    )

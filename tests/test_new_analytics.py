@@ -668,3 +668,48 @@ def test_profile_events_nulls_planted(ray_session, tmp_path):
         "min_v": -1.0, "max_v": 2.5,
     }
     assert out["event_id"]["n_distinct"] == 4
+
+
+def test_fk_integrity_audit_planted(ray_session, tmp_path):
+    """Planted orphans on every FK edge, including the big-big
+    lineitem->orders edge that goes through the union-aggregate
+    anti-join (duplicate child keys must count once per ROW)."""
+    from newscrawler_ray.pipelines.queries import fk_integrity_audit
+
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2], pa.int64())}),
+        tmp_path / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table({"s_suppkey": pa.array([10], pa.int64())}),
+        tmp_path / "supplier.parquet",
+    )
+    pq.write_table(
+        pa.table({"p_partkey": pa.array([100, 101], pa.int64())}),
+        tmp_path / "part.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {"o_orderkey": pa.array([1000, 1001], pa.int64()),
+             "o_custkey": pa.array([1, 3], pa.int64())}  # 3 is an orphan
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                # 1002 has no order: BOTH its rows are orphans
+                "l_orderkey": pa.array([1000, 1002, 1002], pa.int64()),
+                "l_suppkey": pa.array([10, 10, 99], pa.int64()),   # 99 orphan
+                "l_partkey": pa.array([100, 7, 7], pa.int64()),    # 7 twice
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    out = {r["relation"]: r for r in fk_integrity_audit(str(tmp_path)).to_pylist()}
+    assert out["orders.custkey"] == {
+        "relation": "orders.custkey", "n_rows": 2, "n_orphans": 1}
+    assert out["lineitem.suppkey"]["n_orphans"] == 1
+    assert out["lineitem.partkey"]["n_orphans"] == 2
+    assert out["lineitem.orderkey"] == {
+        "relation": "lineitem.orderkey", "n_rows": 3, "n_orphans": 2}
