@@ -451,6 +451,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": Q.profile_events,
         # FK orphan audit: broadcast probes + union-aggregate anti-join
         "fk_integrity_audit": Q.fk_integrity_audit,
+        # Newman degree assortativity of the link graph (hub→hub vs
+        # hub→leaf; frontier-growth predictor)
+        "link_degree_assortativity": _link_degree_assortativity,
         # non-equi INTERVAL join: lineitems shipped inside each promo
         # window (broadcast windows + per-batch sorted searchsorted)
         "range_join_shipments": Q.range_join_shipments,
@@ -658,6 +661,14 @@ def _bigram_ttr_by_source(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.corpusstats import bigram_ttr_by_source
 
     return bigram_ttr_by_source(sf_dir)
+
+
+def _link_degree_assortativity(sf_dir: str) -> Any:
+    """SQL-paired: out-degree/in-degree Pearson correlation over the
+    deterministic document link graph's edges."""
+    from newscrawler_ray.pipelines.graph import link_degree_assortativity
+
+    return link_degree_assortativity(sf_dir)
 
 
 def _kcore_oracle(
@@ -2553,6 +2564,23 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(max(c) AS DOUBLE)
                          / CAST(sum(c) AS DOUBLE) + 1e-9, 4) AS top_share
             FROM pk GROUP BY event_type""",
+        "link_degree_assortativity": """
+            WITH dc AS (
+              SELECT CAST(count(*) AS BIGINT) AS cnt FROM documents
+            ), e AS MATERIALIZED (
+              SELECT CAST(doc_id AS BIGINT) AS src,
+                     (CAST(doc_id AS BIGINT) * 48271 + j.j * 10007 + 1)
+                         % dc.cnt AS dst
+              FROM documents CROSS JOIN dc CROSS JOIN range(0, 5) AS j(j)
+              WHERE doc_id % 7 <> 0 AND j.j <= doc_id % 5
+            ), od AS (
+              SELECT src, count(*)::DOUBLE AS outd FROM e GROUP BY src
+            ), idg AS (
+              SELECT dst, count(*)::DOUBLE AS ind FROM e GROUP BY dst
+            )
+            SELECT count(*) AS n_edges,
+                   round(corr(od.outd, idg.ind) + 1e-9, 4) AS assortativity
+            FROM e JOIN od ON e.src = od.src JOIN idg ON e.dst = idg.dst""",
         "fk_integrity_audit": """
             SELECT 'orders.custkey' AS relation, count(*) AS n_rows,
                    count(*) FILTER (c_custkey IS NULL) AS n_orphans

@@ -174,6 +174,7 @@ QUERY_NAMES = [
     "regional_revenue_q5",
     "profile_events",
     "fk_integrity_audit",
+    "link_degree_assortativity",
 ]
 
 

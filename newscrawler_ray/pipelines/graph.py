@@ -1206,3 +1206,105 @@ def link_bfs_depth(
     return bfs_depth(
         doc_link_edges(sf_dir, k=link_k), seeds, max_depth=max_depth
     )
+
+
+def degree_assortativity(
+    edges: rd.Dataset, *, src: str = "src", dst: str = "dst"
+) -> pa.Table:
+    """Degree assortativity (Newman 2002) of a directed multiset edge
+    set: Pearson correlation between source OUT-degree and destination
+    IN-degree over the edges — do hubs link to hubs (assortative, > 0)
+    or to leaves (disassortative, < 0)? A web crawler reads this to
+    predict frontier growth: disassortative graphs fan out fast from
+    hubs and then die in leaves.
+
+    Shape: two driver degree folds (the ``pagerank`` node budget), one
+    broadcast (nodes, out-deg, in-deg) bundle, then per-block 6-number
+    moment partials (n, sx, sy, sxx, syy, sxy) over one streamed edge
+    pass — the exchange is constant-sized per block.
+
+    Returns a one-row table (n_edges, assortativity round-4 +1e-9);
+    assortativity is null when either degree sequence is constant."""
+    empty = pa.table(
+        {"n_edges": pa.array([0], _I64),
+         "assortativity": pa.array([None], pa.float64())}
+    )
+    sch = edges.schema(fetch_if_missing=True)
+    if sch is None or len(sch.names) == 0:
+        return empty
+    edges = edges.select_columns([src, dst]).materialize()
+    nodes, outdeg = _pr_degrees(edges, src, dst)
+    _, indeg = _pr_degrees(edges, dst, src)
+    if len(nodes) == 0:
+        return empty
+    bundle_ref = ray.put((nodes, outdeg, indeg))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({c: pa.array([0.0], pa.float64())
+                             for c in ("n", "sx", "sy", "sxx", "syy", "sxy")})
+        nds, od, idg = ray.get(bundle_ref)
+        x = od[np.searchsorted(nds, batch.column(src).to_numpy())]
+        y = idg[np.searchsorted(nds, batch.column(dst).to_numpy())]
+        return pa.table(
+            {
+                "n": pa.array([float(len(x))], pa.float64()),
+                "sx": pa.array([float(x.sum())], pa.float64()),
+                "sy": pa.array([float(y.sum())], pa.float64()),
+                "sxx": pa.array([float((x * x).sum())], pa.float64()),
+                "syy": pa.array([float((y * y).sum())], pa.float64()),
+                "sxy": pa.array([float((x * y).sum())], pa.float64()),
+            }
+        )
+
+    acc = dict.fromkeys(("n", "sx", "sy", "sxx", "syy", "sxy"), 0.0)
+    for b in edges.map_batches(moments, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for c in acc:
+            acc[c] += float(pa.compute.sum(b.column(c)).as_py() or 0.0)
+    n = acc["n"]
+    if n == 0:
+        return empty
+    vx = n * acc["sxx"] - acc["sx"] ** 2
+    vy = n * acc["syy"] - acc["sy"] ** 2
+    if vx <= 0 or vy <= 0:
+        return pa.table(
+            {"n_edges": pa.array([int(n)], _I64),
+             "assortativity": pa.array([None], pa.float64())}
+        )
+    r = (n * acc["sxy"] - acc["sx"] * acc["sy"]) / np.sqrt(vx * vy)
+    return pa.table(
+        {"n_edges": pa.array([int(n)], _I64),
+         "assortativity": pa.array([round(r + 1e-9, 4)], pa.float64())}
+    )
+
+
+def doc_link_edges_vardeg(sf_dir: str, *, k_max: int = 5) -> rd.Dataset:
+    """Variable-out-degree variant of ``doc_link_edges``: doc i emits
+    ``1 + (i % k_max)`` edges (same SQL-expressible target formula).
+    ``doc_link_edges``' constant k makes every out-degree equal — fine
+    for rank/reach analytics, degenerate (zero variance) for any
+    degree-correlation statistic, which needs this graph."""
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id"])
+    n = docs.count()
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        ids = ids[ids % _PR_SKIP != 0]
+        cnt = 1 + (ids % k_max)
+        s = np.repeat(ids, cnt)
+        starts = np.zeros(len(cnt), np.int64)
+        if len(cnt):
+            np.cumsum(cnt[:-1], out=starts[1:])
+        j = np.arange(len(s), dtype=np.int64) - np.repeat(starts, cnt)
+        d = (s * _PR_MUL + j * _PR_ADD + 1) % n
+        return pa.table({"src": pa.array(s, _I64), "dst": pa.array(d, _I64)})
+
+    return docs.map_batches(emit, batch_format="pyarrow")
+
+
+def link_degree_assortativity(sf_dir: str, *, k_max: int = 5) -> pa.Table:
+    """Assortativity of the variable-degree deterministic link graph —
+    hard DuckDB oracle via grouped degree CTEs + ``corr()``."""
+    return degree_assortativity(doc_link_edges_vardeg(sf_dir, k_max=k_max))

@@ -417,3 +417,30 @@ def test_bfs_depth_planted(ray_session):
         4: 3, 5: 4,            # capped at max_depth=4: 6, 7 absent
     }
     assert 8 not in out  # directed: in-edge to the seed doesn't reach 8
+
+
+def test_degree_assortativity_planted(ray_session):
+    """Hand graph with known correlation (-0.5 by hand computation);
+    constant degree sequences (a pure star) yield null, not NaN."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from newscrawler_ray.pipelines.graph import degree_assortativity
+
+    def edge_ds(srcs, dsts):
+        return rd.from_arrow(
+            pa.table(
+                {"src": pa.array(srcs, pa.int64()),
+                 "dst": pa.array(dsts, pa.int64())}
+            )
+        ).repartition(3)
+
+    # x = outdeg(src) = [2, 2, 1]; y = indeg(dst) = [2, 1, 2] -> r = -0.5
+    out = degree_assortativity(edge_ds([0, 0, 3], [1, 2, 1]))
+    assert out.column("n_edges").to_pylist() == [3]
+    assert out.column("assortativity").to_pylist() == [-0.5]
+
+    # star 0 -> {1,2,3}: both degree sequences constant -> undefined
+    out = degree_assortativity(edge_ds([0, 0, 0], [1, 2, 3]))
+    assert out.column("n_edges").to_pylist() == [3]
+    assert out.column("assortativity").to_pylist() == [None]
