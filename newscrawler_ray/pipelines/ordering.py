@@ -62,6 +62,35 @@ def _nbuckets(n_buckets: int | None) -> int:
     return max(4, int(ray.cluster_resources().get("CPU", 4)) * 2)
 
 
+def fine_bucket_count(C: int, key_max: int) -> int:
+    """Fine-histogram resolution for ``C`` coarse partitions over keys
+    in [0, key_max): much finer than C so count-quantile cuts balance,
+    capped so ``key * F`` can never overflow int64 (F <= 2^62 /
+    key_max). Shared by ``global_rank``, ``global_prefix_cutoff`` and
+    ``queries.peak_concurrency_daily`` — one overflow bound, one
+    place."""
+    return max(C, min(max(4096, C * 64), (1 << 62) // max(key_max, 1)))
+
+
+def count_balanced_coarse(
+    counts: np.ndarray, C: int, bases: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Group contiguous fine buckets into ``C`` coarse partitions of
+    roughly equal ROW count (count-quantile cuts — balanced under any
+    key skew; a single fine bucket is never split) and draw each coarse
+    partition's base value from ``bases`` at its first fine bucket.
+    Returns (fine->coarse map, per-coarse base). ``bases`` is whatever
+    exclusive prefix the caller folds per fine bucket: the row-count
+    prefix for ranking, the signed delta prefix for the sweep-line."""
+    total = int(counts.sum())
+    cumx = np.cumsum(counts) - counts
+    fine2coarse = np.minimum((cumx * C) // max(total, 1), C - 1)
+    base = np.zeros(C, dtype=bases.dtype)
+    present, first_idx = np.unique(fine2coarse, return_index=True)
+    base[present] = bases[first_idx]
+    return fine2coarse, base
+
+
 def global_rank(
     ds: rd.Dataset,
     key_col: str,
@@ -86,7 +115,7 @@ def global_rank(
     # not just uniform ones. A single fine bucket is never split, so a
     # pileup on ONE key value still lands in one partition (documented;
     # callers with duplicate-heavy keys should widen the key).
-    F = max(C, min(max(4096, C * 64), (1 << 62) // max(key_max, 1)))
+    F = fine_bucket_count(C, key_max)
     # two passes (histogram, then rank) read the input twice; pin it
     # once instead — the ranking shuffle already holds a full copy of
     # these rows, so this adds no new memory class, and the caller's
@@ -131,12 +160,7 @@ def global_rank(
     # coarse id = which C-quantile of the row count that prefix falls in
     # (monotone, so each coarse partition is a contiguous key range)
     cumx = np.cumsum(counts) - counts
-    # clip: zero-count fine buckets after the last row have cumx ==
-    # total and would map to C; they hold no rows, any id is harmless
-    fine2coarse = np.minimum((cumx * C) // total, C - 1)
-    off_coarse = np.zeros(C, dtype=np.int64)
-    present, first_idx = np.unique(fine2coarse, return_index=True)
-    off_coarse[present] = cumx[first_idx]
+    fine2coarse, off_coarse = count_balanced_coarse(counts, C, cumx)
     bundle_ref = ray.put((fine2coarse, off_coarse))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
@@ -195,7 +219,7 @@ def global_prefix_cutoff(
     exact per-row cut. Weights must be non-negative int64.
     """
     C = _nbuckets(n_buckets)
-    F = max(C, min(max(4096, C * 64), (1 << 62) // max(key_max, 1)))
+    F = fine_bucket_count(C, key_max)
     ds = ds.materialize()
 
     def fine_of(keys: np.ndarray) -> np.ndarray:

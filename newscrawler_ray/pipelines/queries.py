@@ -3714,11 +3714,20 @@ def peak_concurrency_daily(
     dur_us = int(duration_min) * 60_000_000
     ds = read_clean(_p(sf_dir, "events"), columns=["ts"]).materialize()
     mm = ds.aggregate(Min("ts"), Max("ts"))
+    if mm is None or mm.get("min(ts)") is None:  # empty events table
+        return rd.from_arrow(
+            pa.table(
+                {"day": pa.array([], pa.timestamp("us")),
+                 "peak": pa.array([], pa.int64())}
+            )
+        )
     t0 = int(pa.scalar(mm["min(ts)"]).cast(pa.int64()).as_py())
     t1 = int(pa.scalar(mm["max(ts)"]).cast(pa.int64()).as_py())
+    from .ordering import count_balanced_coarse, fine_bucket_count
+
     key_max = max((t1 + dur_us - t0) * 2 + 2, 2)
     C = max(4, int(ray.cluster_resources().get("CPU", 4)) * 2) if n_buckets is None else n_buckets
-    F = max(C, min(max(4096, C * 64), (1 << 62) // key_max))
+    F = fine_bucket_count(C, key_max)
 
     def keys_of(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         t = pc.cast(batch.column("ts"), pa.int64()).to_numpy()
@@ -3759,11 +3768,7 @@ def peak_concurrency_daily(
     if total == 0:
         return rd.from_arrow(empty)
     base = np.cumsum(deltas) - deltas  # concurrency entering each bucket
-    cumn = np.cumsum(counts) - counts
-    fine2coarse = np.minimum((cumn * C) // total, C - 1)
-    base_coarse = np.zeros(C, dtype=np.int64)
-    present, first_idx = np.unique(fine2coarse, return_index=True)
-    base_coarse[present] = base[first_idx]
+    fine2coarse, base_coarse = count_balanced_coarse(counts, C, base)
     bundle_ref = ray.put((fine2coarse, base_coarse))
 
     def boundaries(batch: pa.Table) -> pa.Table:
@@ -3886,7 +3891,8 @@ def regional_revenue_q5(
     cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
     supp_ref = broadcast_table(table_to_mapping(supp, "s_suppkey", "s_nationkey"))
     cust_ref = broadcast_table(table_to_mapping(cust, "c_custkey", "c_nationkey"))
-    nat_ref = ray.put(nat_keys)
+    nat_ref = ray.put(pa.array(nat_keys, pa.int32()))
+    nat_semi = make_broadcast_semijoin_fn("s_nat", nat_ref)
 
     li = read_clean(
         _p(sf_dir, "lineitem"),
@@ -3896,10 +3902,7 @@ def regional_revenue_q5(
 
     def line_partial(batch: pa.Table) -> pa.Table:
         batch = supp_lookup(batch)
-        s_nat = pc.cast(batch.column("s_nat"), pa.int64()).to_numpy()
-        keys = ray.get(nat_ref)
-        pos = np.minimum(np.searchsorted(keys, s_nat), len(keys) - 1)
-        batch = batch.filter(pa.array(keys[pos] == s_nat))
+        batch = nat_semi(batch)  # region prune (shared semijoin helper)
         rev = pc.multiply(
             batch.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
@@ -3989,7 +3992,8 @@ def profile_events(sf_dir: str) -> pa.Table:
     half is the HLL sketch (``approx_distinct_users``); this is the
     exact small-table twin the SQL oracle can check."""
     cols = ["event_id", "user_id", "value"]
-    ds = read_clean(_p(sf_dir, "events"), columns=cols)
+    # two consumers (stats fold + distinct shuffle): pay the read once
+    ds = read_clean(_p(sf_dir, "events"), columns=cols).materialize()
 
     def stat_partial(batch: pa.Table) -> pa.Table:
         names, ns, nulls, mns, mxs = [], [], [], [], []
@@ -4065,8 +4069,15 @@ def profile_events(sf_dir: str) -> pa.Table:
             "n": pa.array(n, pa.int64()),
             "n_null": pa.array(nulls, pa.int64()),
             "n_distinct": pa.array(dist, pa.int64()),
-            "min_v": pa.array(mn, pa.float64()),
-            "max_v": pa.array(mx, pa.float64()),
+            # all-NULL column: min/max don't exist — NULL, like the SQL
+            "min_v": pa.array(
+                [None if n[i] == nulls[i] else float(mn[i]) for i in range(len(cols))],
+                pa.float64(),
+            ),
+            "max_v": pa.array(
+                [None if n[i] == nulls[i] else float(mx[i]) for i in range(len(cols))],
+                pa.float64(),
+            ),
         }
     )
 
@@ -4079,61 +4090,84 @@ def fk_integrity_audit(sf_dir: str) -> pa.Table:
 
     Small parents (customer / supplier / part) audit as broadcast
     sorted-key membership probes inside ``map_batches`` — per-batch
-    (n, orphans) partials, constant driver state. The big-big edge
-    (lineitem.orderkey -> orders) uses the union + origin-flag + ONE
-    hash aggregate shape (``incremental_exact_dedup``'s anti-join
-    without a join): lineitem pre-combines (key, n) per batch, orders
-    ships (key, parent=1) once, one groupby folds both sides, and
-    orphans = sum of child counts in groups with no parent — one row
-    per distinct key in the only exchange.
+    orphan-count partials, constant driver state; lineitem is read ONCE
+    (3 thin columns, materialized) and both of its probe edges fold in
+    a single pass. The big-big edge (lineitem.orderkey -> orders) uses
+    the union + origin-flag + ONE hash aggregate shape
+    (``incremental_exact_dedup``'s anti-join without a join): lineitem
+    pre-combines (key, n) per batch over the same materialized read,
+    orders ships (key, parent=1) once, one groupby folds both sides,
+    and orphans = sum of child counts in groups with no parent — one
+    row per distinct key in the only exchange.
 
     Output: (relation, n_rows, n_orphans), one row per FK edge."""
     import pyarrow.parquet as pq
     import ray
 
-    names: list[str] = []
-    n_rows: list[int] = []
-    n_orph: list[int] = []
-
-    def bcast_audit(
-        rel: str, child_tbl: str, child_col: str, parent_tbl: str, parent_col: str
-    ) -> None:
-        keys = np.unique(
-            pq.read_table(_p(sf_dir, parent_tbl), columns=[parent_col])
-            .column(parent_col)
+    def parent_keys(tbl: str, col: str) -> np.ndarray:
+        return np.unique(
+            pq.read_table(_p(sf_dir, tbl), columns=[col])
+            .column(col)
             .to_numpy()
             .astype(np.int64)
         )
-        ref = ray.put(keys)
-        ds = read_clean(_p(sf_dir, child_tbl), columns=[child_col])
 
-        def partial(batch: pa.Table) -> pa.Table:
-            k = batch.column(child_col).to_numpy().astype(np.int64)
+    def probe(ref, col: str):
+        def miss_count(batch: pa.Table) -> int:
+            k = batch.column(col).to_numpy().astype(np.int64)
             ks = ray.get(ref)
             pos = np.minimum(np.searchsorted(ks, k), max(len(ks) - 1, 0))
             hit = ks[pos] == k if len(ks) else np.zeros(len(k), bool)
-            return pa.table(
-                {"n": pa.array([len(k)], pa.int64()),
-                 "o": pa.array([int((~hit).sum())], pa.int64())}
-            )
+            return int((~hit).sum())
 
-        tn = to = 0
-        for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"
-        ):
-            tn += int(pc.sum(b.column("n")).as_py() or 0)
-            to += int(pc.sum(b.column("o")).as_py() or 0)
-        names.append(rel)
-        n_rows.append(tn)
-        n_orph.append(to)
+        return miss_count
 
-    bcast_audit("orders.custkey", "orders", "o_custkey", "customer", "c_custkey")
-    bcast_audit("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey")
-    bcast_audit("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey")
+    # --- orders.custkey -> customer (one orders pass)
+    cust_ref = ray.put(parent_keys("customer", "c_custkey"))
+    cust_miss = probe(cust_ref, "o_custkey")
+    # two consumers (custkey probe + parent rows for the orderkey edge)
+    orders_keys = read_clean(
+        _p(sf_dir, "orders"), columns=["o_orderkey", "o_custkey"]
+    ).materialize()
 
-    # big-big edge: lineitem.orderkey -> orders via union + hash aggregate
-    li = read_clean(_p(sf_dir, "lineitem"), columns=["l_orderkey"])
+    def orders_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([batch.num_rows], pa.int64()),
+             "o": pa.array([cust_miss(batch)], pa.int64())}
+        )
 
+    o_n = o_o = 0
+    for b in orders_keys.map_batches(
+        orders_partial, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        o_n += int(pc.sum(b.column("n")).as_py() or 0)
+        o_o += int(pc.sum(b.column("o")).as_py() or 0)
+
+    # --- lineitem: ONE 3-column read serves both probes and the
+    # orderkey pre-combine
+    li = read_clean(
+        _p(sf_dir, "lineitem"),
+        columns=["l_orderkey", "l_suppkey", "l_partkey"],
+    ).materialize()
+    supp_miss = probe(ray.put(parent_keys("supplier", "s_suppkey")), "l_suppkey")
+    part_miss = probe(ray.put(parent_keys("part", "p_partkey")), "l_partkey")
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([batch.num_rows], pa.int64()),
+             "so": pa.array([supp_miss(batch)], pa.int64()),
+             "po": pa.array([part_miss(batch)], pa.int64())}
+        )
+
+    li_n = li_so = li_po = 0
+    for b in li.map_batches(li_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        li_n += int(pc.sum(b.column("n")).as_py() or 0)
+        li_so += int(pc.sum(b.column("so")).as_py() or 0)
+        li_po += int(pc.sum(b.column("po")).as_py() or 0)
+
+    # --- big-big edge: lineitem.orderkey -> orders via union + aggregate
     def child_rows(batch: pa.Table) -> pa.Table:
         k, c = np.unique(
             batch.column("l_orderkey").to_numpy().astype(np.int64),
@@ -4144,8 +4178,6 @@ def fk_integrity_audit(sf_dir: str) -> pa.Table:
              "p": pa.array(np.zeros(len(k), np.int64), pa.int64())}
         )
 
-    orders = read_clean(_p(sf_dir, "orders"), columns=["o_orderkey"])
-
     def parent_rows(batch: pa.Table) -> pa.Table:
         k = batch.column("o_orderkey").to_numpy().astype(np.int64)
         return pa.table(
@@ -4155,7 +4187,7 @@ def fk_integrity_audit(sf_dir: str) -> pa.Table:
         )
 
     both = li.map_batches(child_rows, batch_format="pyarrow").union(
-        orders.map_batches(parent_rows, batch_format="pyarrow")
+        orders_keys.map_batches(parent_rows, batch_format="pyarrow")
     )
     per_key = both.groupby("k").aggregate(
         Sum("n", alias_name="n"), Sum("p", alias_name="p")
@@ -4164,29 +4196,28 @@ def fk_integrity_audit(sf_dir: str) -> pa.Table:
     def orphan_partial(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
             return pa.table(
-                {"n": pa.array([0], pa.int64()), "o": pa.array([0], pa.int64())}
+                {"o": pa.array([0], pa.int64())}
             )
         n = batch.column("n").to_numpy()
         p = batch.column("p").to_numpy()
         return pa.table(
-            {"n": pa.array([int(n.sum())], pa.int64()),
-             "o": pa.array([int(n[p == 0].sum())], pa.int64())}
+            {"o": pa.array([int(n[p == 0].sum())], pa.int64())}
         )
 
-    tn = to = 0
+    ok_o = 0
     for b in per_key.map_batches(orphan_partial, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow"
     ):
-        tn += int(pc.sum(b.column("n")).as_py() or 0)
-        to += int(pc.sum(b.column("o")).as_py() or 0)
-    names.append("lineitem.orderkey")
-    n_rows.append(tn)
-    n_orph.append(to)
+        ok_o += int(pc.sum(b.column("o")).as_py() or 0)
 
     return pa.table(
         {
-            "relation": pa.array(names, pa.string()),
-            "n_rows": pa.array(n_rows, pa.int64()),
-            "n_orphans": pa.array(n_orph, pa.int64()),
+            "relation": pa.array(
+                ["orders.custkey", "lineitem.suppkey", "lineitem.partkey",
+                 "lineitem.orderkey"],
+                pa.string(),
+            ),
+            "n_rows": pa.array([o_n, li_n, li_n, li_n], pa.int64()),
+            "n_orphans": pa.array([o_o, li_so, li_po, ok_o], pa.int64()),
         }
     )

@@ -713,3 +713,35 @@ def test_fk_integrity_audit_planted(ray_session, tmp_path):
     assert out["lineitem.partkey"]["n_orphans"] == 2
     assert out["lineitem.orderkey"] == {
         "relation": "lineitem.orderkey", "n_rows": 3, "n_orphans": 2}
+
+
+def test_peak_concurrency_empty_events(ray_session, tmp_path):
+    """Empty events table returns an empty (day, peak) result, not a
+    crash in the min/max fold (review finding)."""
+    from newscrawler_ray.pipelines.queries import peak_concurrency_daily
+
+    sf = _write_events(tmp_path, [])
+    assert peak_concurrency_daily(sf).take_all() == []
+
+
+def test_profile_events_all_null_column(ray_session, tmp_path):
+    """An all-NULL column profiles to NULL min/max (SQL semantics), not
+    the +-inf fold sentinels (review finding)."""
+    from newscrawler_ray.pipelines.queries import profile_events
+
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([_ts(1)] * 2, pa.timestamp("us")),
+            "user_id": pa.array([1, 2], pa.int64()),
+            "event_type": pa.array(["click"] * 2, pa.string()),
+            "value": pa.array([None, None], pa.float64()),
+            "props": pa.array(["{}"] * 2, pa.string()),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = {r["col"]: r for r in profile_events(str(tmp_path)).to_pylist()}
+    assert out["value"] == {
+        "col": "value", "n": 2, "n_null": 2, "n_distinct": 0,
+        "min_v": None, "max_v": None,
+    }
