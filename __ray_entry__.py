@@ -451,6 +451,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": Q.profile_events,
         # FK orphan audit: broadcast probes + union-aggregate anti-join
         "fk_integrity_audit": Q.fk_integrity_audit,
+        # CDC MERGE: insert/update/delete stream applied in one grouped
+        # winner pass (K1/K2 upsert generalized)
+        "apply_changes_docs": Q.apply_changes_docs,
         # Newman degree assortativity of the link graph (hub→hub vs
         # hub→leaf; frontier-growth predictor)
         "link_degree_assortativity": _link_degree_assortativity,
@@ -2581,6 +2584,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_edges,
                    round(corr(od.outd, idg.ind) + 1e-9, 4) AS assortativity
             FROM e JOIN od ON e.src = od.src JOIN idg ON e.dst = idg.dst""",
+        "apply_changes_docs": """
+            WITH changes AS (
+              SELECT doc_id, 'updated ' || CAST(doc_id AS VARCHAR) AS text,
+                     'u' AS op
+              FROM documents WHERE doc_id % 10 = 3
+              UNION ALL
+              SELECT doc_id, NULL, 'd' FROM documents WHERE doc_id % 10 = 7
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     'inserted ' || CAST(doc_id AS VARCHAR), 'u'
+              FROM documents WHERE doc_id % 10 = 5
+            )
+            SELECT COALESCE(c.doc_id, b.doc_id) AS doc_id,
+                   CASE WHEN c.doc_id IS NOT NULL THEN c.text
+                        ELSE b.text END AS text
+            FROM documents b FULL OUTER JOIN changes c
+              ON b.doc_id = c.doc_id
+            WHERE COALESCE(c.op, 'b') <> 'd'""",
         "fk_integrity_audit": """
             SELECT 'orders.custkey' AS relation, count(*) AS n_rows,
                    count(*) FILTER (c_custkey IS NULL) AS n_orphans

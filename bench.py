@@ -175,6 +175,7 @@ QUERY_NAMES = [
     "profile_events",
     "fk_integrity_audit",
     "link_degree_assortativity",
+    "apply_changes_docs",
 ]
 
 

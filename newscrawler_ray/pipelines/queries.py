@@ -4221,3 +4221,95 @@ def fk_integrity_audit(sf_dir: str) -> pa.Table:
             "n_orphans": pa.array([o_o, li_so, li_po, ok_o], pa.int64()),
         }
     )
+
+
+def apply_changes_docs(
+    sf_dir: str, *, num_partitions: int | None = None
+) -> rd.Dataset:
+    """CDC MERGE: apply an insert / update / delete change stream to a
+    base table in one grouped pass — the reference's upsert sinks
+    (SURVEY K1/K2, first-wins on unique key) generalized to the full
+    change-capture contract a warehouse sink implements.
+
+    The change stream derives deterministically from the base table so
+    the DuckDB oracle can rebuild it exactly: doc_id % 10 == 3 rows are
+    UPDATEd ('updated <id>'), % 10 == 7 rows are DELETEd, and % 10 == 5
+    rows INSERT a new key at doc_id + 1,000,000.
+
+    Shape: base rows (pri 0) union change rows (pri 1) — NO broadcast,
+    the change stream may be corpus-sized — coarse-bucketed by the
+    shared Knuth key partitioner, then ONE vectorized winner kernel per
+    bucket (lexsort by (id, pri), keep each id's last = highest
+    priority, drop delete winners). Payload text crosses exactly one
+    hash exchange; every decision is a segment operation, no per-key
+    Python."""
+    import ray
+
+    B = (
+        max(8, int(ray.cluster_resources().get("CPU", 4)) * 4)
+        if num_partitions is None
+        else num_partitions
+    )
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def tagged(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        text = batch.column("text")
+        # base rows
+        out_id = [ids]
+        out_text = [text]
+        out_op = [np.zeros(len(ids), np.int8)]  # 0 = base upsert
+        out_pri = [np.zeros(len(ids), np.int8)]
+        # updates
+        um = ids % 10 == 3
+        uid = ids[um]
+        out_id.append(uid)
+        out_text.append(pa.array(np.char.add("updated ", uid.astype(np.str_)), pa.string()))
+        out_op.append(np.zeros(len(uid), np.int8))
+        out_pri.append(np.ones(len(uid), np.int8))
+        # deletes
+        dm = ids % 10 == 7
+        did = ids[dm]
+        out_id.append(did)
+        out_text.append(pa.nulls(len(did), pa.string()))
+        out_op.append(np.ones(len(did), np.int8))  # 1 = delete
+        out_pri.append(np.ones(len(did), np.int8))
+        # inserts (new keys)
+        im = ids % 10 == 5
+        iid = ids[im]
+        out_id.append(iid + 1_000_000)
+        out_text.append(pa.array(np.char.add("inserted ", iid.astype(np.str_)), pa.string()))
+        out_op.append(np.zeros(len(iid), np.int8))
+        out_pri.append(np.ones(len(iid), np.int8))
+        all_ids = np.concatenate(out_id)
+        return pa.table(
+            {
+                "doc_id": pa.array(all_ids, pa.int64()),
+                "text": pa.concat_arrays(
+                    [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                     for c in out_text]
+                ),
+                "op": pa.array(np.concatenate(out_op), pa.int8()),
+                "pri": pa.array(np.concatenate(out_pri), pa.int8()),
+                "part": pa.array(_knuth_bucket(all_ids, B), pa.int64()),
+            }
+        )
+
+    rows = docs.map_batches(tagged, batch_format="pyarrow")
+
+    def winners(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy()
+        pri = group.column("pri").to_numpy()
+        order = np.lexsort((pri, ids))
+        last = np.r_[ids[order][1:] != ids[order][:-1], True]
+        win = order[last]
+        keep = group.column("op").to_numpy()[win] == 0
+        sel = pa.array(win[keep])
+        return pa.table(
+            {
+                "doc_id": group.column("doc_id").take(sel),
+                "text": group.column("text").take(sel),
+            }
+        )
+
+    return rows.groupby("part").map_groups(winners, batch_format="pyarrow")

@@ -745,3 +745,26 @@ def test_profile_events_all_null_column(ray_session, tmp_path):
         "col": "value", "n": 2, "n_null": 2, "n_distinct": 0,
         "min_v": None, "max_v": None,
     }
+
+
+def test_apply_changes_docs_planted(ray_session, tmp_path):
+    """CDC precedence on a hand table: update wins over base, delete
+    removes, insert lands at the offset key, untouched rows pass."""
+    from newscrawler_ray.pipelines.queries import apply_changes_docs
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 3, 7, 5], pa.int64()),
+            "text": pa.array(["keep", "old", "gone", "insert-source"]),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = {r["doc_id"]: r["text"]
+           for r in apply_changes_docs(str(tmp_path)).take_all()}
+    assert out == {
+        1: "keep",                       # untouched
+        3: "updated 3",                  # update wins over base
+        5: "insert-source",              # base row of the insert SOURCE stays
+        1000005: "inserted 5",           # the insert itself
+        # 7 deleted
+    }
