@@ -486,6 +486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal stages (over synthetic payload tables)
         "image_features": _image_features,
         "image_channel_stats": _image_channel_stats,
+        "crawl_channel_stats": _crawl_channel_stats,
         "phash_near_dup": _phash_near_dup,
         # hamming-radius pHash pairs (re-encoded/resized copies land a
         # few bits off the exact hash; shared 4-band pigeonhole kernel;
@@ -1124,6 +1125,20 @@ def _curate_crawl_output(sf_dir: str) -> Any:
     out = Path("/tmp/newscrawler_ray_curate_crawl_out")
     run_crawl(fx, out, n_seen_shards=2, n_frontier_shards=2, checkpoint=False)
     return curate_crawl_output(out, min_w=16, min_h=16)
+
+
+def _crawl_channel_stats(sf_dir: str) -> Any:
+    """Rows-only: crawl -> deduped corpus normalization constants
+    (duplicate fetches must not bias the stats; dedup-equality oracle in
+    tests/test_vision.py)."""
+    from newscrawler_ray.pipelines.crawl import run_crawl
+    from newscrawler_ray.pipelines.vision import crawl_channel_stats
+    from newscrawler_ray.synth import default_fixture_dir, gen_fixtures
+
+    fx = gen_fixtures(default_fixture_dir(600), n_urls=600, seed=42)
+    out = Path("/tmp/newscrawler_ray_crawl_chanstats_out")
+    run_crawl(fx, out, n_seen_shards=2, n_frontier_shards=2, checkpoint=False)
+    return crawl_channel_stats(out)
 
 
 def _image_knn(sf_dir: str) -> Any:

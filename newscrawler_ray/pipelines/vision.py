@@ -685,19 +685,13 @@ def curate_image_corpus(
     return out.map_batches(fmt, batch_format="pyarrow")
 
 
-def curate_crawl_output(
-    crawl_out_dir: str | Path, **curate_kwargs
-) -> rd.Dataset:
-    """End-to-end tier composition: CRAWL output -> image curation.
-
-    Reads the crawl's stored wave parquet (``run_crawl`` out_dir),
-    first-wins-dedupes by image_id (distinct URLs can map to the same
-    payload image), then runs the full ``curate_image_corpus`` pass over
-    the surviving rows. The dedup never shuffles payload bytes: winners
-    are chosen by a groupby over the thin (image_id, url_hash) columns,
-    and the payload read is semi-joined to the winner keys (bytes ride
-    as a non-key column on the probe side only).
-    """
+def dedup_crawl_images(crawl_out_dir: str | Path) -> rd.Dataset:
+    """First-wins image dedup over the crawl's stored wave parquet
+    (distinct URLs can map to the same payload image). Never shuffles
+    payload bytes: winners are chosen by a groupby over the thin
+    (image_id, url_hash) columns, and the payload read is semi-joined
+    to the winner keys (bytes ride as a non-key column on the probe
+    side only). Shared front half of every crawl→image tier."""
     import ray
     from ray.data.aggregate import Min
 
@@ -719,13 +713,33 @@ def curate_crawl_output(
         columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
                  "url_hash", "stored"],
     ).map_batches(stored_only, batch_format="pyarrow")
-    uniq = payload.repartition(nparts).join(
+    return payload.repartition(nparts).join(
         winners.repartition(nparts),
         join_type="left_semi",
         num_partitions=nparts,
         on=("image_id", "url_hash"),
     ).drop_columns(["url_hash"])
-    return curate_image_corpus(uniq, **curate_kwargs)
+
+
+def curate_crawl_output(
+    crawl_out_dir: str | Path, **curate_kwargs
+) -> rd.Dataset:
+    """End-to-end tier composition: CRAWL output -> image curation.
+    ``dedup_crawl_images`` picks one payload row per image, then the
+    full ``curate_image_corpus`` pass runs over the survivors."""
+    return curate_image_corpus(dedup_crawl_images(crawl_out_dir), **curate_kwargs)
+
+
+def crawl_channel_stats(crawl_out_dir: str | Path) -> pa.Table:
+    """Tier composition: CRAWL output -> corpus normalization constants
+    (the ``Normalize(mean, std)`` numbers a trainer bakes into its
+    loaders, computed over the deduped crawled corpus rather than a
+    pre-curated table — duplicate fetches of one image must not bias
+    the statistics, which is why the first-wins dedup runs first)."""
+    from .multimodal import image_channel_stats
+
+    uniq = dedup_crawl_images(crawl_out_dir).select_columns(["bytes", "fmt"])
+    return image_channel_stats(uniq)
 
 
 def image_kmeans(

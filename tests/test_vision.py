@@ -577,3 +577,39 @@ def test_augment_images_pixel_oracle_and_determinism(ray_session, fixture_dir):
         .set_index("image_id")
     )
     assert (out["bytes"] != other.loc[out.index, "bytes"]).any()
+
+
+def test_crawl_channel_stats_debiased(ray_session, fixture_dir, tmp_path):
+    """Crawl -> channel stats equals a brute force over the FIRST-WINS
+    DEDUPED stored rows (a duplicate fetch of one image must not bias
+    the normalization constants)."""
+    import glob
+
+    import numpy as np
+    from newscrawler_ray.pipelines import multimodal
+    from newscrawler_ray.pipelines.crawl import run_crawl
+
+    out = tmp_path / "crawl"
+    run_crawl(fixture_dir, out, n_seen_shards=2, n_frontier_shards=2,
+              checkpoint=False)
+    got = vision.crawl_channel_stats(out)
+
+    import pandas as pd
+
+    parts = [pq.read_table(p) for p in sorted(glob.glob(str(out / "waves" / "*" / "*.parquet")))]
+    df = pa.concat_tables(parts, promote_options="default").to_pandas()
+    df = df[df["stored"]]
+    df = df.sort_values(["image_id", "url_hash"]).groupby("image_id", as_index=False).first()
+    s = np.zeros(3)
+    s2 = np.zeros(3)
+    n = 0
+    for raw, fmt in zip(df["bytes"], df["fmt"]):
+        img = multimodal.decode_any(raw, fmt).reshape(-1, 3).astype(np.float64)
+        s += img.sum(axis=0)
+        s2 += (img * img).sum(axis=0)
+        n += img.shape[0]
+    mean = s / n
+    std = np.sqrt(s2 / n - mean * mean)
+    assert got.column("n_pixels").to_pylist() == [n] * 3
+    np.testing.assert_allclose(got.column("mean").to_numpy(), np.round(mean, 6), atol=1e-6)
+    np.testing.assert_allclose(got.column("std").to_numpy(), np.round(std, 6), atol=1e-6)
