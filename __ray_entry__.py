@@ -487,6 +487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": _image_features,
         "image_channel_stats": _image_channel_stats,
         "crawl_channel_stats": _crawl_channel_stats,
+        "crawl_payload_fidelity": _crawl_payload_fidelity,
         "phash_near_dup": _phash_near_dup,
         # hamming-radius pHash pairs (re-encoded/resized copies land a
         # few bits off the exact hash; shared 4-band pigeonhole kernel;
@@ -1139,6 +1140,20 @@ def _crawl_channel_stats(sf_dir: str) -> Any:
     out = Path("/tmp/newscrawler_ray_crawl_chanstats_out")
     run_crawl(fx, out, n_seen_shards=2, n_frontier_shards=2, checkpoint=False)
     return crawl_channel_stats(out)
+
+
+def _crawl_payload_fidelity(sf_dir: str) -> Any:
+    """Rows-only: the north-rule acceptance invariant (pixels allclose /
+    PSNR >= 40 dB for lossy, caption equality) run corpus-wide over a
+    crawl's stored rows as a per-format fidelity report."""
+    from newscrawler_ray.pipelines.crawl import run_crawl
+    from newscrawler_ray.pipelines.multimodal import validate_payload_fidelity
+    from newscrawler_ray.synth import default_fixture_dir, gen_fixtures
+
+    fx = gen_fixtures(default_fixture_dir(600), n_urls=600, seed=42)
+    out = Path("/tmp/newscrawler_ray_crawl_fidelity_out")
+    run_crawl(fx, out, n_seen_shards=2, n_frontier_shards=2, checkpoint=False)
+    return validate_payload_fidelity(out, n_urls=600, seed=42)
 
 
 def _image_knn(sf_dir: str) -> Any:

@@ -176,6 +176,7 @@ QUERY_NAMES = [
     "fk_integrity_audit",
     "link_degree_assortativity",
     "apply_changes_docs",
+    "crawl_payload_fidelity",
 ]
 
 

@@ -677,3 +677,114 @@ def image_channel_stats(
             "n_failed": pa.array([failed] * 3, pa.int64()),
         }
     )
+
+
+class PayloadValidator:
+    """Actor-pool stage: per-row payload fidelity vs ground truth — the
+    acceptance invariant of this rebuild (decoded pixels allclose for
+    lossless formats / PSNR >= 40 dB for lossy, caption byte-equality)
+    run as a PIPELINE over the crawl output instead of a spot-check.
+
+    Ground truth regenerates inside each actor as a pure function of
+    (n_urls, seed) (``synth.SynthWorld`` — built once per actor in
+    ``__init__``), so validation needs NO payload-payload join: the
+    only exchange is the per-batch (fmt, partials) fold. A deployment
+    swaps the world for its reference fetcher the same way."""
+
+    def __init__(self, n_urls: int, seed: int):
+        from ..stages import pin_worker_threads
+        from ..synth import SynthWorld
+
+        pin_worker_threads()
+        self.world = SynthWorld(n_urls, seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        raw = batch.column("bytes").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        caps = batch.column("caption").to_pylist()
+        stats: dict[str, list] = {}
+        for k in range(batch.num_rows):
+            i = int(ids[k].split("-")[1])
+            expected = self.world.pixels(i)
+            decoded = decode_any(raw[k], fmts[k])
+            d = expected.astype(np.float64) - decoded.astype(np.float64)
+            mse = float(np.mean(d * d))
+            s = stats.setdefault(fmts[k], [0, 0, np.inf, 0])
+            s[0] += 1
+            if mse == 0.0:
+                s[1] += 1  # bit-exact pixels
+            else:
+                s[2] = min(s[2], 10.0 * np.log10(255.0 * 255.0 / mse))
+            if caps[k] != self.world.caption(i):
+                s[3] += 1
+        fmt_l = sorted(stats)
+        return pa.table(
+            {
+                "fmt": pa.array(fmt_l, pa.string()),
+                "n": pa.array([stats[f][0] for f in fmt_l], pa.int64()),
+                "n_exact": pa.array([stats[f][1] for f in fmt_l], pa.int64()),
+                "min_psnr": pa.array(
+                    [stats[f][2] for f in fmt_l], pa.float64()
+                ),
+                "n_caption_bad": pa.array(
+                    [stats[f][3] for f in fmt_l], pa.int64()
+                ),
+            }
+        )
+
+
+def validate_payload_fidelity(
+    crawl_out_dir, n_urls: int, seed: int = 42,
+    *, batch_size: int = 64, concurrency: "int | tuple | None" = None,
+) -> pa.Table:
+    """Corpus-wide fidelity report over the crawl's stored payload rows:
+    one row per format — (fmt, n_rows, n_exact_pixel, min_psnr,
+    n_caption_mismatch, pass_40db). ``min_psnr`` is the minimum over
+    non-bit-exact rows (NULL when every row is exact); ``pass_40db``
+    asserts the north-rule invariant (exact or >= 40 dB, captions
+    equal) for the whole format class."""
+    from pathlib import Path
+
+    waves = str(Path(crawl_out_dir) / "waves")
+    ds = rd.read_parquet(
+        waves, columns=["image_id", "bytes", "fmt", "caption", "stored"]
+    )
+
+    def stored_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(batch.column("stored")).drop_columns(["stored"])
+
+    folded = ds.map_batches(stored_only, batch_format="pyarrow").map_batches(
+        PayloadValidator,
+        fn_constructor_args=(n_urls, seed),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=_pool_width(concurrency),
+    )
+    acc: dict[str, list] = {}
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            s = acc.setdefault(r["fmt"], [0, 0, np.inf, 0])
+            s[0] += r["n"]
+            s[1] += r["n_exact"]
+            s[2] = min(s[2], r["min_psnr"])
+            s[3] += r["n_caption_bad"]
+    fmt_l = sorted(acc)
+    min_psnr = [None if np.isinf(acc[f][2]) else round(acc[f][2], 3) for f in fmt_l]
+    return pa.table(
+        {
+            "fmt": pa.array(fmt_l, pa.string()),
+            "n_rows": pa.array([acc[f][0] for f in fmt_l], pa.int64()),
+            "n_exact_pixel": pa.array([acc[f][1] for f in fmt_l], pa.int64()),
+            "min_psnr": pa.array(min_psnr, pa.float64()),
+            "n_caption_mismatch": pa.array([acc[f][3] for f in fmt_l], pa.int64()),
+            "pass_40db": pa.array(
+                [
+                    acc[f][3] == 0
+                    and (np.isinf(acc[f][2]) or acc[f][2] >= 40.0)
+                    for f in fmt_l
+                ],
+                pa.bool_(),
+            ),
+        }
+    )

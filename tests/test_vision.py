@@ -613,3 +613,44 @@ def test_crawl_channel_stats_debiased(ray_session, fixture_dir, tmp_path):
     assert got.column("n_pixels").to_pylist() == [n] * 3
     np.testing.assert_allclose(got.column("mean").to_numpy(), np.round(mean, 6), atol=1e-6)
     np.testing.assert_allclose(got.column("std").to_numpy(), np.round(std, 6), atol=1e-6)
+
+
+def test_validate_payload_fidelity(ray_session, fixture_dir, tmp_path):
+    """The fidelity pipeline passes on an honest crawl, catches a
+    corrupted payload row, and catches a caption swap."""
+    import glob
+
+    from newscrawler_ray.pipelines.crawl import run_crawl
+    from newscrawler_ray.pipelines.multimodal import validate_payload_fidelity
+
+    out = tmp_path / "crawl"
+    run_crawl(fixture_dir, out, n_seen_shards=2, n_frontier_shards=2,
+              checkpoint=False)
+    rep = {r["fmt"]: r for r in validate_payload_fidelity(out, 2000, 42).to_pylist()}
+    assert rep, "no stored rows"
+    for fmt, r in rep.items():
+        assert r["pass_40db"], (fmt, r)
+        assert r["n_caption_mismatch"] == 0
+        if fmt in ("ppm", "png"):
+            assert r["n_exact_pixel"] == r["n_rows"]
+            assert r["min_psnr"] is None
+        else:
+            assert r["min_psnr"] is None or r["min_psnr"] >= 40.0
+
+    # corrupt one stored row's caption in a copied crawl output
+    bad = tmp_path / "bad"
+    import shutil
+
+    shutil.copytree(out, bad)
+    files = sorted(glob.glob(str(bad / "waves" / "*" / "*.parquet")))
+    t = pq.read_table(files[0])
+    stored_idx = [i for i, v in enumerate(t.column("stored").to_pylist()) if v]
+    assert stored_idx
+    caps = t.column("caption").to_pylist()
+    caps[stored_idx[0]] = "WRONG CAPTION"
+    t = t.set_column(t.schema.get_field_index("caption"), "caption",
+                     pa.array(caps, pa.string()))
+    pq.write_table(t, files[0])
+    rep2 = validate_payload_fidelity(bad, 2000, 42).to_pylist()
+    assert sum(r["n_caption_mismatch"] for r in rep2) == 1
+    assert any(not r["pass_40db"] for r in rep2)
