@@ -488,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_channel_stats": _image_channel_stats,
         "crawl_channel_stats": _crawl_channel_stats,
         "crawl_payload_fidelity": _crawl_payload_fidelity,
+        "export_webdataset_shards": _export_webdataset_shards,
         "phash_near_dup": _phash_near_dup,
         # hamming-radius pHash pairs (re-encoded/resized copies land a
         # few bits off the exact hash; shared 4-band pigeonhole kernel;
@@ -1140,6 +1141,19 @@ def _crawl_channel_stats(sf_dir: str) -> Any:
     out = Path("/tmp/newscrawler_ray_crawl_chanstats_out")
     run_crawl(fx, out, n_seen_shards=2, n_frontier_shards=2, checkpoint=False)
     return crawl_channel_stats(out)
+
+
+def _export_webdataset_shards(sf_dir: str) -> Any:
+    """Rows-only: WebDataset-style tar export of the curated image
+    corpus (deterministic tar bytes, resume-by-existence; byte-identity
+    + readback + resume tests in tests/test_vision.py)."""
+    import shutil
+
+    from newscrawler_ray.pipelines.vision import export_webdataset_shards
+
+    out = Path("/tmp/newscrawler_ray_wds_export")
+    shutil.rmtree(out, ignore_errors=True)
+    return export_webdataset_shards(_fixture_images(), out, n_shards=8)
 
 
 def _crawl_payload_fidelity(sf_dir: str) -> Any:

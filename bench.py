@@ -177,6 +177,7 @@ QUERY_NAMES = [
     "link_degree_assortativity",
     "apply_changes_docs",
     "crawl_payload_fidelity",
+    "export_webdataset_shards",
 ]
 
 

@@ -1144,3 +1144,140 @@ def augment_images(
         batch_size=batch_size,
         concurrency=_pool_width(concurrency),
     )
+
+
+def export_webdataset_shards(
+    images_path: "str | Path",
+    out_dir: "str | Path",
+    *,
+    n_shards: int = 8,
+    **curate_kwargs,
+) -> pa.Table:
+    """Resumable WebDataset-style tar export of the curated image-text
+    corpus — the loader format image pre-training actually consumes
+    (one ``shard-NNNNN.tar`` per id-hash shard; members
+    ``{image_id}.{fmt}`` = payload bytes and ``{image_id}.txt`` =
+    caption, in sorted id order). Complements ``export_image_shards``'
+    parquet dirs: parquet for engines, tars for dataloaders.
+
+    Determinism + resume: tar member metadata is pinned (mtime 0,
+    uid/gid 0, mode 0644, USTAR), member order is the sorted id order,
+    so a rewritten shard is byte-identical; each shard streams to
+    ``.tmp`` and ``os.replace``s into place — the final tar's existence
+    IS the done marker, a crash leaves only a ``.tmp`` the rerun
+    overwrites. Payload bytes move only through the per-shard group
+    (1/n_shards of the corpus), never a corpus-wide exchange.
+
+    Returns the (shard, n_rows, n_bytes, skipped) manifest."""
+    import ray
+
+    from ..functions.hashing import hash_string_array
+    from ..functions.joins import make_broadcast_semijoin_fn
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    keep = curate_image_corpus(images_path, **curate_kwargs)
+    ids = pa.concat_tables(
+        [b for b in keep.iter_batches(batch_format="pyarrow") if b.num_rows]
+        or [pa.table({"image_id": pa.array([], pa.string())})]
+    ).column("image_id").combine_chunks()
+    keep_ref = ray.put(ids)
+    src = _images_source(
+        images_path, ["image_id", "bytes", "fmt", "caption"]
+    )
+    kept = src.map_batches(
+        make_broadcast_semijoin_fn("image_id", keep_ref), batch_format="pyarrow"
+    )
+
+    done: dict[int, tuple[int, int]] = {}
+    pending = []
+    for s in range(n_shards):
+        tar_path = out_dir / f"shard-{s:05d}.tar"
+        if tar_path.exists():
+            done[s] = (-1, int(tar_path.stat().st_size))
+        else:
+            pending.append(s)
+    manifest = {s: (n, b, True) for s, (n, b) in done.items()}
+
+    if pending:
+        pend_set = pa.array(pending, pa.int64())
+
+        def add_shard(batch: pa.Table) -> pa.Table:
+            h = hash_string_array(batch.column("image_id"))
+            sh = pa.array((h % np.uint64(n_shards)).astype(np.int64), pa.int64())
+            out = batch.append_column("shard", sh)
+            return out.filter(pc.is_in(out.column("shard"), value_set=pend_set))
+
+        out_str = str(out_dir)
+
+        def write_tar(group: pa.Table) -> pa.Table:
+            import io
+            import os
+            import tarfile
+
+            s = int(group.column("shard")[0].as_py())
+            order = pc.sort_indices(group.column("image_id"))
+            g = group.take(order)
+            buf = io.BytesIO()
+            with tarfile.open(
+                fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+            ) as tf:
+                for iid, raw, fmt, cap in zip(
+                    g.column("image_id").to_pylist(),
+                    g.column("bytes").to_pylist(),
+                    g.column("fmt").to_pylist(),
+                    g.column("caption").to_pylist(),
+                ):
+                    for name, payload in (
+                        (f"{iid}.{fmt}", raw),
+                        (f"{iid}.txt", (cap or "").encode()),
+                    ):
+                        info = tarfile.TarInfo(name)
+                        info.size = len(payload)
+                        info.mtime = 0
+                        info.uid = info.gid = 0
+                        info.mode = 0o644
+                        tf.addfile(info, io.BytesIO(payload))
+            data = buf.getvalue()
+            tmp = os.path.join(out_str, f"shard-{s:05d}.tar.tmp")
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, os.path.join(out_str, f"shard-{s:05d}.tar"))
+            return pa.table(
+                {"shard": pa.array([s], pa.int64()),
+                 "n_rows": pa.array([group.num_rows], pa.int64()),
+                 "n_bytes": pa.array([len(data)], pa.int64())}
+            )
+
+        written = (
+            kept.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("shard")
+            .map_groups(write_tar, batch_format="pyarrow")
+        )
+        for b in written.iter_batches(batch_format="pyarrow"):
+            if b.num_columns and b.num_rows:
+                for r in b.to_pylist():
+                    manifest[r["shard"]] = (r["n_rows"], r["n_bytes"], False)
+        # pending shards that received zero rows still need an (empty,
+        # deterministic) tar so resume state is complete
+        import io as _io
+        import tarfile as _tarfile
+
+        for s in pending:
+            if s not in manifest:
+                buf = _io.BytesIO()
+                _tarfile.open(fileobj=buf, mode="w", format=_tarfile.USTAR_FORMAT).close()
+                p = out_dir / f"shard-{s:05d}.tar"
+                p.write_bytes(buf.getvalue())
+                manifest[s] = (0, len(buf.getvalue()), False)
+
+    shards = sorted(manifest)
+    return pa.table(
+        {
+            "shard": pa.array(shards, pa.int64()),
+            "n_rows": pa.array([manifest[s][0] for s in shards], pa.int64()),
+            "n_bytes": pa.array([manifest[s][1] for s in shards], pa.int64()),
+            "skipped": pa.array([manifest[s][2] for s in shards], pa.bool_()),
+        }
+    )

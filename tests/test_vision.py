@@ -654,3 +654,71 @@ def test_validate_payload_fidelity(ray_session, fixture_dir, tmp_path):
     rep2 = validate_payload_fidelity(bad, 2000, 42).to_pylist()
     assert sum(r["n_caption_mismatch"] for r in rep2) == 1
     assert any(not r["pass_40db"] for r in rep2)
+
+
+def test_export_webdataset_shards(ray_session, fixture_dir, tmp_path):
+    """Tar export: members read back byte-equal to the curated rows,
+    reruns are byte-identical AND skip every finished shard, and a
+    deleted shard is rebuilt bit-for-bit."""
+    import hashlib
+    import tarfile
+
+    out = tmp_path / "wds"
+    m1 = vision.export_webdataset_shards(
+        fixture_dir / "images.parquet", out, n_shards=4
+    )
+    assert sorted(m1.column("shard").to_pylist()) == [0, 1, 2, 3]
+    assert not any(m1.column("skipped").to_pylist())
+    digests = {
+        p.name: hashlib.sha256(p.read_bytes()).hexdigest()
+        for p in sorted(out.glob("shard-*.tar"))
+    }
+    assert len(digests) == 4
+
+    # member readback: every curated survivor appears exactly once with
+    # its payload bytes and caption
+    survivors = {
+        r["image_id"]
+        for r in vision.curate_image_corpus(fixture_dir / "images.parquet").take_all()
+    }
+    src = pq.read_table(
+        fixture_dir / "images.parquet",
+        columns=["image_id", "bytes", "fmt", "caption"],
+    )
+    by_id = {
+        r["image_id"]: r for r in src.to_pylist() if r["image_id"] in survivors
+    }
+    seen = {}
+    for p in sorted(out.glob("shard-*.tar")):
+        with tarfile.open(p) as tf:
+            for mem in tf.getmembers():
+                assert mem.mtime == 0 and mem.uid == 0
+                stem, ext = mem.name.rsplit(".", 1)
+                data = tf.extractfile(mem).read()
+                if ext == "txt":
+                    assert data.decode() == by_id[stem]["caption"]
+                else:
+                    assert ext == by_id[stem]["fmt"]
+                    assert data == by_id[stem]["bytes"]
+                    seen[stem] = True
+    assert set(seen) == survivors
+
+    # rerun: all shards skipped, bytes untouched
+    m2 = vision.export_webdataset_shards(
+        fixture_dir / "images.parquet", out, n_shards=4
+    )
+    assert all(m2.column("skipped").to_pylist())
+    assert digests == {
+        p.name: hashlib.sha256(p.read_bytes()).hexdigest()
+        for p in sorted(out.glob("shard-*.tar"))
+    }
+
+    # crash recovery: a missing shard rebuilds byte-identically
+    victim = sorted(out.glob("shard-*.tar"))[1]
+    name = victim.name
+    victim.unlink()
+    m3 = vision.export_webdataset_shards(
+        fixture_dir / "images.parquet", out, n_shards=4
+    )
+    assert m3.column("skipped").to_pylist().count(False) == 1
+    assert hashlib.sha256((out / name).read_bytes()).hexdigest() == digests[name]
