@@ -489,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_channel_stats": _crawl_channel_stats,
         "crawl_payload_fidelity": _crawl_payload_fidelity,
         "export_webdataset_shards": _export_webdataset_shards,
+        "mixup_images": _mixup_images,
         "phash_near_dup": _phash_near_dup,
         # hamming-radius pHash pairs (re-encoded/resized copies land a
         # few bits off the exact hash; shared 4-band pigeonhole kernel;
@@ -1141,6 +1142,15 @@ def _crawl_channel_stats(sf_dir: str) -> Any:
     out = Path("/tmp/newscrawler_ray_crawl_chanstats_out")
     run_crawl(fx, out, n_seen_shards=2, n_frontier_shards=2, checkpoint=False)
     return crawl_channel_stats(out)
+
+
+def _mixup_images(sf_dir: str) -> Any:
+    """Rows-only: deterministic MixUp over the augmented corpus
+    (sf_dir-independent input; blend/lambda/determinism oracles in
+    tests/test_vision.py)."""
+    from newscrawler_ray.pipelines.vision import mixup_images
+
+    return mixup_images(_fixture_images())
 
 
 def _export_webdataset_shards(sf_dir: str) -> Any:

@@ -1281,3 +1281,101 @@ def export_webdataset_shards(
             "skipped": pa.array([manifest[s][2] for s in shards], pa.bool_()),
         }
     )
+
+
+def mixup_images(
+    images_path: "str | Path | rd.Dataset",
+    *,
+    seed: int = 0,
+    out_w: int = 64,
+    out_h: int = 64,
+    lam_lo: float = 0.3,
+    lam_hi: float = 0.7,
+    num_buckets: int | None = None,
+) -> rd.Dataset:
+    """Deterministic MixUp (Zhang et al. 2018) over the augmented
+    corpus: each sample blends with a partner image, pixels
+    ``lam * x_i + (1 - lam) * x_partner`` — the regularization pass a
+    vision-training loader applies after augmentation.
+
+    MixUp is the one preprocessing stage that genuinely needs PAYLOAD
+    CO-LOCATION (two images must meet in one task), so unlike the pure
+    per-row augment map it pays exactly one payload exchange: rows
+    hash into ~4-per-CPU Knuth buckets, and inside each bucket the
+    sorted-id RING picks partners (i mixes with i+1, last wraps to
+    first) — partner choice and the per-row lambda
+    (``splitmix64(id ^ seed)`` scaled into [lam_lo, lam_hi]) are pure
+    functions of (ids-in-bucket, seed), so any partitioning and any
+    rerun produce byte-identical output. Buckets bound the exchange:
+    each task holds ~1/B of the payload, never the corpus.
+
+    Input rows must share one (w, h) — feed it ``augment_images``
+    output (fixed out_w x out_h, lossless ppm). Output: (image_id,
+    partner_id, lam round-6, bytes ppm, fmt, w, h, mix_error)."""
+    import ray
+
+    from ..functions.hashing import splitmix64
+    from .. import codecs
+
+    B = (
+        max(8, int(ray.cluster_resources().get("CPU", 4)) * 4)
+        if num_buckets is None
+        else num_buckets
+    )
+    aug = augment_images(images_path, seed=seed, out_w=out_w, out_h=out_h)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ok = pc.is_null(batch.column("aug_error"))
+        batch = batch.filter(ok).select(["image_id", "bytes"])
+        ids = _image_id_to_int(batch.column("image_id")).to_numpy()
+        h = splitmix64(ids.astype(np.uint64) ^ np.uint64(seed * 2 + 1))
+        return batch.append_column(
+            "part", pa.array((h % np.uint64(B)).astype(np.int64), pa.int64())
+        )
+
+    def mix(group: pa.Table) -> pa.Table:
+        from ..stages import pin_worker_threads
+
+        pin_worker_threads()
+        ids_str = group.column("image_id")
+        ids = _image_id_to_int(ids_str).to_numpy()
+        order = np.argsort(ids)
+        g = group.take(pa.array(order))
+        ids = ids[order]
+        n = len(ids)
+        raw = g.column("bytes").to_pylist()
+        imgs = [codecs.decode_ppm(b).astype(np.float64) for b in raw]
+        draws = splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+        # divide by a FLOAT 2^64: a huge Python-int divisor flips numpy
+        # into object dtype
+        lam = lam_lo + (draws.astype(np.float64) / 2.0**64) * (lam_hi - lam_lo)
+        out_bytes: list = [None] * n
+        errs: list = [None] * n
+        for i in range(n):
+            j = (i + 1) % n
+            try:
+                mixed = lam[i] * imgs[i] + (1.0 - lam[i]) * imgs[j]
+                out_bytes[i] = codecs.encode_ppm(
+                    np.clip(np.round(mixed), 0, 255).astype(np.uint8)
+                )
+            except Exception as e:  # noqa: BLE001 — error-as-record
+                errs[i] = str(e)
+        partner = np.roll(ids, -1)
+        return pa.table(
+            {
+                "image_id": ids_str.take(pa.array(order)),
+                "partner_id": pa.array(_int_to_image_id(partner), pa.string()),
+                "lam": pa.array(np.round(lam, 6), pa.float64()),
+                "bytes": pa.array(out_bytes, pa.binary()),
+                "fmt": pa.array(["ppm"] * n, pa.string()),
+                "w": pa.array(np.full(n, out_w, np.int64), pa.int32()),
+                "h": pa.array(np.full(n, out_h, np.int64), pa.int32()),
+                "mix_error": pa.array(errs, pa.string()),
+            }
+        )
+
+    return (
+        aug.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(mix, batch_format="pyarrow")
+    )
