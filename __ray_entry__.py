@@ -489,6 +489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_channel_stats": _crawl_channel_stats,
         "crawl_payload_fidelity": _crawl_payload_fidelity,
         "export_webdataset_shards": _export_webdataset_shards,
+        "read_webdataset_shards": _read_webdataset_shards,
         "mixup_images": _mixup_images,
         "phash_near_dup": _phash_near_dup,
         # hamming-radius pHash pairs (re-encoded/resized copies land a
@@ -1142,6 +1143,24 @@ def _crawl_channel_stats(sf_dir: str) -> Any:
     out = Path("/tmp/newscrawler_ray_crawl_chanstats_out")
     run_crawl(fx, out, n_seen_shards=2, n_frontier_shards=2, checkpoint=False)
     return crawl_channel_stats(out)
+
+
+def _read_webdataset_shards(sf_dir: str) -> Any:
+    """Rows-only: the loader half of the WebDataset export — tar shards
+    back to pair rows (roundtrip + torn-shard tests in
+    tests/test_vision.py). Depends on the export query's output dir;
+    runs its own export first for independence."""
+    import shutil
+
+    from newscrawler_ray.pipelines.vision import (
+        export_webdataset_shards,
+        read_webdataset_shards,
+    )
+
+    out = Path("/tmp/newscrawler_ray_wds_read")
+    shutil.rmtree(out, ignore_errors=True)
+    export_webdataset_shards(_fixture_images(), out, n_shards=8)
+    return read_webdataset_shards(out).drop_columns(["bytes"])
 
 
 def _mixup_images(sf_dir: str) -> Any:

@@ -178,6 +178,7 @@ QUERY_NAMES = [
     "apply_changes_docs",
     "crawl_payload_fidelity",
     "export_webdataset_shards",
+    "read_webdataset_shards",
     "mixup_images",
 ]
 

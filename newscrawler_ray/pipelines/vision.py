@@ -1379,3 +1379,48 @@ def mixup_images(
         .groupby("part")
         .map_groups(mix, batch_format="pyarrow")
     )
+
+
+def read_webdataset_shards(shards_dir: "str | Path") -> rd.Dataset:
+    """Read a WebDataset-style shard directory back into (image_id,
+    bytes, fmt, caption) rows — the loader half of
+    ``export_webdataset_shards`` (write for trainers, read for
+    everything that audits what trainers will see).
+
+    One flat_map task per tar: shards parallelize across the cluster,
+    members stream inside their shard (tar has no random access — the
+    shard IS the parallelism unit, which is why the export bounds shard
+    size). Pairing is by member stem: ``{id}.{fmt}`` carries payload,
+    ``{id}.txt`` the caption; a payload member with no caption (or vice
+    versa) raises — a torn shard must fail loudly, not feed a trainer
+    half-pairs."""
+    from pathlib import Path as _P
+
+    paths = sorted(str(p) for p in _P(shards_dir).glob("shard-*.tar"))
+    src = rd.from_items([{"path": p} for p in paths])
+
+    def read_tar(row: dict) -> list[dict]:
+        import tarfile
+
+        pay: dict[str, tuple[bytes, str]] = {}
+        cap: dict[str, str] = {}
+        with tarfile.open(row["path"]) as tf:
+            for mem in tf.getmembers():
+                stem, ext = mem.name.rsplit(".", 1)
+                data = tf.extractfile(mem).read()
+                if ext == "txt":
+                    cap[stem] = data.decode()
+                else:
+                    pay[stem] = (data, ext)
+        if set(pay) != set(cap):
+            raise ValueError(
+                f"torn webdataset shard {row['path']}: "
+                f"{len(pay)} payloads vs {len(cap)} captions"
+            )
+        return [
+            {"image_id": k, "bytes": pay[k][0], "fmt": pay[k][1],
+             "caption": cap[k]}
+            for k in sorted(pay)
+        ]
+
+    return src.flat_map(read_tar)

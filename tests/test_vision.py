@@ -771,3 +771,46 @@ def test_mixup_images_planted(ray_session, fixture_dir):
     same = {r["image_id"]: r for r in vision.mixup_images(src, seed=3).take_all()}
     assert all(same[k]["bytes"] == out[k]["bytes"] for k in out)
     assert all(abs(again[k]["lam"] - out[k]["lam"]) < 1e-12 for k in out)
+
+
+def test_read_webdataset_roundtrip(ray_session, fixture_dir, tmp_path):
+    """write -> read roundtrip: every curated row comes back byte-equal;
+    a torn shard (payload without caption) fails loudly."""
+    import tarfile
+
+    out = tmp_path / "wds"
+    vision.export_webdataset_shards(fixture_dir / "images.parquet", out, n_shards=4)
+    back = {r["image_id"]: r for r in vision.read_webdataset_shards(out).take_all()}
+    src = {
+        r["image_id"]: r
+        for r in pq.read_table(
+            fixture_dir / "images.parquet",
+            columns=["image_id", "bytes", "fmt", "caption"],
+        ).to_pylist()
+    }
+    survivors = {
+        r["image_id"]
+        for r in vision.curate_image_corpus(fixture_dir / "images.parquet").take_all()
+    }
+    assert set(back) == survivors
+    for k, r in back.items():
+        assert r["bytes"] == src[k]["bytes"]
+        assert r["fmt"] == src[k]["fmt"]
+        assert r["caption"] == src[k]["caption"]
+
+    # torn shard: strip every .txt member from one tar
+    victim = sorted(out.glob("shard-*.tar"))[0]
+    kept = []
+    with tarfile.open(victim) as tf:
+        for mem in tf.getmembers():
+            if not mem.name.endswith(".txt"):
+                kept.append((mem, tf.extractfile(mem).read()))
+    import io
+
+    with tarfile.open(victim, "w", format=tarfile.USTAR_FORMAT) as tf:
+        for mem, data in kept:
+            tf.addfile(mem, io.BytesIO(data))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="torn webdataset shard"):
+        vision.read_webdataset_shards(out).take_all()
