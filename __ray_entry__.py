@@ -454,6 +454,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC MERGE: insert/update/delete stream applied in one grouped
         # winner pass (K1/K2 upsert generalized)
         "apply_changes_docs": Q.apply_changes_docs,
+        # deterministic EDA token dropout (hash-decided, SQL-exact)
+        "token_dropout_docs": _token_dropout_docs,
         # Newman degree assortativity of the link graph (hub→hub vs
         # hub→leaf; frontier-growth predictor)
         "link_degree_assortativity": _link_degree_assortativity,
@@ -669,6 +671,14 @@ def _bigram_ttr_by_source(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.corpusstats import bigram_ttr_by_source
 
     return bigram_ttr_by_source(sf_dir)
+
+
+def _token_dropout_docs(sf_dir: str) -> Any:
+    """SQL-paired: deterministic ~10% token dropout, hash-decided per
+    (doc_id, position)."""
+    from newscrawler_ray.pipelines.textstats import token_dropout_docs
+
+    return token_dropout_docs(sf_dir)
 
 
 def _link_degree_assortativity(sf_dir: str) -> Any:
@@ -2657,6 +2667,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_edges,
                    round(corr(od.outd, idg.ind) + 1e-9, 4) AS assortativity
             FROM e JOIN od ON e.src = od.src JOIN idg ON e.dst = idg.dst""",
+        "token_dropout_docs": r"""
+            WITH wl AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> '') AS w
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(w)::BIGINT AS n_tokens,
+                   (len(w) - len([w[i] FOR i IN generate_series(1, len(w))
+                     IF ((doc_id * 1000003 + i) % 2147483648)
+                        * 2654435761 % 2147483648 >= 214748365]))::BIGINT
+                       AS n_dropped,
+                   array_to_string([w[i] FOR i IN generate_series(1, len(w))
+                     IF ((doc_id * 1000003 + i) % 2147483648)
+                        * 2654435761 % 2147483648 >= 214748365], ' ')
+                       AS aug_text
+            FROM wl""",
         "apply_changes_docs": """
             WITH changes AS (
               SELECT doc_id, 'updated ' || CAST(doc_id AS VARCHAR) AS text,

@@ -177,9 +177,11 @@ QUERY_NAMES = [
     "link_degree_assortativity",
     "apply_changes_docs",
     "crawl_payload_fidelity",
+    "crawl_channel_stats",
     "export_webdataset_shards",
     "read_webdataset_shards",
     "mixup_images",
+    "token_dropout_docs",
 ]
 
 

@@ -708,3 +708,66 @@ def char_entropy_docs(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(ent, batch_format="pyarrow")
+
+
+def token_dropout_docs(sf_dir: str, *, rate_num: int = 214748365) -> rd.Dataset:
+    """Deterministic token dropout (the text half of EDA augmentation,
+    Wei & Zou 2019): drop ~10% of each doc's whitespace tokens, chosen
+    by a Knuth multiplicative hash of (doc_id, position) — reruns and
+    retried partitions augment identically (no RNG state), and the
+    integer hash is SQL-expressible, so the whole augmentation carries
+    a hard DuckDB oracle (the ``hash_sample_events`` precedent applied
+    to a TRANSFORM).
+
+    Hash: h = ((doc_id * 1000003 + pos) % 2^31) * 2654435761 % 2^31,
+    drop when h < rate_num (default ~10% of 2^31). Every step stays
+    under 2^63 so DuckDB BIGINT and numpy int64 agree exactly.
+
+    Shuffle-free: one vectorized map (split offsets -> per-token
+    position arithmetic -> masked rejoin). Output: (doc_id, n_tokens,
+    n_dropped, aug_text) — aug_text joins survivors with single spaces
+    (the normalized stream convention of ``strip_dup_spans``)."""
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def drop(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column("text"), "")
+        lists = pc.split_pattern_regex(texts, r"\s+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        offs = lists.offsets.to_numpy()
+        flat = lists.values.slice(offs[0], offs[-1] - offs[0])
+        keep_tok = pc.not_equal(pc.binary_length(flat), 0)
+        keep_np = keep_tok.to_numpy(zero_copy_only=False)
+        n_docs = batch.num_rows
+        doc_raw = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(offs))
+        doc_of = doc_raw[keep_np]
+        toks = flat.filter(keep_tok)
+        lens = np.bincount(doc_of, minlength=n_docs)
+        starts = np.zeros(n_docs, np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        # 1-based position within the doc (matches SQL generate_series)
+        pos = np.arange(len(doc_of), dtype=np.int64) - starts[doc_of] + 1
+        ids = batch.column("doc_id").to_numpy()
+        h = ((ids[doc_of] * 1000003 + pos) % 2147483648) * 2654435761 % 2147483648
+        kept = h >= rate_num
+        # masked rejoin: null out dropped tokens, binary_join skips null
+        # only with null_handling — rebuild per doc via list slices
+        tok_np = toks.to_pylist()
+        out_txt = []
+        n_drop = np.zeros(n_docs, np.int64)
+        np.add.at(n_drop, doc_of[~kept], 1)
+        for d in range(n_docs):
+            s, e = int(starts[d]), int(starts[d] + lens[d])
+            out_txt.append(
+                " ".join(t for t, k in zip(tok_np[s:e], kept[s:e]) if k)
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "n_dropped": pa.array(n_drop, pa.int64()),
+                "aug_text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    return ds.map_batches(drop, batch_format="pyarrow")
