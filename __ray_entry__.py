@@ -1126,33 +1126,44 @@ def _image_near_dup_emb(sf_dir: str) -> Any:
     return image_near_dup_emb(_fixture_images())
 
 
+_CRAWL_OUT_MEMO: dict = {}
+
+
+def _shared_crawl_out(n_urls: int = 600) -> Path:
+    """One deterministic 600-URL crawl per PROCESS feeds every
+    crawl-tier query (curate / channel stats / fidelity) — review r3c:
+    three byte-identical run_crawl invocations per bench pass. The
+    first caller crawls (overwriting any stale dir from an older code
+    version); later callers in the same process reuse the output."""
+    from newscrawler_ray.pipelines.crawl import run_crawl
+    from newscrawler_ray.synth import default_fixture_dir, gen_fixtures
+
+    out = _CRAWL_OUT_MEMO.get(n_urls)
+    if out is None:
+        fx = gen_fixtures(default_fixture_dir(n_urls), n_urls=n_urls, seed=42)
+        out = Path(f"/tmp/newscrawler_ray_shared_crawl_{n_urls}")
+        run_crawl(fx, out, n_seen_shards=2, n_frontier_shards=2, checkpoint=False)
+        _CRAWL_OUT_MEMO[n_urls] = out
+    return out
+
+
 def _curate_crawl_output(sf_dir: str) -> Any:
     """Rows-only: the tier composition — crawl the synthetic web, then
     run the full image-curation pass over the stored payload (first-wins
     image dedup without shuffling bytes; manual-dedup equality in
     tests/test_vision.py)."""
-    from newscrawler_ray.pipelines.crawl import run_crawl
     from newscrawler_ray.pipelines.vision import curate_crawl_output
-    from newscrawler_ray.synth import default_fixture_dir, gen_fixtures
 
-    fx = gen_fixtures(default_fixture_dir(600), n_urls=600, seed=42)
-    out = Path("/tmp/newscrawler_ray_curate_crawl_out")
-    run_crawl(fx, out, n_seen_shards=2, n_frontier_shards=2, checkpoint=False)
-    return curate_crawl_output(out, min_w=16, min_h=16)
+    return curate_crawl_output(_shared_crawl_out(), min_w=16, min_h=16)
 
 
 def _crawl_channel_stats(sf_dir: str) -> Any:
     """Rows-only: crawl -> deduped corpus normalization constants
     (duplicate fetches must not bias the stats; dedup-equality oracle in
     tests/test_vision.py)."""
-    from newscrawler_ray.pipelines.crawl import run_crawl
     from newscrawler_ray.pipelines.vision import crawl_channel_stats
-    from newscrawler_ray.synth import default_fixture_dir, gen_fixtures
 
-    fx = gen_fixtures(default_fixture_dir(600), n_urls=600, seed=42)
-    out = Path("/tmp/newscrawler_ray_crawl_chanstats_out")
-    run_crawl(fx, out, n_seen_shards=2, n_frontier_shards=2, checkpoint=False)
-    return crawl_channel_stats(out)
+    return crawl_channel_stats(_shared_crawl_out())
 
 
 def _read_webdataset_shards(sf_dir: str) -> Any:
@@ -1199,14 +1210,9 @@ def _crawl_payload_fidelity(sf_dir: str) -> Any:
     """Rows-only: the north-rule acceptance invariant (pixels allclose /
     PSNR >= 40 dB for lossy, caption equality) run corpus-wide over a
     crawl's stored rows as a per-format fidelity report."""
-    from newscrawler_ray.pipelines.crawl import run_crawl
     from newscrawler_ray.pipelines.multimodal import validate_payload_fidelity
-    from newscrawler_ray.synth import default_fixture_dir, gen_fixtures
 
-    fx = gen_fixtures(default_fixture_dir(600), n_urls=600, seed=42)
-    out = Path("/tmp/newscrawler_ray_crawl_fidelity_out")
-    run_crawl(fx, out, n_seen_shards=2, n_frontier_shards=2, checkpoint=False)
-    return validate_payload_fidelity(out, n_urls=600, seed=42)
+    return validate_payload_fidelity(_shared_crawl_out(), n_urls=600, seed=42)
 
 
 def _image_knn(sf_dir: str) -> Any:

@@ -827,6 +827,29 @@ def image_knn_pq(
 # ------------------------------------------------------- curated export
 
 
+def _curated_kept_rows(
+    images_path: "str | Path", columns: list[str], **curate_kwargs
+) -> rd.Dataset:
+    """Shared exporter prologue: run curation, collect the survivor-id
+    set once, and semi-join the pruned payload read to it (broadcast
+    ``pc.is_in`` — no shuffle; ids are corpus-survivor-sized, the same
+    driver class as the IVF training sample)."""
+    import ray
+
+    from ..functions.joins import make_broadcast_semijoin_fn
+
+    keep = curate_image_corpus(images_path, **curate_kwargs)
+    ids = pa.concat_tables(
+        [b for b in keep.iter_batches(batch_format="pyarrow") if b.num_rows]
+        or [pa.table({"image_id": pa.array([], pa.string())})]
+    ).column("image_id").combine_chunks()
+    keep_ref = ray.put(ids)
+    src = _images_source(images_path, columns)
+    return src.map_batches(
+        make_broadcast_semijoin_fn("image_id", keep_ref), batch_format="pyarrow"
+    )
+
+
 def export_image_shards(
     images_path: "str | Path",
     out_dir: "str | Path",
@@ -848,25 +871,14 @@ def export_image_shards(
     (1/n_shards of the corpus) — never a corpus-wide exchange.
     """
     from ..functions.hashing import hash_string_array
-    from ..functions.joins import make_broadcast_semijoin_fn
     from .corpusstats import _resumable_shard_write
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    import ray
-
-    keep = curate_image_corpus(images_path, **curate_kwargs)
-    ids = pa.concat_tables(
-        [b for b in keep.iter_batches(batch_format="pyarrow") if b.num_rows]
-        or [pa.table({"image_id": pa.array([], pa.string())})]
-    ).column("image_id").combine_chunks()
-    keep_ref = ray.put(ids)
-    src = _images_source(
+    kept = _curated_kept_rows(
         images_path,
         ["image_id", "bytes", "w", "h", "fmt", "caption", "phash"],
-    )
-    kept = src.map_batches(
-        make_broadcast_semijoin_fn("image_id", keep_ref), batch_format="pyarrow"
+        **curate_kwargs,
     )
 
     def add_shard(batch: pa.Table) -> pa.Table:
@@ -1168,39 +1180,30 @@ def export_webdataset_shards(
     overwrites. Payload bytes move only through the per-shard group
     (1/n_shards of the corpus), never a corpus-wide exchange.
 
-    Returns the (shard, n_rows, n_bytes, skipped) manifest."""
-    import ray
-
+    Returns the (shard, n_rows, n_bytes, skipped) manifest; skipped
+    shards report ``n_rows`` NULL (the export does not reopen finished
+    tars to recount members)."""
     from ..functions.hashing import hash_string_array
-    from ..functions.joins import make_broadcast_semijoin_fn
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    keep = curate_image_corpus(images_path, **curate_kwargs)
-    ids = pa.concat_tables(
-        [b for b in keep.iter_batches(batch_format="pyarrow") if b.num_rows]
-        or [pa.table({"image_id": pa.array([], pa.string())})]
-    ).column("image_id").combine_chunks()
-    keep_ref = ray.put(ids)
-    src = _images_source(
-        images_path, ["image_id", "bytes", "fmt", "caption"]
-    )
-    kept = src.map_batches(
-        make_broadcast_semijoin_fn("image_id", keep_ref), batch_format="pyarrow"
-    )
-
-    done: dict[int, tuple[int, int]] = {}
+    # resume scan FIRST: a fully-finished export must cost n_shards
+    # stat calls, not a curation pass (review r3c)
     pending = []
+    manifest: dict[int, tuple[int | None, int, bool]] = {}
     for s in range(n_shards):
         tar_path = out_dir / f"shard-{s:05d}.tar"
         if tar_path.exists():
-            done[s] = (-1, int(tar_path.stat().st_size))
+            manifest[s] = (None, int(tar_path.stat().st_size), True)
         else:
             pending.append(s)
-    manifest = {s: (n, b, True) for s, (n, b) in done.items()}
 
     if pending:
+        kept = _curated_kept_rows(
+            images_path, ["image_id", "bytes", "fmt", "caption"],
+            **curate_kwargs,
+        )
         pend_set = pa.array(pending, pa.int64())
 
         def add_shard(batch: pa.Table) -> pa.Table:
@@ -1260,16 +1263,19 @@ def export_webdataset_shards(
                 for r in b.to_pylist():
                     manifest[r["shard"]] = (r["n_rows"], r["n_bytes"], False)
         # pending shards that received zero rows still need an (empty,
-        # deterministic) tar so resume state is complete
+        # deterministic) tar so resume state is complete — written via
+        # the same tmp + os.replace atomicity as streamed shards
         import io as _io
+        import os as _os
         import tarfile as _tarfile
 
         for s in pending:
             if s not in manifest:
                 buf = _io.BytesIO()
                 _tarfile.open(fileobj=buf, mode="w", format=_tarfile.USTAR_FORMAT).close()
-                p = out_dir / f"shard-{s:05d}.tar"
-                p.write_bytes(buf.getvalue())
+                tmp = out_dir / f"shard-{s:05d}.tar.tmp"
+                tmp.write_bytes(buf.getvalue())
+                _os.replace(tmp, out_dir / f"shard-{s:05d}.tar")
                 manifest[s] = (0, len(buf.getvalue()), False)
 
     shards = sorted(manifest)
@@ -1347,8 +1353,13 @@ def mixup_images(
         imgs = [codecs.decode_ppm(b).astype(np.float64) for b in raw]
         draws = splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
         # divide by a FLOAT 2^64: a huge Python-int divisor flips numpy
-        # into object dtype
-        lam = lam_lo + (draws.astype(np.float64) / 2.0**64) * (lam_hi - lam_lo)
+        # into object dtype. Round to the EMITTED precision before
+        # blending — the lam column must reproduce its own bytes
+        # (review r3c: blending with unrounded lam left ~0.4% of rows
+        # unreproducible from the emitted columns)
+        lam = np.round(
+            lam_lo + (draws.astype(np.float64) / 2.0**64) * (lam_hi - lam_lo), 6
+        )
         out_bytes: list = [None] * n
         errs: list = [None] * n
         for i in range(n):
@@ -1365,7 +1376,7 @@ def mixup_images(
             {
                 "image_id": ids_str.take(pa.array(order)),
                 "partner_id": pa.array(_int_to_image_id(partner), pa.string()),
-                "lam": pa.array(np.round(lam, 6), pa.float64()),
+                "lam": pa.array(lam, pa.float64()),
                 "bytes": pa.array(out_bytes, pa.binary()),
                 "fmt": pa.array(["ppm"] * n, pa.string()),
                 "w": pa.array(np.full(n, out_w, np.int64), pa.int32()),

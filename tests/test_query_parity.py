@@ -80,7 +80,11 @@ def test_every_query_has_oracle_or_is_marked():
                                        # iterative BPE / composed tiers /
                                        # model-based mining: no SQL analog
                                        "train_bpe", "bpe_encode",
-                                       "prepare_training", "mine_hard"))
+                                       "prepare_training", "mine_hard",
+                                       # image-table / tar-side ops (the
+                                       # images table isn't a DuckDB view)
+                                       "mixup", "export_webdataset",
+                                       "read_webdataset"))
     }
 
 

@@ -745,8 +745,9 @@ def test_mixup_images_planted(ray_session, fixture_dir):
     B = 16  # recompute bucket assignment with the op's formula
     # (the op derives B from the cluster; re-derive per-row from hashes)
     ids = np.array([int(k.split("-")[1]) for k in aug], dtype=np.uint64)
-    some = sorted(out)[:5]
-    for k in some:
+    # EVERY row must reproduce from its own emitted (partner_id, lam)
+    # columns (review r3c: a sampled check missed rounding-boundary rows)
+    for k in sorted(out):
         r = out[k]
         i = int(k.split("-")[1])
         # find the partner via the emitted column and verify the blend
@@ -757,9 +758,10 @@ def test_mixup_images_planted(ray_session, fixture_dir):
         want = np.clip(np.round(lam * a + (1 - lam) * b), 0, 255).astype(np.uint8)
         got = codecs.decode_ppm(r["bytes"])
         np.testing.assert_array_equal(got, want)
-        # lambda reproduces from the hash contract
+        # lambda reproduces from the hash contract (round-6 is the
+        # emitted AND blended precision)
         d = splitmix64(np.array([i], dtype=np.uint64) ^ np.uint64(3))[0]
-        assert abs((0.3 + (d / 2**64) * 0.4) - lam) < 5e-7
+        assert round(0.3 + (d / 2**64) * 0.4, 6) == lam
     # determinism across partitionings
     again = {
         r["image_id"]: r
