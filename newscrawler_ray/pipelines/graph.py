@@ -268,12 +268,28 @@ def connected_components(
     empty_assign = rd.from_arrow(
         pa.table({"node": pa.array([], _I64), "component": pa.array([], _I64)})
     )
-    sch = edges.schema(fetch_if_missing=True)
-    if sch is None or len(sch.names) == 0:
+    # No fetch_if_missing here: fetching the schema of a lazy pair-mining
+    # lineage EXECUTES it (the root is an all-to-all), and the
+    # materialize below would then run the whole thing a second time —
+    # measured as ~2x wall on every *_dedup_docs pipeline. A
+    # pre-materialized empty edge set still short-circuits for free;
+    # lazy lineages that execute to zero pairs are caught by the
+    # checksum after the single materialization (_make_orient normalizes
+    # every block, including 0-column shuffle partitions, to (u, v)).
+    sch = edges.schema(fetch_if_missing=False)
+    if sch is not None and len(sch.names) == 0:
         return empty_assign  # no candidate pairs at all
     if num_partitions is None:
         num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)) // 2)
     ds = edges.map_batches(_make_orient(src, dst), batch_format="pyarrow")
+    # Bound the block count before the distinct: pair-mining stages can
+    # emit one (mostly tiny) block per task — e.g. embedding_near_dup's
+    # B(B+1)/2 block-pair tasks are 528 blocks at 32 CPUs — and the
+    # hash-shuffle groupby inherits its input block count, so every
+    # downstream pass would pay ~45 ms dispatch per tiny block (measured
+    # 11 s for an 84-edge set). The repartition moves only thin (u, v)
+    # rows and caps all star-round stages at num_partitions blocks.
+    ds = ds.repartition(num_partitions)
     ds = _distinct_uv(ds).materialize()
     prev = _checksum(ds)
     if prev[0] == 0:
