@@ -561,6 +561,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver recompute + priority-mapping tests in tests/)
         "recrawl_schedule": _recrawl_schedule,
         "recrawl_seed_urls": _recrawl_seed_urls,
+        # crawler-trap mining: (host, path template) URL counts (rows-only;
+        # DuckDB regexp oracle in tests/test_crawl_e2e.py)
+        "crawl_url_templates": _mine_url_templates,
     }
 
 
@@ -858,6 +861,16 @@ def _recrawl_seed_urls(sf_dir: str) -> Any:
 
     out_old, out_new = _recrawl_snapshots()
     return recrawl_seed_urls(out_old, out_new, k_top=100)
+
+
+def _mine_url_templates(sf_dir: str) -> Any:
+    """Rows-only: crawler-trap mining — (host, path template) URL counts
+    over the 1200-URL-world snapshot (sf_dir-independent input by design;
+    DuckDB regexp_replace+GROUP BY oracle in tests/test_crawl_e2e.py)."""
+    from newscrawler_ray.pipelines.crawl import mine_url_templates
+
+    _, out_new = _recrawl_snapshots()
+    return mine_url_templates(out_new, min_urls=5)
 
 
 def _crawl_pagerank(sf_dir: str) -> Any:

@@ -755,3 +755,62 @@ def recrawl_seed_urls(
     return tagged.sort(
         ["recrawl_priority", "url"], descending=[True, False]
     ).limit(k_top)
+
+
+def mine_url_templates(
+    out_dir: str | Path, *, min_urls: int = 20
+) -> rd.Dataset:
+    """Crawler-trap / infinite-URL-space detection over a crawl snapshot:
+    which (host, path template) pairs account for suspiciously many
+    distinct URLs. Calendar pages, session-id paths and faceted-search
+    spaces all collapse to one template with an unbounded URL count — the
+    signal a 10^10-URL frontier uses to cap admission per URL space
+    before a single host eats the crawl budget (the reference crawls a
+    fixed seed list and never meets traps; a frontier crawler does).
+
+    Template = URL path with every digit run collapsed to ``N`` (the
+    classic normalization; query strings and fragments never survive
+    canonicalization here). Emitted: (host, template, n_urls) for
+    templates with ``n_urls >= min_urls``, ordered hottest first —
+    deterministic tie-break on (host, template).
+
+    Shape: ONE vectorized RE2 pass per batch (scheme/host strip + digit
+    collapse — no Python per row) over thin (url, host) columns, then ONE
+    (host, template) hash aggregate of pre-counted rows; payload bytes
+    are never read and nothing lands on the driver. At 10^10 URLs the
+    exchange carries one row per distinct (host, template) — the
+    Heaps-law-bounded template vocabulary, not the URL space.
+    """
+    import pyarrow.compute as pc
+
+    pages = rd.read_parquet(
+        str(Path(out_dir) / "waves"), columns=["url", "host"]
+    )
+
+    def to_template(batch: pa.Table) -> pa.Table:
+        path = pc.replace_substring_regex(
+            batch.column("url"), r"^[a-z]+://[^/]*", ""
+        )
+        tmpl = pc.replace_substring_regex(path, r"[0-9]+", "N")
+        return pa.table({"host": batch.column("host"), "template": tmpl})
+
+    counts = (
+        pages.map_batches(to_template, batch_format="pyarrow")
+        .groupby(["host", "template"])
+        .count()
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("count()")
+        out = pa.table(
+            {
+                "host": batch.column("host"),
+                "template": batch.column("template"),
+                "n_urls": n,
+            }
+        )
+        return out.filter(pc.greater_equal(n, min_urls))
+
+    return counts.map_batches(finish, batch_format="pyarrow").sort(
+        ["n_urls", "host", "template"], descending=[True, False, False]
+    )

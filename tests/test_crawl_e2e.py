@@ -464,3 +464,35 @@ def test_resume_double_kill(ray_session, fixture_dir, tmp_path_factory, crawl_ru
     assert res["seen"] == oracle.seen
     assert crawl_order(out) == oracle.order
     assert res["makespan_ms"] == oracle.makespan_ms
+
+
+def test_mine_url_templates(crawl_run):
+    """Trap mining == DuckDB regexp_replace + GROUP BY over the same
+    snapshot, row-for-row; and the synthetic world's URL space collapses
+    to exactly its two known path templates."""
+    import duckdb
+    import pandas as pd
+
+    from newscrawler_ray.pipelines.crawl import mine_url_templates
+
+    _, out, _ = crawl_run
+    got = mine_url_templates(out, min_urls=5).to_pandas()
+    files = str(out / "waves" / "*" / "*.parquet")
+    want = duckdb.sql(
+        f"""
+        SELECT host,
+               regexp_replace(
+                   regexp_replace(url, '^[a-z]+://[^/]*', ''),
+                   '[0-9]+', 'N', 'g') AS template,
+               count(*) AS n_urls
+        FROM read_parquet('{files}')
+        GROUP BY 1, 2
+        HAVING count(*) >= 5
+        ORDER BY n_urls DESC, host, template
+        """
+    ).fetchdf()
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want, check_dtype=False
+    )
+    assert set(got["template"]) <= {"/p/N", "/private/N"}

@@ -22,9 +22,14 @@ from __future__ import annotations
 import argparse
 import hashlib
 import json
+import os
 import sys
 import time
 import traceback
+
+# `python tools/driver_sim.py` puts tools/ at sys.path[0]; the entry
+# module lives at the repo root, exactly where the driver imports it from.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import numpy as np
