@@ -564,6 +564,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawler-trap mining: (host, path template) URL counts (rows-only;
         # DuckDB regexp oracle in tests/test_crawl_e2e.py)
         "crawl_url_templates": _mine_url_templates,
+        # trap feedback loop: mine policy -> guarded re-crawl -> census
+        # (rows-only; guarded-oracle byte equality in tests)
+        "crawl_trap_guard": _crawl_trap_guard,
     }
 
 
@@ -871,6 +874,24 @@ def _mine_url_templates(sf_dir: str) -> Any:
 
     _, out_new = _recrawl_snapshots()
     return mine_url_templates(out_new, min_urls=5)
+
+
+def _crawl_trap_guard(sf_dir: str) -> Any:
+    """Rows-only: the trap feedback loop — mine a snapshot's URL-space
+    policy, re-crawl under it, return the guarded snapshot's template
+    census (sf_dir-independent input by design; byte-equality vs the
+    guarded oracle + hash-rule recompute in tests/test_crawl_e2e.py)."""
+    from newscrawler_ray.functions.traps import trap_policy_from_snapshot
+    from newscrawler_ray.pipelines.crawl import mine_url_templates, run_crawl
+    from newscrawler_ray.synth import default_fixture_dir, gen_fixtures
+
+    _, out_new = _recrawl_snapshots()
+    policy = trap_policy_from_snapshot(out_new, max_urls=30)
+    out = Path("/tmp/newscrawler_ray_q_trap")
+    run_crawl(gen_fixtures(default_fixture_dir(1200), n_urls=1200, seed=42),
+              out, n_seen_shards=2, n_frontier_shards=2, checkpoint=False,
+              collect_seen=False, trap_policy=policy)
+    return mine_url_templates(out, min_urls=1)
 
 
 def _crawl_pagerank(sf_dir: str) -> Any:

@@ -111,7 +111,16 @@ def _allowed(canon: str, host: str, politeness: dict, blocklist: frozenset) -> b
     return True
 
 
-def run_oracle(fixture_dir: str | Path, min_content_len: int = 1000) -> OracleResult:
+def run_oracle(
+    fixture_dir: str | Path,
+    min_content_len: int = 1000,
+    trap_policy: dict | None = None,
+) -> OracleResult:
+    """``trap_policy`` (functions/traps.py): per-(host, template) hash
+    damping applied at discovery time — order-independent, so the BFS
+    closure here still equals the wave crawl's seen-set exactly."""
+    from .functions.traps import trap_keep
+
     pages, links, politeness, blocklist, seeds = load_world_tables(fixture_dir)
 
     seen: set[str] = set()
@@ -120,6 +129,7 @@ def run_oracle(fixture_dir: str | Path, min_content_len: int = 1000) -> OracleRe
         "enqueued": 0,
         "dedup_hits": 0,
         "blocked": 0,
+        "trap_skipped": 0,
         "fetched": 0,
         "errors": 0,
         "short_content": 0,
@@ -134,6 +144,9 @@ def run_oracle(fixture_dir: str | Path, min_content_len: int = 1000) -> OracleRe
         host = host_of(canon)
         if not _allowed(canon, host, politeness, blocklist):
             m["blocked"] += 1
+            return
+        if not trap_keep(canon, host, trap_policy):
+            m["trap_skipped"] += 1
             return
         if canon in seen:
             m["dedup_hits"] += 1

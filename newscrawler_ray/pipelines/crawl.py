@@ -205,8 +205,15 @@ def run_crawl(
     pipeline_waves: int = 1,
     collect_seen: bool = True,
     seen_filter: str = "bloom",
+    trap_policy: dict | None = None,
 ) -> dict:
-    """``pipeline_waves > 1`` overlaps wave executions: while wave K's
+    """``trap_policy`` (functions/traps.py — mined from a previous
+    snapshot via ``trap_policy_from_snapshot``) damps runaway URL spaces
+    at discovery time with an order-independent hash rule; pass the SAME
+    policy on resume (it is run config, like the blocklist, not
+    checkpointed state).
+
+    ``pipeline_waves > 1`` overlaps wave executions: while wave K's
     Dataset is still streaming, newly-routed URLs are popped and launched
     as wave K+1 from another driver thread. Correct because the seen-set
     is the BFS closure and the output ordering a data-derived sort — both
@@ -247,6 +254,7 @@ def run_crawl(
                 state.robots,
                 state.priority_index,
                 state.metrics,
+                trap_policy=trap_policy,
             )
             if checkpoint:
                 ckpt_dir.mkdir(parents=True, exist_ok=True)
@@ -263,6 +271,7 @@ def run_crawl(
             state.robots,
             state.priority_ref,
             state.metrics,
+            trap_policy=trap_policy,
         )
         extract = make_extract_stage(min_content_len)
 
@@ -275,6 +284,7 @@ def run_crawl(
                 routed = _route_batch(
                     fetched, state.seen, state.frontier, state.blocklist,
                     state.robots, state.priority_index, state.metrics,
+                    trap_policy,
                 )
                 wave_dir.mkdir(parents=True, exist_ok=True)
                 pq.write_table(extract(routed), wave_dir / "part-inline.parquet")
@@ -413,6 +423,7 @@ def run_crawl(
             "enqueued": sum(c["added"] for c in seen_counts),
             "dedup_hits": sum(c["dup_hits"] for c in seen_counts),
             "blocked": route_counts.get("blocked", 0),
+            "trap_skipped": route_counts.get("trap_skipped", 0),
             "fetched": sum(c["popped"] for c in frontier_counts),
             "makespan_ms": max(c["makespan_ms"] for c in frontier_counts),
             "seen": seen_urls,

@@ -28,6 +28,7 @@ import numpy as np
 import pyarrow as pa
 import ray
 
+from ..functions.traps import url_template
 from ..functions.urls import canonicalize_batch, is_blocked
 from ..state.frontier import shard_of_host
 from ..state.seen import shard_of_hash
@@ -43,14 +44,18 @@ def route_candidates(
     priority_index: tuple[np.ndarray, np.ndarray],
     metrics_actor=None,
     default_priority: int = 0,
+    trap_policy: dict | None = None,
 ) -> dict[str, int]:
     """Shared by the LinkRouter stage and the driver's seed push.
 
     ``priority_index`` = (hash_sorted int64[n], prio int64[n]) — the
     broadcast per-URL priority lookup, resolved zero-copy per worker.
+    ``trap_policy`` (functions/traps.py): per-(host, template) hash
+    damping, applied after blocklist/robots and BEFORE the seen check —
+    identical rule + order to ``oracle.try_enqueue``.
     """
     if not raw_urls:
-        return {"candidates": 0, "blocked": 0, "novel": 0}
+        return {"candidates": 0, "blocked": 0, "trap_skipped": 0, "novel": 0}
     canon, hosts, hashes = canonicalize_batch(raw_urls)
 
     keep = np.ones(len(canon), dtype=bool)
@@ -69,6 +74,18 @@ def route_candidates(
         ):
             keep[i] = False
             blocked += 1
+    trap_skipped = 0
+    if trap_policy:
+        # only URLs on a policy host pay the template regex; the low 16
+        # bits of the (already-computed) url hash decide admission
+        for i in np.nonzero(keep)[0]:
+            rates = trap_policy.get(hosts[i])
+            if not rates:
+                continue
+            rate = rates.get(url_template(canon[i]))
+            if rate is not None and (int(hashes[i]) & 0xFFFF) >= rate:
+                keep[i] = False
+                trap_skipped += 1
     idx = np.nonzero(keep)[0]
 
     n_seen = len(seen_actors)
@@ -111,7 +128,12 @@ def route_candidates(
                 [int(hashes[i]) for i in gi],
             )
         )
-    counts = {"candidates": len(raw_urls), "blocked": blocked, "novel": len(novel_idx)}
+    counts = {
+        "candidates": len(raw_urls),
+        "blocked": blocked,
+        "trap_skipped": trap_skipped,
+        "novel": len(novel_idx),
+    }
     if metrics_actor is not None:
         pushes.append(metrics_actor.add.remote(counts))
     if pushes:
@@ -132,7 +154,8 @@ def _resolve_priority(priority_ref) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _route_batch(
-    batch: pa.Table, seen, frontier, blocklist, robots, priority_index, metrics
+    batch: pa.Table, seen, frontier, blocklist, robots, priority_index, metrics,
+    trap_policy: dict | None = None,
 ) -> pa.Table:
     links_col = batch.column("outlinks")
     depths = batch.column("depth").to_pylist()
@@ -142,7 +165,8 @@ def _route_batch(
             raw.extend(row_links)
             link_depths.extend([d + 1] * len(row_links))
     route_candidates(
-        raw, link_depths, seen, frontier, blocklist, robots, priority_index, metrics
+        raw, link_depths, seen, frontier, blocklist, robots, priority_index, metrics,
+        trap_policy=trap_policy,
     )
     # credit retry/penalty virtual ms to the owning frontier shard's host
     # clocks (additive, so wave/batch composition cannot change makespan)
@@ -173,6 +197,7 @@ def make_route_fn(
     robots: dict[str, list[str]],
     priority_ref,
     metrics_actor=None,
+    trap_policy: dict | None = None,
 ):
     """Task-form router; the broadcast priority arrays resolve zero-copy
     once per worker process."""
@@ -186,6 +211,7 @@ def make_route_fn(
             robots,
             _resolve_priority(priority_ref),
             metrics_actor,
+            trap_policy,
         )
 
     return route
@@ -203,6 +229,7 @@ class LinkRouter:
         robots: dict[str, list[str]],
         priority_ref,
         metrics_actor=None,
+        trap_policy: dict | None = None,
     ):
         self.seen = seen_actors
         self.frontier = frontier_actors
@@ -210,9 +237,10 @@ class LinkRouter:
         self.robots = robots
         self.priority_index = ray.get(priority_ref)
         self.metrics = metrics_actor
+        self.trap_policy = trap_policy
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return _route_batch(
             batch, self.seen, self.frontier, self.blocklist, self.robots,
-            self.priority_index, self.metrics,
+            self.priority_index, self.metrics, self.trap_policy,
         )

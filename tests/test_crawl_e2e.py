@@ -496,3 +496,42 @@ def test_mine_url_templates(crawl_run):
         got.reset_index(drop=True), want, check_dtype=False
     )
     assert set(got["template"]) <= {"/p/N", "/private/N"}
+
+
+def test_trap_guard_matches_oracle(
+    ray_session, fixture_dir, tmp_path_factory, crawl_run
+):
+    """Crawl pass 2 under a trap policy mined from pass 1: the guarded
+    distributed crawl must stay byte-equal to the guarded oracle (the
+    damping rule is a pure per-URL hash predicate, so the closure is
+    traversal-order-independent), skip a nonzero count, and every
+    admitted URL on a damped template must satisfy the hash rule."""
+    from newscrawler_ray.functions.traps import (
+        trap_policy_from_snapshot,
+        url_template,
+    )
+    from newscrawler_ray.functions.urls import host_of, url_hash64
+
+    _, base_out, base_oracle = crawl_run
+    policy = trap_policy_from_snapshot(base_out, max_urls=40)
+    assert policy, "the 2000-URL Zipf world must have over-cap hosts"
+
+    out = tmp_path_factory.mktemp("crawl_trap") / "out"
+    res = run_crawl(
+        fixture_dir, out, n_seen_shards=3, n_frontier_shards=3,
+        trap_policy=policy, checkpoint=False,
+    )
+    o = run_oracle(fixture_dir, trap_policy=policy)
+    assert res["seen"] == o.seen
+    assert crawl_order(out) == o.order
+    assert res["trap_skipped"] == o.metrics["trap_skipped"] > 0
+    assert res["makespan_ms"] == o.makespan_ms
+    assert res["fetched"] < base_oracle.metrics["fetched"]
+
+    # hash-rule recompute: admission is a pure function of the URL
+    for u in res["seen"]:
+        rates = policy.get(host_of(u))
+        if rates:
+            rate = rates.get(url_template(u))
+            if rate is not None:
+                assert (url_hash64(u) & 0xFFFF) < rate
