@@ -34,6 +34,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--seen-filter", choices=("bloom", "cuckoo"), default="bloom",
                    help="fast-reject tier of the URL-seen shards (cuckoo "
                         "supports deletion for recrawl churn)")
+    p.add_argument("--trap-from", default=None, metavar="SNAPSHOT_DIR",
+                   help="previous crawl output to mine a trap policy from "
+                        "(functions/traps.py); damps over-cap URL spaces")
+    p.add_argument("--trap-max-urls", type=int, default=1000,
+                   help="expected per-(host, template) URL cap under "
+                        "--trap-from")
     args = p.parse_args(argv)
 
     import ray
@@ -49,6 +55,14 @@ def main(argv: list[str] | None = None) -> int:
 
     from .pipelines.crawl import run_crawl
 
+    trap_policy = None
+    if args.trap_from:
+        from .functions.traps import trap_policy_from_snapshot
+
+        trap_policy = trap_policy_from_snapshot(
+            args.trap_from, max_urls=args.trap_max_urls
+        )
+
     res = run_crawl(
         args.fixtures,
         args.out,
@@ -59,6 +73,7 @@ def main(argv: list[str] | None = None) -> int:
         resume=args.resume,
         pipeline_waves=args.pipeline_waves,
         seen_filter=args.seen_filter,
+        trap_policy=trap_policy,
         collect_seen=False,  # the seen-set lives in the shards/output table
     )
     res.pop("seen", None)
