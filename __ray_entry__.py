@@ -201,6 +201,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus-wide duplicated k-word spans (Lee et al. 2021 exact-
         # substring dedup signal; coarse-partition counting, no joins)
         "dup_span_docs": CS.dup_span_docs,
+        # order-independent corpus checksum (anti-entropy / migration
+        # verification; md5-based so the SQL oracle matches bit-for-bit)
+        "table_checksum": CS.table_checksum,
         # domain-level curation (RefinedWeb/Dolma-style domain gating)
         "domain_stats": CS.domain_stats,
         "domain_quality_filter": CS.domain_quality_filter,
@@ -1871,6 +1874,14 @@ def oracle_sql() -> dict[str, str]:
             FROM f""",
         # a k-word span is duplicated iff its 8-gram occurs >= 2 times
         # corpus-wide; the oracle recomputes the window totals by string
+        # md5 first-15-hex-chars = the engine's 60-bit row hash exactly;
+        # bit_xor is the order-independent fold
+        "table_checksum": r"""
+            SELECT count(*)::BIGINT AS n_rows,
+                   bit_xor(('0x' || substr(md5(text), 1, 15))::BIGINT)
+                     AS xor_hash,
+                   sum(n_chars)::BIGINT AS total_chars
+            FROM documents""",
         "dup_span_docs": r"""
             WITH w AS (
               SELECT doc_id,

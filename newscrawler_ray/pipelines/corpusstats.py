@@ -2035,3 +2035,57 @@ def bigram_ttr_by_source(sf_dir: str) -> pa.Table:
             "ttr": pa.array(np.round(d / n + 1e-9, 4), pa.float64()),
         }
     )
+
+
+def table_checksum(sf_dir: str, table: str = "documents") -> pa.Table:
+    """Order-independent corpus checksum — the anti-entropy primitive a
+    100 TB migration / replica / re-partition is verified with (row-wise
+    diffs are O(corpus); this is one streaming pass and a 24-byte fold).
+
+    Per row: a 60-bit content hash (md5 of the text, first 15 hex chars —
+    md5 so the SQL oracle computes the IDENTICAL value engine-side).
+    Folds: XOR of row hashes (order- and partition-independent; its known
+    blind spot — duplicate rows cancelling pairwise — is covered by the
+    row count and char sum riding along), row count, total chars.
+
+    Shape: each block emits ONE (xor, n, chars) partial row; the global
+    fold is a constant-size aggregate. Nothing else leaves the scan, so
+    the op costs exactly one read of the hashed column at any scale.
+    """
+    import hashlib
+
+    ds = read_clean(_p(sf_dir, table), columns=["text", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                for t in batch.column("text").to_pylist()
+            ),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        return pa.table(
+            {
+                "xor_hash": pa.array([int(np.bitwise_xor.reduce(h)) if len(h) else 0], _I64),
+                "n_rows": pa.array([batch.num_rows], _I64),
+                "total_chars": pa.array(
+                    [int(np.sum(batch.column("n_chars").to_numpy()))], _I64
+                ),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    xor = 0
+    n = chars = 0
+    for r in parts:
+        xor ^= int(r["xor_hash"])
+        n += int(r["n_rows"])
+        chars += int(r["total_chars"])
+    return pa.table(
+        {
+            "n_rows": pa.array([n], _I64),
+            "xor_hash": pa.array([xor], _I64),
+            "total_chars": pa.array([chars], _I64),
+        }
+    )
