@@ -535,3 +535,29 @@ def test_trap_guard_matches_oracle(
             rate = rates.get(url_template(u))
             if rate is not None:
                 assert (url_hash64(u) & 0xFFFF) < rate
+
+
+def test_trap_guard_resume(ray_session, fixture_dir, tmp_path_factory, crawl_run):
+    """Kill + resume under a trap policy (re-passing the same policy —
+    it is run config, not checkpointed state) converges to the
+    uninterrupted guarded run."""
+    from newscrawler_ray.functions.traps import trap_policy_from_snapshot
+
+    _, base_out, _ = crawl_run
+    policy = trap_policy_from_snapshot(base_out, max_urls=40)
+    o = run_oracle(fixture_dir, trap_policy=policy)
+
+    out = tmp_path_factory.mktemp("crawl_trap_resume") / "out"
+    partial = run_crawl(
+        fixture_dir, out, n_seen_shards=3, n_frontier_shards=3,
+        trap_policy=policy, stop_after_wave=2,
+    )
+    assert partial["partial"]
+    res = run_crawl(
+        fixture_dir, out, n_seen_shards=3, n_frontier_shards=3,
+        trap_policy=policy, resume=True,
+    )
+    assert res["seen"] == o.seen
+    assert crawl_order(out) == o.order
+    assert res["trap_skipped"] == o.metrics["trap_skipped"]
+    assert res["makespan_ms"] == o.makespan_ms
