@@ -391,6 +391,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_cooccurrence": Q.basket_cooccurrence,
         # ROWS-frame window: per-user trailing 3-row moving average
         "user_value_ma3": Q.user_value_ma3,
+        # streaming watermark audit: per-user late-event counts + worst
+        # disorder under a deterministic synthetic ingest clock
+        "late_event_audit": Q.late_event_audit,
         # weighted sampling w/o replacement (A-ES exponential keys)
         "weighted_sample_orders": Q.weighted_sample_orders,
         # semi-structured: JSON field extraction + grouped stats
@@ -2386,6 +2389,31 @@ def oracle_sql() -> dict[str, str]:
             FROM p JOIN s sa ON sa.event_type = p.type_a
                    JOIN s sb ON sb.event_type = p.type_b, n""",
         # the ROWS frame recomputed as a window over the raw table
+        # arrival = ts + hash-jittered delay (identical rule engine-side);
+        # watermark = running max event time in arrival order, exclusive
+        "late_event_audit": """
+            WITH a AS (
+              SELECT user_id, ts, event_id,
+                     epoch_us(ts) + ((event_id * 2654435761) % 4294967296)
+                       % 7200000 * 1000 AS arrival
+              FROM events
+            ), w AS (
+              SELECT user_id, ts,
+                     max(ts) OVER (PARTITION BY user_id
+                                   ORDER BY arrival, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) AS wm
+              FROM a
+            )
+            SELECT user_id,
+                   count(*)::BIGINT AS n_events,
+                   coalesce(sum(CASE WHEN date_diff('microseconds', ts, wm)
+                                          > 3600000000
+                                     THEN 1 ELSE 0 END), 0)::BIGINT AS n_late,
+                   coalesce(max(CASE WHEN wm > ts
+                                     THEN date_diff('microseconds', ts, wm)
+                                     END), 0)::BIGINT AS max_disorder_us
+            FROM w GROUP BY user_id""",
         "user_value_ma3": """
             SELECT user_id, event_id,
                    round(avg(value) OVER (

@@ -182,6 +182,9 @@ QUERY_NAMES = [
     "read_webdataset_shards",
     "mixup_images",
     "token_dropout_docs",
+    # session-3d additions
+    "table_checksum",
+    "late_event_audit",
 ]
 
 

@@ -4313,3 +4313,89 @@ def apply_changes_docs(
         )
 
     return rows.groupby("part").map_groups(winners, batch_format="pyarrow")
+
+
+def late_event_audit(
+    sf_dir: str, *, lateness_us: int = 3_600_000_000
+) -> rd.Dataset:
+    """Streaming watermark / out-of-order audit: per user, how many
+    events arrive LATE — event time already overtaken by the user's
+    running watermark (max event time seen so far in arrival order) by
+    more than ``lateness_us`` — and the worst disorder in microseconds.
+    The number that sizes a streaming window's allowed-lateness /
+    state-retention budget; the batch windows here (`events_daily_window`,
+    `user_sessions`) silently assume it is bounded.
+
+    The fixture stream carries no ingest timestamp (it is perfectly
+    ordered by event_id), so arrival time is a DETERMINISTIC synthetic
+    ingest clock: ``arrival = ts + (knuth_hash(event_id) % 7.2e6) * 1ms``
+    — up to 2 h of hash-jittered network delay, identically computable
+    in SQL (a deployment replaces it with its real ingest column; the
+    audit itself is unchanged).
+
+    Shape: the shared coarse-bucket lexsort (users -> ~4P buckets, ONE
+    map_groups call per bucket); inside, the per-user running watermark
+    is a SEGMENTED PREFIX-MAX by doubling (log2(bucket) vectorized
+    passes — max is idempotent, so run[i] = max(run[i], run[i-d]),
+    d *= 2, masked at segment starts, is exact), then reduceat folds per
+    user. Only (user_id, 3 counters) rows leave any bucket.
+    """
+    import ray
+
+    ds = read_clean(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+    B = max(8, int(ray.cluster_resources().get("CPU", 4)) * 4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        part = _knuth_bucket(batch.column("user_id").to_numpy(), B)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def audit(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        h = (eid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(
+            4294967296
+        )
+        delay = (h % np.uint64(7_200_000)).astype(np.int64) * 1000
+        arrival = ts + delay
+        order = np.lexsort((eid, arrival, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        n = len(uid)
+        bounds = np.empty(n, dtype=bool)
+        bounds[0] = True
+        bounds[1:] = uid[1:] != uid[:-1]
+        seg_first = np.flatnonzero(bounds)
+        seg_start = np.repeat(seg_first, np.diff(np.append(seg_first, n)))
+        idx = np.arange(n)
+        run = ts.copy()  # segmented prefix-max by doubling
+        d = 1
+        while d < n:
+            ok = idx - d >= seg_start
+            run[ok] = np.maximum(run[ok], run[idx[ok] - d])
+            d *= 2
+        # exclusive watermark: the running max BEFORE each event
+        wm = np.empty(n, dtype=np.int64)
+        wm[1:] = run[:-1]
+        disorder = np.maximum(wm - ts, 0)
+        disorder[seg_first] = 0  # first arrival per user has no watermark
+        late = disorder > lateness_us
+        return pa.table(
+            {
+                "user_id": pa.array(uid[seg_first], pa.int64()),
+                "n_events": pa.array(
+                    np.diff(np.append(seg_first, n)), pa.int64()
+                ),
+                "n_late": pa.array(
+                    np.add.reduceat(late.astype(np.int64), seg_first), pa.int64()
+                ),
+                "max_disorder_us": pa.array(
+                    np.maximum.reduceat(disorder, seg_first), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(audit, batch_format="pyarrow")
+    )

@@ -768,3 +768,50 @@ def test_apply_changes_docs_planted(ray_session, tmp_path):
         1000005: "inserted 5",           # the insert itself
         # 7 deleted
     }
+
+
+def test_late_event_audit_recompute(ray_session, tmp_path):
+    """Brute-force per-user recompute of the watermark audit (same
+    synthetic arrival clock) matches the distributed segmented
+    prefix-max kernel; disorder must be nonzero under the 2h jitter."""
+    from newscrawler_ray.pipelines.queries import late_event_audit
+
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        for k in range(40):
+            rows.append((eid, _ts(1 + k // 8, (k % 8) * 1200), u, "view"))
+            eid += 1
+    sf = _write_events(tmp_path, rows)
+    lateness = 600_000_000  # 10 min
+    got = (
+        late_event_audit(sf, lateness_us=lateness)
+        .to_pandas()
+        .sort_values("user_id", ignore_index=True)
+    )
+
+    import collections
+
+    by_user = collections.defaultdict(list)
+    for e, ts, u, _ in rows:
+        delay = ((e * 2654435761) % 4294967296) % 7_200_000 * 1000
+        ts_us = int((ts - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+        by_user[u].append((ts_us + delay, e, ts_us))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        wm, n_late, worst = None, 0, 0
+        for _, _, ts_us in evs:
+            if wm is not None and wm > ts_us:
+                worst = max(worst, wm - ts_us)
+                if wm - ts_us > lateness:
+                    n_late += 1
+            wm = ts_us if wm is None else max(wm, ts_us)
+        want[u] = (len(evs), n_late, worst)
+
+    assert sum(w[2] for w in want.values()) > 0, "jitter must disorder"
+    for _, r in got.iterrows():
+        n, late, worst = want[int(r["user_id"])]
+        assert (int(r["n_events"]), int(r["n_late"]), int(r["max_disorder_us"])) == (
+            n, late, worst,
+        )
