@@ -242,6 +242,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # C4-style blocklist scrub: whole-word RE2 hit count + in-place
         # masking (byte-exact vs DuckDB's RE2 regexp_replace)
         "scrub_blocklist_docs": T.scrub_blocklist_docs,
+        # Dolma/FineWeb PII masking: emails / IPv4s / phones -> typed
+        # sentinels + per-class hit counts; the PII surface is planted
+        # as a pure function of doc_id on BOTH sides (byte-exact RE2)
+        "mask_pii_docs": T.mask_pii_docs,
         # deterministic global training shuffle: distributed dense row
         # numbering (bucket histogram -> offset broadcast -> per-bucket
         # rank) over a seeded multiplicative-hash key (SQL-exact)
@@ -2764,6 +2768,42 @@ def oracle_sql() -> dict[str, str]:
                         * 2654435761 % 2147483648 >= 214748365], ' ')
                        AS aug_text
             FROM wl""",
+        "mask_pii_docs": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact u' || CAST(doc_id AS VARCHAR)
+                          || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+                          || '.net ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                          || ' tel 555-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       AS t0
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+                       AS n_emails,
+                     regexp_replace(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+              FROM aug
+            ), s2 AS (
+              SELECT doc_id, n_emails,
+                     len(regexp_extract_all(t1,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT
+                       AS n_ips,
+                     regexp_replace(t1,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id, n_emails, n_ips,
+                   len(regexp_extract_all(t2, '\b\d{3}-\d{4}\b'))::BIGINT
+                     AS n_phones,
+                   regexp_replace(t2, '\b\d{3}-\d{4}\b', '<PHONE>', 'g')
+                     AS masked_text
+            FROM s2""",
         "apply_changes_docs": """
             WITH changes AS (
               SELECT doc_id, 'updated ' || CAST(doc_id AS VARCHAR) AS text,

@@ -82,6 +82,69 @@ def scrub_blocklist_docs(
     return ds.map_batches(scrub, batch_format="pyarrow")
 
 
+# PII patterns (Dolma/FineWeb masking family). RE2 syntax on both
+# engines (pyarrow.compute and DuckDB), so the oracle is byte-exact.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b\d{3}-\d{4}\b"
+
+
+def mask_pii_docs(sf_dir: str) -> rd.Dataset:
+    """PII masking (the Dolma/FineWeb curation step ``scrub_blocklist_docs``
+    names but doesn't implement): replace emails, IPv4 addresses and
+    phone numbers in place with typed sentinels, keeping per-class hit
+    counts — the release-gating numbers a corpus card reports.
+
+    The fixture corpus is letters-only by construction, so the PII
+    surface is PLANTED deterministically on both sides — each doc gains
+    a contact footer that is a pure function of ``doc_id``, built
+    identically in the Ray kernel and the SQL oracle (the
+    ``token_dropout_docs`` precedent applied to regex masking). A
+    deployment deletes the footer stage and points the same three
+    replace kernels at raw text.
+
+    Masking is sequential (emails, then IPs, then phones) and each
+    class is COUNTED on the text the previous stage produced, so the
+    counts are well-defined even when patterns could overlap; the SQL
+    oracle mirrors the same staging. Shuffle-free single map; one RE2
+    pass per class; no Python touches a row.
+    """
+    ds = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def mask(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        sep = ""  # binary_join_element_wise: last arg is the separator
+
+        def s(a: np.ndarray) -> pa.Array:
+            return pa.array(a.astype("U"), pa.string())
+
+        t0 = pc.binary_join_element_wise(
+            pc.fill_null(batch.column("text"), ""),
+            " contact u", s(ids), "@ex", s(ids % 7),
+            ".net ip 10.", s(ids % 256), ".0.", s((ids * 7) % 256),
+            " tel 555-",
+            pc.utf8_lpad(s(ids % 10000), 4, "0"),
+            sep,
+        )
+        n_email = pc.cast(pc.count_substring_regex(t0, _PII_EMAIL), pa.int64())
+        t1 = pc.replace_substring_regex(t0, _PII_EMAIL, "<EMAIL>")
+        n_ip = pc.cast(pc.count_substring_regex(t1, _PII_IPV4), pa.int64())
+        t2 = pc.replace_substring_regex(t1, _PII_IPV4, "<IP>")
+        n_phone = pc.cast(pc.count_substring_regex(t2, _PII_PHONE), pa.int64())
+        t3 = pc.replace_substring_regex(t2, _PII_PHONE, "<PHONE>")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_emails": n_email,
+                "n_ips": n_ip,
+                "n_phones": n_phone,
+                "masked_text": t3,
+            }
+        )
+
+    return ds.map_batches(mask, batch_format="pyarrow")
+
+
 # ------------------------------------------------------------------ lang id
 
 # tiny built-in stopword profiles (public common-word lists)

@@ -130,3 +130,45 @@ def test_scrub_custom_blocklist(ray_session, tmp_path):
     ).take_all()
     assert out[0]["clean_text"] == "alpha <X> gamma"
     assert out[0]["n_flagged"] == 1
+
+
+# --------------------------------------------------------- mask_pii_docs
+
+
+def test_mask_pii_planted_footer(ray_session, tmp_path):
+    d = _write_docs(
+        tmp_path,
+        [
+            (0, "plain words only", "s"),
+            (12, "more plain words", "s"),
+            (9999, "edge of the lpad range", "s"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in textstats.mask_pii_docs(d).take_all()}
+    # exactly one planted instance of each PII class per doc
+    for r in out.values():
+        assert r["n_emails"] == 1
+        assert r["n_ips"] == 1
+        assert r["n_phones"] == 1
+        t = r["masked_text"]
+        assert "<EMAIL>" in t and "<IP>" in t and "<PHONE>" in t
+        assert "@" not in t  # the email never survives masking
+        assert "555-" not in t  # nor the phone
+    # the footer is a pure function of doc_id: lpad keeps 4 digits
+    assert out[0]["masked_text"].startswith("plain words only contact ")
+    assert out[9999]["masked_text"].endswith("<PHONE>")
+
+
+def test_mask_pii_masks_body_hits_too(ray_session, tmp_path):
+    # PII already in the body is masked and counted alongside the footer
+    d = _write_docs(
+        tmp_path,
+        [(5, "mail bob@corp.io or 10.1.2.3 or call 555-1234 now", "s")],
+    )
+    r = textstats.mask_pii_docs(d).take_all()[0]
+    assert r["n_emails"] == 2
+    assert r["n_ips"] == 2
+    assert r["n_phones"] == 2
+    assert "bob@corp.io" not in r["masked_text"]
+    assert "10.1.2.3" not in r["masked_text"]
+    assert "555-1234" not in r["masked_text"]
