@@ -532,6 +532,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic crop/flip/resize augmentation (rows-only: pixel
         # oracles + determinism tests in tests/test_vision.py)
         "augment_images": _augment_images,
+        # image metadata scrub (EXIF/GPS-strip twin of mask_pii_docs):
+        # drop PNG ancillary chunks / PPM header comments in place;
+        # rows-only — planted-then-stripped bytes are byte-identical to
+        # the originals (tested in tests/test_textstats_multimodal.py)
+        "strip_image_metadata": _strip_image_metadata,
         # ... and the loader schedule on top: exactly-batch_size groups
         # per (bucket, step), seeded order, leftovers dropped (rows-only:
         # numpy recompute + invariant oracles in tests/)
@@ -995,6 +1000,18 @@ def _fixture_images():
 
     fx = gen_fixtures(default_fixture_dir(1200), n_urls=1200, seed=42)
     return fx / "images.parquet"
+
+
+def _strip_image_metadata(sf_dir: str) -> Any:
+    """Rows-only: ancillary-metadata strip over the synthetic image table
+    (sf_dir-independent input by design; metadata planted as a pure
+    function of image_id, stripped payload byte-identical to the
+    original — tested)."""
+    from newscrawler_ray.pipelines.multimodal import strip_image_metadata
+
+    return strip_image_metadata(_fixture_images(), plant=True).select_columns(
+        ["image_id", "fmt", "n_meta", "bytes_removed"]
+    )
 
 
 def _augment_images(sf_dir: str) -> Any:

@@ -185,6 +185,8 @@ QUERY_NAMES = [
     # session-3d additions
     "table_checksum",
     "late_event_audit",
+    "mask_pii_docs",
+    "strip_image_metadata",
 ]
 
 

@@ -15,6 +15,7 @@ small because rows are payload-heavy (see stages/fetch.py scale note).
 
 from __future__ import annotations
 
+import struct
 from pathlib import Path
 
 import numpy as np
@@ -788,3 +789,160 @@ def validate_payload_fidelity(
             ),
         }
     )
+
+
+# ------------------------------------------------- image metadata scrub
+
+# PNG chunk types a scrub must keep: everything else (tEXt/zTXt/iTXt/
+# eXIf/tIME/...) is ancillary metadata a training-data release strips
+# (LAION/Dolma scrub EXIF+GPS from released images).
+_PNG_CRITICAL = frozenset({b"IHDR", b"PLTE", b"IDAT", b"IEND"})
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_meta_note(image_id: str) -> bytes:
+    """Deterministic metadata payload — a pure function of image_id (the
+    ``mask_pii_docs`` planting precedent on the image tower): camera tag
+    + fake GPS, the fields a real EXIF scrub exists to remove."""
+    n = sum(image_id.encode())
+    return b"Comment\x00cam %s gps 10.%d.0.%d" % (
+        image_id.encode(), n % 256, (n * 7) % 256
+    )
+
+
+def _plant_png(data: bytes, image_id: str) -> bytes:
+    # IHDR is always 13 bytes -> first chunk ends at 8 + 4+4+13+4 = 33
+    from ..codecs import _chunk
+
+    return data[:33] + _chunk(b"tEXt", _png_meta_note(image_id)) + data[33:]
+
+
+def _strip_png(data: bytes) -> tuple[bytes, int]:
+    out = [data[:8]]
+    idx, n_meta = 8, 0
+    while idx < len(data):
+        (length,) = struct.unpack_from(">I", data, idx)
+        tag = data[idx + 4 : idx + 8]
+        end = idx + 12 + length
+        if tag in _PNG_CRITICAL:
+            out.append(data[idx:end])
+        else:
+            n_meta += 1
+        idx = end
+        if tag == b"IEND":
+            break
+    return b"".join(out), n_meta
+
+
+def _plant_ppm(data: bytes, image_id: str) -> bytes:
+    # encode_ppm emits "P6\n{w} {h}\n255\n"; a comment line directly
+    # after the magic is legal PPM and decode_ppm already tolerates it
+    n = sum(image_id.encode())
+    note = b"# cam %s gps 10.%d.0.%d\n" % (
+        image_id.encode(), n % 256, (n * 7) % 256
+    )
+    return data[:3] + note + data[3:]
+
+
+def _strip_ppm(data: bytes) -> tuple[bytes, int]:
+    # walk the 3 header tokens exactly like codecs.decode_ppm, recording
+    # comment-line spans; removing those spans restores the canonical
+    # comment-free header byte-for-byte
+    spans: list[tuple[int, int]] = []
+    idx, tokens = 2, 0
+    while tokens < 3 and idx < len(data):
+        while idx < len(data) and data[idx : idx + 1].isspace():
+            idx += 1
+        if data[idx : idx + 1] == b"#":
+            end = data.index(b"\n", idx) + 1
+            spans.append((idx, end))
+            idx = end
+            continue
+        while idx < len(data) and not data[idx : idx + 1].isspace():
+            idx += 1
+        tokens += 1
+    if not spans:
+        return data, 0
+    out, prev = [], 0
+    for s, e in spans:
+        out.append(data[prev:s])
+        prev = e
+    out.append(data[prev:])
+    return b"".join(out), len(spans)
+
+
+def plant_image_metadata(ds: rd.Dataset) -> rd.Dataset:
+    """Attach deterministic camera/GPS metadata to every payload that has
+    a metadata container (PNG ancillary chunk, PPM header comment; QNT
+    has none by design). Pure function of image_id — reruns and retried
+    partitions plant identically. The fixture corpus is metadata-free by
+    construction, so this stage gives ``strip_image_metadata`` a real
+    surface; a deployment deletes it and scrubs crawled bytes directly."""
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        out = []
+        for i, f, b in zip(ids, fmts, blobs):
+            if f == "png":
+                out.append(_plant_png(b, i))
+            elif f == "ppm":
+                out.append(_plant_ppm(b, i))
+            else:
+                out.append(b)
+        return batch.set_column(
+            batch.schema.get_field_index("bytes"), "bytes",
+            pa.array(out, pa.binary()),
+        )
+
+    return ds.map_batches(plant, batch_format="pyarrow", batch_size=64)
+
+
+def strip_image_metadata(
+    images_path: "str | Path | rd.Dataset", *, plant: bool = False
+) -> rd.Dataset:
+    """Strip ancillary metadata from image payloads in place — the image
+    tower's twin of ``textstats.mask_pii_docs`` (a corpus release scrubs
+    EXIF/GPS/camera tags; LAION ships images metadata-free). PNG: drop
+    every non-critical chunk (tEXt/eXIf/tIME/...). PPM: drop header
+    comment lines. QNT: no metadata container — identity.
+
+    Pixels are untouched by construction (only non-pixel byte ranges are
+    removed), and on the synthetic corpus the planted-then-stripped
+    payload is BYTE-IDENTICAL to the original — the strongest oracle, no
+    decode needed (tested). Shuffle-free single map; payload bytes never
+    leave the stage. Output adds (n_meta, bytes_removed) per row.
+
+    ``plant=True`` runs :func:`plant_image_metadata` first (the sandbox
+    benchmark path; the fixture corpus is metadata-free by construction).
+    """
+    ds = (
+        images_path
+        if isinstance(images_path, rd.Dataset)
+        else rd.read_parquet(str(images_path))
+    )
+    if plant:
+        ds = plant_image_metadata(ds)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        fmts = batch.column("fmt").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        clean, n_meta, removed = [], [], []
+        for f, b in zip(fmts, blobs):
+            if f == "png" and b.startswith(_PNG_SIG):
+                c, n = _strip_png(b)
+            elif f == "ppm" and b.startswith(b"P6"):
+                c, n = _strip_ppm(b)
+            else:
+                c, n = b, 0
+            clean.append(c)
+            n_meta.append(n)
+            removed.append(len(b) - len(c))
+        i = batch.schema.get_field_index("bytes")
+        batch = batch.set_column(i, "bytes", pa.array(clean, pa.binary()))
+        return batch.append_column(
+            "n_meta", pa.array(n_meta, pa.int64())
+        ).append_column("bytes_removed", pa.array(removed, pa.int64()))
+
+    return ds.map_batches(strip, batch_format="pyarrow", batch_size=64)

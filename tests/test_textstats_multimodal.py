@@ -534,3 +534,52 @@ def test_image_channel_stats_brute(ray_session, fixture_dir):
     assert out.column("n_failed").to_pylist() == [failed] * 3
     np.testing.assert_allclose(out.column("mean").to_numpy(), np.round(mean, 6), atol=1e-6)
     np.testing.assert_allclose(out.column("std").to_numpy(), np.round(std, 6), atol=1e-6)
+
+
+# ------------------------------------------------- strip_image_metadata
+
+
+def test_strip_restores_planted_bytes_exactly(ray_session, fixture_dir):
+    import pyarrow.parquet as pq
+
+    orig = {
+        r["image_id"]: r["bytes"]
+        for r in pq.read_table(fixture_dir / "images.parquet")
+        .select(["image_id", "bytes"])
+        .to_pylist()
+    }
+    out = multimodal.strip_image_metadata(
+        fixture_dir / "images.parquet", plant=True
+    ).take_all()
+    assert len(out) == len(orig)
+    for r in out:
+        # planted-then-stripped payload is byte-identical to the original
+        assert r["bytes"] == orig[r["image_id"]], r["image_id"]
+        if r["fmt"] in ("png", "ppm"):
+            assert r["n_meta"] == 1
+            assert r["bytes_removed"] > 0
+        else:  # qnt has no metadata container
+            assert r["n_meta"] == 0
+            assert r["bytes_removed"] == 0
+
+
+def test_strip_is_identity_on_clean_corpus(ray_session, fixture_dir):
+    out = multimodal.strip_image_metadata(
+        fixture_dir / "images.parquet", plant=False
+    ).take_all()
+    assert all(r["n_meta"] == 0 and r["bytes_removed"] == 0 for r in out)
+
+
+def test_planted_payloads_still_decode_to_same_pixels(ray_session, fixture_dir):
+    # the planted metadata is invisible to the decoders (ancillary chunk
+    # skip / comment tolerance), so a non-scrubbing consumer still works
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    t = pq.read_table(fixture_dir / "images.parquet").slice(0, 64)
+    planted = multimodal.plant_image_metadata(rd.from_arrow(t)).take_all()
+    orig = {r["image_id"]: r for r in t.to_pylist()}
+    for r in planted:
+        a = multimodal.decode_any(r["bytes"], r["fmt"])
+        b = multimodal.decode_any(orig[r["image_id"]]["bytes"], r["fmt"])
+        np.testing.assert_array_equal(a, b)
