@@ -84,7 +84,8 @@ def test_every_query_has_oracle_or_is_marked():
                                        # image-table / tar-side ops (the
                                        # images table isn't a DuckDB view)
                                        "mixup", "export_webdataset",
-                                       "read_webdataset"))
+                                       "read_webdataset",
+                                       "strip_image"))
     }
 
 
