@@ -9,13 +9,22 @@ classifiers are exactly this shape). Everything is expressed as Ray
 Data passes:
 
   * features — hashed unigram term frequencies (the shared tokenizer;
-    ``hash % dim`` feature buckets, no vocabulary state anywhere);
+    ``hash % dim`` feature buckets, no vocabulary state anywhere),
+    computed ONCE into a materialized feature dataset (list<int64>
+    bucket column + dense floats + weak label). Tokenization and the
+    weak-label gate are the expensive part of an epoch; recomputing
+    them ``epochs`` times cost ~30x what the linear algebra does.
+    The features are about the size of the tokenized corpus, so at
+    100 TB the materialized dataset spills through the object store —
+    the standard featurize-then-iterate tradeoff (spill I/O per epoch
+    vs full re-tokenization per epoch);
   * training — full-batch gradient descent, one streaming pass per
-    epoch: every block emits a model-sized dense gradient partial
-    (``np.add.at`` scatter) + loss, the driver folds partials in
-    bkey order (the ``kmeans_assign`` determinism discipline: float
-    summation order must not depend on block ARRIVAL order) and steps;
-  * scoring — one broadcast-model pass.
+    epoch over the FEATURE blocks: every block emits a model-sized
+    dense gradient partial (``np.add.at`` scatter) + loss, the driver
+    folds partials in bkey order (the ``kmeans_assign`` determinism
+    discipline: float summation order must not depend on block ARRIVAL
+    order) and steps;
+  * scoring — one broadcast-model pass over the same feature blocks.
 
 Driver state is model-sized (dim+1 floats, ~0.5 MB at dim=2^16) — the
 same class as the unigram LM broadcast; gradients fold tree-style at
@@ -103,6 +112,43 @@ def quality_classifier_scores(
     docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
     stop_en = np.sort(word_hashes(sorted(_LANG_STOPWORDS["en"])))
     n_dense = 3
+
+    def featurize(batch: pa.Table) -> pa.Table:
+        buckets, doc_of, inv_len, dense, n_docs = _doc_features(batch, dim)
+        y = _weak_labels(batch, stop_en, threshold)
+        lens = np.bincount(doc_of, minlength=n_docs) if n_docs else np.zeros(0, np.int64)
+        offsets = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "buckets": pa.LargeListArray.from_arrays(
+                    pa.array(offsets, pa.int64()), pa.array(buckets, _I64)
+                ),
+                "inv_len": pa.array(inv_len, pa.float64()),
+                "d0": pa.array(dense[:, 0], pa.float64()),
+                "d1": pa.array(dense[:, 1], pa.float64()),
+                "d2": pa.array(dense[:, 2], pa.float64()),
+                "y": pa.array(y, pa.float64()),
+            }
+        )
+
+    feats = docs.map_batches(featurize, batch_format="pyarrow").materialize()
+
+    def _unpack(batch: pa.Table):
+        """Zero-copy-ish rebuild of (buckets, doc_of, inv_len, dense, y)
+        from a feature block (slice-safe: offsets are rebased)."""
+        ll = batch.column("buckets").combine_chunks()
+        offs = ll.offsets.to_numpy()
+        vals = ll.values.to_numpy(zero_copy_only=False)[offs[0] : offs[-1]]
+        lens = np.diff(offs)
+        doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+        inv_len = batch.column("inv_len").to_numpy()
+        dense = np.stack(
+            [batch.column(c).to_numpy() for c in ("d0", "d1", "d2")], axis=1
+        )
+        return vals, doc_of, inv_len, dense, batch.column("y").to_numpy()
+
     w = np.zeros(dim + n_dense + 1, np.float64)  # [hashed..., dense..., bias]
     history: list[float] = []
 
@@ -111,13 +157,14 @@ def quality_classifier_scores(
 
         def grad_partial(batch: pa.Table, _ref=ref) -> pa.Table:
             wv = ray.get(_ref)
-            buckets, doc_of, inv_len, dense, n_docs = _doc_features(batch, dim)
+            n_docs = batch.num_rows
             if n_docs == 0:
                 return pa.table(
                     {"bkey": pa.array([], _I64), "n": pa.array([], _I64),
                      "loss": pa.array([], pa.float64()),
                      "grad": pa.array([], pa.binary())}
                 )
+            buckets, doc_of, inv_len, dense, y = _unpack(batch)
             z = (
                 np.bincount(
                     doc_of, weights=wv[buckets] * inv_len[doc_of], minlength=n_docs
@@ -126,7 +173,6 @@ def quality_classifier_scores(
                 + wv[dim + n_dense]
             )
             p = 1.0 / (1.0 + np.exp(-z))
-            y = _weak_labels(batch, stop_en, threshold)
             g = p - y
             grad = np.zeros(dim + n_dense + 1, np.float64)
             np.add.at(grad, buckets, (g * inv_len)[doc_of])
@@ -145,7 +191,7 @@ def quality_classifier_scores(
             )
 
         partials = []
-        for b in docs.map_batches(grad_partial, batch_format="pyarrow").iter_batches(
+        for b in feats.map_batches(grad_partial, batch_format="pyarrow").iter_batches(
             batch_format="pyarrow"
         ):
             for r in b.to_pylist():
@@ -165,7 +211,8 @@ def quality_classifier_scores(
 
     def score(batch: pa.Table) -> pa.Table:
         wv = ray.get(final_ref)
-        buckets, doc_of, inv_len, dense, n_docs = _doc_features(batch, dim)
+        n_docs = batch.num_rows
+        buckets, doc_of, inv_len, dense, y = _unpack(batch)
         z = (
             np.bincount(
                 doc_of, weights=wv[buckets] * inv_len[doc_of], minlength=n_docs
@@ -176,7 +223,6 @@ def quality_classifier_scores(
             else np.zeros(0)
         )
         p = 1.0 / (1.0 + np.exp(-z))
-        y = _weak_labels(batch, stop_en, threshold)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -185,5 +231,5 @@ def quality_classifier_scores(
             }
         )
 
-    out = docs.map_batches(score, batch_format="pyarrow")
+    out = feats.map_batches(score, batch_format="pyarrow")
     return (out, history) if return_history else out
