@@ -537,6 +537,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only — planted-then-stripped bytes are byte-identical to
         # the originals (tested in tests/test_textstats_multimodal.py)
         "strip_image_metadata": _strip_image_metadata,
+        # video payload ops (frame-sample as an actor-pool seek-decode
+        # stage; keyframe dedup as one thin-row hash aggregate) —
+        # rows-only: planted syndicated-intro / within-video dup oracles
+        # + direct-decode parity in tests/test_video.py
+        "video_frame_sample": _video_frame_sample,
+        "video_keyframe_dedup": _video_keyframe_dedup,
         # ... and the loader schedule on top: exactly-batch_size groups
         # per (bucket, step), seeded order, leftovers dropped (rows-only:
         # numpy recompute + invariant oracles in tests/)
@@ -1000,6 +1006,31 @@ def _fixture_images():
 
     fx = gen_fixtures(default_fixture_dir(1200), n_urls=1200, seed=42)
     return fx / "images.parquet"
+
+
+def _videos_table():
+    from newscrawler_ray.pipelines.video import synth_video_table
+
+    return synth_video_table(
+        "/tmp/newscrawler_ray_fixtures/videos_240.parquet", 240, 23
+    )
+
+
+def _video_frame_sample(sf_dir: str) -> Any:
+    """Rows-only: every-5th-frame sampling over the synthetic rvid
+    table (sf_dir-independent input by design; payload bytes never
+    leave the sampler stage)."""
+    from newscrawler_ray.pipelines.video import video_frame_sample
+
+    return video_frame_sample(str(_videos_table()), every_n=5)
+
+
+def _video_keyframe_dedup(sf_dir: str) -> Any:
+    """Rows-only: first-wins exact-phash dedup of the sampled
+    keyframes (planted cross-video syndicated-intro group)."""
+    from newscrawler_ray.pipelines.video import video_keyframe_dedup
+
+    return video_keyframe_dedup(str(_videos_table()), every_n=5)
 
 
 def _strip_image_metadata(sf_dir: str) -> Any:

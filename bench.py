@@ -187,6 +187,8 @@ QUERY_NAMES = [
     "late_event_audit",
     "mask_pii_docs",
     "strip_image_metadata",
+    "video_frame_sample",
+    "video_keyframe_dedup",
 ]
 
 

@@ -190,6 +190,55 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return samples, sample_rate
 
 
+# ---------------------------------------------------------------- RVID (video)
+
+_RVID_MAGIC = b"RVD1"
+_RVID_HDR = struct.Struct("<4sIHHH")  # magic, n_frames, h, w, fps
+
+
+def encode_rvid(frames: np.ndarray, fps: int = 30) -> bytes:
+    """Raw-video container: fixed header + concatenated RGB24 frames.
+
+    The sandbox's ffmpeg stand-in (real mp4/webm decode stays behind the
+    documented external-codec stub). Frames are stored uncompressed at
+    fixed stride, so frame k lives at ``hdr + k*h*w*3`` — the seekable
+    layout that lets frame sampling read ONLY the sampled frames, the
+    property keyframe extraction relies on in real containers."""
+    n, h, w, c = frames.shape
+    assert c == 3 and frames.dtype == np.uint8
+    return _RVID_HDR.pack(_RVID_MAGIC, n, h, w, fps) + frames.tobytes()
+
+
+def rvid_info(data: bytes) -> tuple[int, int, int, int]:
+    """-> (n_frames, h, w, fps) from the header alone (no frame reads)."""
+    magic, n, h, w, fps = _RVID_HDR.unpack_from(data)
+    if magic != _RVID_MAGIC:
+        raise ValueError("not an RVD1 stream")
+    return n, h, w, fps
+
+
+def decode_rvid_frames(data: bytes, idx: np.ndarray) -> np.ndarray:
+    """Seek-decode only frames ``idx`` -> (len(idx), h, w, 3) uint8.
+
+    A zero-copy view over the payload buffer, then one fancy-index gather
+    of the requested frames — sampling cost is proportional to frames
+    KEPT, not video length."""
+    n, h, w, _ = rvid_info(data)
+    idx = np.asarray(idx, dtype=np.int64)
+    if idx.size and (idx.min() < 0 or idx.max() >= n):
+        raise IndexError(f"frame index out of range 0..{n - 1}")
+    all_frames = np.frombuffer(
+        data, dtype=np.uint8, count=n * h * w * 3, offset=_RVID_HDR.size
+    ).reshape(n, h, w, 3)
+    return all_frames[idx]
+
+
+def decode_rvid(data: bytes) -> tuple[np.ndarray, int]:
+    """-> (frames (n,h,w,3) uint8, fps)."""
+    n, _, _, fps = rvid_info(data)
+    return decode_rvid_frames(data, np.arange(n, dtype=np.int64)), fps
+
+
 # ---------------------------------------------------------------- dispatch
 
 _ENCODERS = {"ppm": encode_ppm, "png": encode_png, "qnt": encode_qnt}
@@ -240,3 +289,25 @@ def phash64(img: np.ndarray) -> int:
     bits = (small > small.mean()).flatten()
     val = np.sum(bits.astype(np.uint64) << np.arange(64, dtype=np.uint64))
     return int(val.astype(np.int64))
+
+
+def phash64_batch(frames: np.ndarray) -> np.ndarray:
+    """``phash64`` over a stack of same-shape frames ``(n, h, w, 3)`` ->
+    int64[n], bit-identical to the scalar function per frame (same
+    reduceat block partition, same mean threshold, same bit order) —
+    the vectorized form frame sampling feeds, where every sampled frame
+    of a video shares one shape."""
+    n, h, w, _ = frames.shape
+    gray = frames.astype(np.float64).mean(axis=3)
+    ys = (np.arange(8) * h + 7) // 8
+    xs = (np.arange(8) * w + 7) // 8
+    rows = np.add.reduceat(gray, ys, axis=1)
+    small = np.add.reduceat(rows, xs, axis=2)
+    counts = np.outer(
+        np.diff(np.append(ys, h)), np.diff(np.append(xs, w))
+    ).astype(np.float64)
+    small /= np.maximum(counts, 1)
+    bits = small > small.mean(axis=(1, 2), keepdims=True)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    vals = (bits.reshape(n, 64).astype(np.uint64) * weights).sum(axis=1)
+    return vals.astype(np.uint64).view(np.int64)

@@ -41,8 +41,15 @@ def decode_any(data: bytes, fmt: str) -> np.ndarray:
 
 
 def sample_video_frames(data: bytes, every_n: int = 30) -> list[np.ndarray]:
-    # STUB: video frame sampling needs ffmpeg; the stage contract
-    # (binary in -> list of frames out) is what the pipeline tests.
+    """Every-nth-frame sampling: real for the sandbox ``rvid`` container
+    (seek-decode, cost proportional to frames kept — see
+    ``codecs.decode_rvid_frames``); mp4/webm need ffmpeg and stay behind
+    the documented external-codec stub."""
+    if data[:4] == codecs._RVID_MAGIC:
+        n, _, _, _ = codecs.rvid_info(data)
+        return list(codecs.decode_rvid_frames(data, np.arange(0, n, every_n)))
+    # STUB: compressed-video sampling needs ffmpeg; a deployment wires
+    # it here (the stage contract is identical either way).
     raise NotImplementedError("video frame sampling requires ffmpeg (stubbed in sandbox)")
 
 

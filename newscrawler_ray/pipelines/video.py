@@ -1,0 +1,249 @@
+"""Video payload operators: frame sampling + cross-video keyframe dedup.
+
+The reference treats video as URL metadata only (its extractor parses
+watch-page IDs/titles — see ``utils/video_metadata.py``, mirrored by
+``stages/metadata_extract.py``); a training-data pipeline also needs the
+PAYLOAD side: sample frames out of binary video columns and dedup the
+sampled keyframes across the corpus. Both are expressed Ray-Data-first:
+
+  * sampling — an actor-pool ``map_batches`` stage (``FrameSampler``);
+    each row is one video, the per-row unit a real decoder amortizes
+    over. On the sandbox ``rvid`` container the sample is a SEEK read
+    (``codecs.decode_rvid_frames``): cost proportional to frames kept,
+    not video length — the property keyframe extraction relies on in
+    real containers; compressed formats stay behind the documented
+    ffmpeg stub (``multimodal.sample_video_frames``). Payload bytes
+    never pass the stage boundary: only (video_id, frame_idx, phash,
+    channel means) rows come out, so nothing heavy ever shuffles.
+  * dedup — exact-phash grouping over the thin sampled-frame rows with
+    a first-wins winner per group (min (video_id, frame_idx) — the
+    ``state/seen.py`` upsert discipline lifted to frames), one hash
+    aggregate end to end.
+
+At 100 TB the sampling stage is embarrassingly parallel over videos
+(batch_size small — rows are payload-heavy) and the dedup shuffle moves
+~24 bytes per SAMPLED frame, i.e. 1/(every_n * frame_bytes) of the
+corpus.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .. import codecs
+from ..functions.hashing import splitmix64
+from ..stages import _pool_width
+
+_I64 = pa.int64()
+
+
+# ------------------------------------------------------------- synthesis
+
+
+def synth_video_table(
+    path: str | Path, n_videos: int = 240, seed: int = 23
+) -> Path:
+    """Deterministic (video_id, bytes, fmt, n_frames, fps, w, h) parquet
+    table of ``rvid`` payloads. Pure function of (n_videos, seed), cached
+    by existence (the ``synth_phash_table`` discipline).
+
+    Planted structure the dedup oracle pins:
+      * frame content is splitmix64 noise keyed by (video, frame) — every
+        un-planted frame's phash is unique with overwhelming probability;
+      * every video with ``i % 7 == 0`` copies video 0's frame 0 exactly
+        (a syndicated intro card): ONE cross-video keyframe group whose
+        first-wins survivor is (video 0, frame 0);
+      * video 3 copies its own frame 5 to frame 10 (both sampled at the
+        default stride 5): a within-video duplicate.
+    """
+    path = Path(path)
+    if path.exists():
+        return path
+    path.parent.mkdir(parents=True, exist_ok=True)
+    h, w, fps = 24, 32, 30
+    ids, blobs, nfs = [], [], []
+    intro = None
+    for i in range(n_videos):
+        n_frames = 12 + (i * 7) % 37
+        counter = (
+            np.arange(n_frames * h * w * 3, dtype=np.uint64)
+            + np.uint64(i) * np.uint64(0x51_7CC1B7_2722_0A95)
+            + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+        )
+        frames = (
+            (splitmix64(counter) & np.uint64(0xFF))
+            .astype(np.uint8)
+            .reshape(n_frames, h, w, 3)
+        )
+        if i == 0:
+            intro = frames[0].copy()
+        elif i % 7 == 0:
+            frames[0] = intro
+        if i == 3:
+            frames[10] = frames[5]
+        ids.append(f"vid-{i:06d}")
+        blobs.append(codecs.encode_rvid(frames, fps))
+        nfs.append(n_frames)
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "video_id": pa.array(ids),
+                "bytes": pa.array(blobs, pa.binary()),
+                "fmt": pa.array(["rvid"] * n_videos),
+                "n_frames": pa.array(nfs, pa.int32()),
+                "fps": pa.array([fps] * n_videos, pa.int32()),
+                "w": pa.array([w] * n_videos, pa.int32()),
+                "h": pa.array([h] * n_videos, pa.int32()),
+            }
+        ),
+        str(path),
+    )
+    return path
+
+
+# -------------------------------------------------------------- sampling
+
+
+class FrameSampler:
+    """Actor-pool stage: binary video rows -> thin sampled-frame rows.
+
+    A real deployment loads its decoder (ffmpeg context) once per actor
+    here; the sandbox ``rvid`` path needs no state beyond the stride but
+    keeps the class shape so swapping the codec does not touch the
+    pipeline. Per-frame work (phash + channel means) is vectorized over
+    each video's sampled stack (``codecs.phash64_batch``)."""
+
+    def __init__(self, every_n: int = 5):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch.column("video_id").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        out_vid: list[str] = []
+        out_idx: list[np.ndarray] = []
+        out_ph: list[np.ndarray] = []
+        out_mean: list[np.ndarray] = []
+        for vid, fmt, blob in zip(vids, fmts, blobs):
+            if fmt != "rvid":
+                # same stub boundary as multimodal.sample_video_frames
+                raise NotImplementedError(
+                    f"fmt={fmt!r} needs an external decoder (ffmpeg)"
+                )
+            n, _, _, _ = codecs.rvid_info(blob)
+            idx = np.arange(0, n, self.every_n, dtype=np.int64)
+            frames = codecs.decode_rvid_frames(blob, idx)
+            out_vid.append(vid)
+            out_idx.append(idx)
+            out_ph.append(codecs.phash64_batch(frames))
+            out_mean.append(
+                frames.reshape(len(idx), -1, 3).mean(axis=1, dtype=np.float64)
+            )
+        if not out_vid:
+            return pa.table(
+                {
+                    "video_id": pa.array([], pa.string()),
+                    "frame_idx": pa.array([], _I64),
+                    "phash": pa.array([], _I64),
+                    "mean_r": pa.array([], pa.float64()),
+                    "mean_g": pa.array([], pa.float64()),
+                    "mean_b": pa.array([], pa.float64()),
+                }
+            )
+        counts = [len(ix) for ix in out_idx]
+        means = np.concatenate(out_mean, axis=0)
+        return pa.table(
+            {
+                "video_id": pa.array(np.repeat(out_vid, counts)),
+                "frame_idx": pa.array(np.concatenate(out_idx), _I64),
+                "phash": pa.array(np.concatenate(out_ph), _I64),
+                "mean_r": pa.array(np.round(means[:, 0] + 1e-9, 4)),
+                "mean_g": pa.array(np.round(means[:, 1] + 1e-9, 4)),
+                "mean_b": pa.array(np.round(means[:, 2] + 1e-9, 4)),
+            }
+        )
+
+
+def video_frame_sample(
+    videos_path: "str | Path | rd.Dataset",
+    *,
+    every_n: int = 5,
+    concurrency: "int | tuple | None" = None,
+    batch_size: int = 8,
+) -> rd.Dataset:
+    """Sample every ``every_n``-th frame of every video -> one thin row
+    per sampled frame (video_id, frame_idx, phash, mean_r/g/b). Small
+    batch_size: rows are payload-heavy (whole videos)."""
+    ds = (
+        videos_path
+        if isinstance(videos_path, rd.Dataset)
+        else rd.read_parquet(str(videos_path))
+    )
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"every_n": every_n},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=_pool_width(concurrency),
+    )
+
+
+# ----------------------------------------------------------------- dedup
+
+
+def video_keyframe_dedup(
+    videos_path: "str | Path | rd.Dataset",
+    *,
+    every_n: int = 5,
+    concurrency: "int | tuple | None" = None,
+) -> rd.Dataset:
+    """First-wins exact-phash dedup of the sampled keyframes: one
+    surviving (video_id, frame_idx) per distinct phash — the earliest
+    frame of the lexicographically-first video — plus how many sampled
+    frames it stands for. Survivor rows come out unordered (callers
+    sort).
+
+    Shape: sampling emits thin rows only, then ONE hash aggregate on a
+    packed (vid_num << 20 | frame_idx) key — min of the packed key IS
+    the lexicographic (video_id, frame_idx) minimum because the fixture
+    id format is fixed-width (``vid-%06d``), so no sort and no second
+    pass are needed."""
+    from ray.data.aggregate import Count, Min
+
+    frames = video_frame_sample(videos_path, every_n=every_n, concurrency=concurrency)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        vnum = pc.cast(
+            pc.utf8_slice_codeunits(batch.column("video_id"), 4, 99), _I64
+        )
+        key = pc.add(
+            pc.shift_left(vnum, pa.scalar(20, _I64)), batch.column("frame_idx")
+        )
+        return pa.table({"phash": batch.column("phash"), "packed": key})
+
+    agg = (
+        frames.map_batches(pack, batch_format="pyarrow")
+        .groupby("phash")
+        .aggregate(Min("packed", alias_name="win"), Count(alias_name="n_frames"))
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        win = batch.column("win").to_numpy()
+        vnum = win >> 20
+        return pa.table(
+            {
+                "video_id": pa.array([f"vid-{v:06d}" for v in vnum.tolist()]),
+                "frame_idx": pa.array(win & ((1 << 20) - 1), _I64),
+                "phash": batch.column("phash"),
+                "n_frames": batch.column("n_frames"),
+            }
+        )
+
+    return agg.map_batches(unpack, batch_format="pyarrow")

@@ -85,7 +85,7 @@ def test_every_query_has_oracle_or_is_marked():
                                        # images table isn't a DuckDB view)
                                        "mixup", "export_webdataset",
                                        "read_webdataset",
-                                       "strip_image"))
+                                       "strip_image", "video"))
     }
 
 

@@ -1,0 +1,128 @@
+"""Video payload ops: rvid codec roundtrip/seek, frame sampling as an
+actor-pool stage, and cross-video keyframe dedup against the planted
+fixture structure (synth_video_table docstring)."""
+
+import numpy as np
+import pytest
+
+from newscrawler_ray import codecs
+from newscrawler_ray.pipelines.video import (
+    FrameSampler,
+    synth_video_table,
+    video_frame_sample,
+    video_keyframe_dedup,
+)
+
+VID_PATH = "/tmp/newscrawler_ray_fixtures/videos_240.parquet"
+
+
+def _videos():
+    return synth_video_table(VID_PATH, 240, 23)
+
+
+def test_rvid_roundtrip_and_seek():
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, size=(9, 24, 32, 3), dtype=np.uint8)
+    blob = codecs.encode_rvid(frames, fps=24)
+    assert codecs.rvid_info(blob) == (9, 24, 32, 24)
+    dec, fps = codecs.decode_rvid(blob)
+    assert fps == 24 and (dec == frames).all()
+    # seek-decode returns exactly the requested frames
+    idx = np.array([0, 3, 8])
+    assert (codecs.decode_rvid_frames(blob, idx) == frames[idx]).all()
+    with pytest.raises(IndexError):
+        codecs.decode_rvid_frames(blob, np.array([9]))
+    with pytest.raises(ValueError):
+        codecs.rvid_info(b"nope" + blob)
+
+
+def test_phash64_batch_matches_scalar():
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(6, 24, 32, 3), dtype=np.uint8)
+    batch = codecs.phash64_batch(frames)
+    assert batch.dtype == np.int64
+    for k in range(6):
+        assert int(batch[k]) == codecs.phash64(frames[k])
+
+
+def test_sample_video_frames_real_for_rvid_stub_otherwise():
+    from newscrawler_ray.pipelines.multimodal import sample_video_frames
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(12, 8, 8, 3), dtype=np.uint8)
+    got = sample_video_frames(codecs.encode_rvid(frames, 30), every_n=5)
+    assert len(got) == 3  # frames 0, 5, 10
+    assert (got[1] == frames[5]).all()
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(b"\x00\x00\x00\x20ftypisom", every_n=5)
+
+
+def test_frame_sampler_stage_matches_direct_decode(ray_session):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_videos())
+    df = (
+        video_frame_sample(str(_videos()), every_n=5)
+        .to_pandas()
+        .sort_values(["video_id", "frame_idx"], ignore_index=True)
+    )
+    # row count: sum over videos of ceil(n_frames / 5)
+    nf = t.column("n_frames").to_numpy()
+    assert len(df) == int(np.sum((nf + 4) // 5))
+    # spot-check one video against a direct decode
+    row = t.slice(3, 1)
+    blob = row.column("bytes")[0].as_py()
+    idx = np.arange(0, row.column("n_frames")[0].as_py(), 5)
+    frames = codecs.decode_rvid_frames(blob, idx)
+    sub = df[df.video_id == "vid-000003"]
+    assert (sub["frame_idx"].values == idx).all()
+    assert (sub["phash"].values == codecs.phash64_batch(frames)).all()
+    means = frames.reshape(len(idx), -1, 3).mean(axis=1)
+    assert np.allclose(sub["mean_r"].values, np.round(means[:, 0] + 1e-9, 4))
+    # the planted within-video dup: frame 10 == frame 5
+    ph = dict(zip(sub["frame_idx"], sub["phash"]))
+    assert ph[5] == ph[10]
+
+
+def test_keyframe_dedup_planted_groups(ray_session):
+    df = (
+        video_keyframe_dedup(str(_videos()), every_n=5)
+        .to_pandas()
+        .sort_values(["phash", "video_id"], ignore_index=True)
+    )
+    # the syndicated intro card: videos 0,7,14,...,238 share frame 0;
+    # survivor is (vid-000000, 0) and it stands for all 35 copies
+    intro = df[(df.video_id == "vid-000000") & (df.frame_idx == 0)]
+    assert len(intro) == 1
+    assert int(intro.n_frames.iloc[0]) == len(range(0, 240, 7))
+    # no other survivor row references any i%7==0 video's frame 0
+    dup_ids = {f"vid-{i:06d}" for i in range(7, 240, 7)}
+    assert df[(df.video_id.isin(dup_ids)) & (df.frame_idx == 0)].empty
+    # the within-video dup: video 3 keeps frame 5, drops frame 10
+    v3 = df[df.video_id == "vid-000003"]
+    assert 5 in set(v3.frame_idx) and 10 not in set(v3.frame_idx)
+    assert int(v3[v3.frame_idx == 5].n_frames.iloc[0]) == 2
+    # everything else is unique: survivors + extra copies == total rows
+    total = video_frame_sample(str(_videos()), every_n=5).count()
+    assert int(df.n_frames.sum()) == total
+    # rerun determinism
+    df2 = (
+        video_keyframe_dedup(str(_videos()), every_n=5)
+        .to_pandas()
+        .sort_values(["phash", "video_id"], ignore_index=True)
+    )
+    assert df.equals(df2)
+
+
+def test_frame_sampler_rejects_external_formats():
+    import pyarrow as pa
+
+    batch = pa.table(
+        {
+            "video_id": ["vid-000000"],
+            "fmt": ["mp4"],
+            "bytes": pa.array([b"\x00" * 64], pa.binary()),
+        }
+    )
+    with pytest.raises(NotImplementedError):
+        FrameSampler(every_n=5)(batch)
