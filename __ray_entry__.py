@@ -320,6 +320,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_dedup_docs": lambda sf: D.containment_dedup_docs(
             sf, threshold=0.6
         ),
+        # leakage-safe TEXT split: near-dup clusters land in one split
+        # (text twin of leakage_safe_split_images, with a hard oracle:
+        # the jaccard closure CTE composed with the Knuth split rule)
+        "leakage_safe_split_docs": CS.leakage_safe_split_docs,
         # C4-style normalized exact dedup (case/punct/whitespace
         # variants) — SQL-exact
         "normalized_exact_dedup": D.normalized_exact_dedup,
@@ -3250,6 +3254,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT node FROM lbl WHERE comp < node)""",
+        "leakage_safe_split_docs": r"""
+            -- leakage-safe split: the jaccard transitive closure gives
+            -- each doc its cluster id (singletons: own doc_id), then the
+            -- Knuth multiplicative hash of the CLUSTER picks the split.
+            -- HUGEINT product mod 2^32 == the engine's wrapping uint64
+            -- multiply mod 2^32; literals 0.8/0.9 are bit-equal to the
+            -- engine's 1.0-0.1-0.1 / 1.0-0.1 doubles.
+            WITH RECURSIVE g AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) < 3
+                       THEN [list_aggregate(w, 'string_agg', ' ')]
+                       ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             FOR i IN generate_series(1, len(w)-2)]
+                     END) AS grams
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '\W+'),
+                                       x -> x <> '') AS w
+                    FROM documents)
+            ), p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM g a JOIN g b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+                    / nullif(len(list_distinct(a.grams || b.grams)), 0) >= 0.5
+            ), e AS (
+              SELECT id_a AS u, id_b AS v FROM p
+              UNION SELECT id_b, id_a FROM p
+            ), reach(n, x) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM e)
+              UNION
+              SELECT r.n, e.v FROM reach r JOIN e ON e.u = r.x
+            ), lbl AS (
+              SELECT n AS node, min(x) AS comp FROM reach GROUP BY n
+            ), asg AS (
+              SELECT d.doc_id,
+                     coalesce(l.comp, d.doc_id) AS comp
+              FROM documents d LEFT JOIN lbl l ON l.node = d.doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ((comp::HUGEINT * 2654435761) % 4294967296)::DOUBLE
+                           / 4294967296.0 AS u
+                  FROM asg)""",
         "containment_dedup_docs": r"""
             -- corpus dedup with TRANSITIVE closure under containment:
             -- clusters connected by inter/min >= 0.6 keep their min id

@@ -189,6 +189,7 @@ QUERY_NAMES = [
     "strip_image_metadata",
     "video_frame_sample",
     "video_keyframe_dedup",
+    "leakage_safe_split_docs",
 ]
 
 

@@ -1383,6 +1383,96 @@ def train_val_test_split(
     return docs.map_batches(assign, batch_format="pyarrow")
 
 
+def leakage_safe_split_docs(
+    sf_dir: str,
+    *,
+    threshold: float = 0.5,
+    k: int = 3,
+    frac_val: float = 0.1,
+    frac_test: float = 0.1,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Leakage-safe train/val/test split of the DOCUMENT corpus: every
+    word-k-gram-Jaccard near-dup CLUSTER (transitive closure at
+    ``threshold``) lands in one split, so a near-duplicate of a training
+    document can never contaminate val/test — the text twin of
+    ``leakage_safe_split_images``, but with a hard row-for-row SQL
+    oracle (the ``jaccard_dedup_docs`` recursive-CTE closure composed
+    with the Knuth-hash split rule). ``train_val_test_split`` splits
+    rows; this splits equivalence classes.
+
+    Shape: exact prefix-filter pairs -> connected components -> LEFT
+    OUTER join of all doc_ids against the (node, component) assignment
+    (docs in no pair are their own singleton cluster), then one
+    multiplicative-hash map of the cluster id onto [0, 1) picks the
+    split. Cluster-deterministic, no RNG; only (doc_id, component) rows
+    ever shuffle."""
+    from .dedup import ngram_jaccard_pairs
+    from .graph import connected_components
+
+    nparts = _nparts(num_partitions)
+    pairs = ngram_jaccard_pairs(
+        sf_dir, threshold=threshold, k=k, num_partitions=nparts
+    ).select_columns(["id_a", "id_b"])
+    assign = connected_components(pairs, num_partitions=nparts)
+
+    def clean(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], _I64),
+                 "component": pa.array([], _I64)}
+            )
+        return pa.table(
+            {"doc_id": batch.column("node"), "component": batch.column("component")}
+        )
+
+    assign = assign.map_batches(clean, batch_format="pyarrow").materialize()
+    ids = read_clean(_p(sf_dir, "documents"), columns=["doc_id"]).repartition(nparts)
+    if assign.count() > 0:
+        joined = ids.join(
+            assign.repartition(nparts),
+            join_type="left_outer",
+            num_partitions=nparts,
+            on=("doc_id",),
+        )
+    else:
+        # no near-dup pairs anywhere: every doc is a singleton cluster
+        # (the join's empty right side would lack the key column)
+        joined = ids.map_batches(
+            lambda b: b.append_column("component", pa.nulls(b.num_rows, _I64)),
+            batch_format="pyarrow",
+        )
+
+    lo_val = 1.0 - frac_val - frac_test
+    lo_test = 1.0 - frac_test
+
+    def pick(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], _I64), "split": pa.array([], pa.string())}
+            )
+        did = batch.column("doc_id").to_numpy()
+        comp = pc.coalesce(
+            pc.cast(batch.column("component"), _I64), batch.column("doc_id")
+        ).to_numpy()
+        # Knuth multiplicative hash of the CLUSTER id; (a*b mod 2^64)
+        # mod 2^32 == a*b mod 2^32, so the SQL oracle's HUGEINT product
+        # agrees exactly with the wrapping uint64 multiply here
+        u = (
+            (comp.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(4294967296)
+        ).astype(np.float64) / 4294967296.0
+        split = np.where(u < lo_val, "train", np.where(u < lo_test, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": pa.array(did, _I64),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return joined.map_batches(pick, batch_format="pyarrow")
+
+
 # ----------------------------------------------------- resumable export
 
 

@@ -607,3 +607,34 @@ def test_bigram_ttr_planted(ray_session, tmp_path):
     assert out["fresh"]["n_bigrams"] == 5
     assert out["fresh"]["n_distinct"] == 5
     assert out["fresh"]["ttr"] == 1.0
+
+
+def test_leakage_safe_split_docs_colocates_clusters(ray_session):
+    """Every jaccard near-dup pair lands in ONE split (the property a
+    row-hash split violates), the full corpus is covered exactly once,
+    and the split is deterministic across reruns."""
+    from newscrawler_ray.pipelines.corpusstats import leakage_safe_split_docs
+    from newscrawler_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    sf = "/root/testdata/sf0.01"
+    df = (
+        leakage_safe_split_docs(sf)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert len(df) == n_docs and df.doc_id.is_unique
+    assert set(df.split) <= {"train", "val", "test"}
+    split_of = dict(zip(df.doc_id, df.split))
+    pairs = ngram_jaccard_pairs(sf, threshold=0.5).to_pandas()
+    assert len(pairs) > 0  # the fixture has planted near-dups
+    for a, b in zip(pairs.id_a, pairs.id_b):
+        assert split_of[a] == split_of[b], (a, b)
+    df2 = (
+        leakage_safe_split_docs(sf)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert df.equals(df2)
