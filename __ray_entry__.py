@@ -547,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # + direct-decode parity in tests/test_video.py
         "video_frame_sample": _video_frame_sample,
         "video_keyframe_dedup": _video_keyframe_dedup,
+        "video_scene_segments": _video_scene_segments,
         # ... and the loader schedule on top: exactly-batch_size groups
         # per (bucket, step), seeded order, leftovers dropped (rows-only:
         # numpy recompute + invariant oracles in tests/)
@@ -1013,11 +1014,9 @@ def _fixture_images():
 
 
 def _videos_table():
-    from newscrawler_ray.pipelines.video import synth_video_table
+    from newscrawler_ray.pipelines.video import default_video_fixture
 
-    return synth_video_table(
-        "/tmp/newscrawler_ray_fixtures/videos_240.parquet", 240, 23
-    )
+    return default_video_fixture()
 
 
 def _video_frame_sample(sf_dir: str) -> Any:
@@ -1035,6 +1034,14 @@ def _video_keyframe_dedup(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.video import video_keyframe_dedup
 
     return video_keyframe_dedup(str(_videos_table()), every_n=5)
+
+
+def _video_scene_segments(sf_dir: str) -> Any:
+    """Rows-only: phash-hamming scene segmentation (row-local, zero
+    shuffle; planted still-scene-run oracle in tests/test_video.py)."""
+    from newscrawler_ray.pipelines.video import video_scene_segments
+
+    return video_scene_segments(str(_videos_table()))
 
 
 def _strip_image_metadata(sf_dir: str) -> Any:

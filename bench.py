@@ -189,6 +189,7 @@ QUERY_NAMES = [
     "strip_image_metadata",
     "video_frame_sample",
     "video_keyframe_dedup",
+    "video_scene_segments",
     "leakage_safe_split_docs",
 ]
 

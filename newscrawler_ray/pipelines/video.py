@@ -36,10 +36,23 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from .. import codecs
-from ..functions.hashing import splitmix64
+from ..functions.hashing import popcount64, splitmix64
 from ..stages import _pool_width
 
 _I64 = pa.int64()
+
+# bump when synth content changes: fixture files are cached by existence
+# (CLAUDE.md: changing synth invalidates cached fixture dirs)
+_SYNTH_VERSION = 2
+
+
+def default_video_fixture(n_videos: int = 240, seed: int = 23) -> Path:
+    """The one canonical cached synth-video table path (entry + tests)."""
+    return synth_video_table(
+        f"/tmp/newscrawler_ray_fixtures/videos_{n_videos}_v{_SYNTH_VERSION}.parquet",
+        n_videos,
+        seed,
+    )
 
 
 # ------------------------------------------------------------- synthesis
@@ -52,9 +65,14 @@ def synth_video_table(
     table of ``rvid`` payloads. Pure function of (n_videos, seed), cached
     by existence (the ``synth_phash_table`` discipline).
 
-    Planted structure the dedup oracle pins:
+    Planted structure the dedup + scene oracles pin:
       * frame content is splitmix64 noise keyed by (video, frame) — every
-        un-planted frame's phash is unique with overwhelming probability;
+        un-planted frame's phash is unique with overwhelming probability,
+        and consecutive frames are maximally dissimilar (each its own
+        scene);
+      * videos with ``i % 5 == 2`` are STILL-SCENE videos: content is
+        keyed by (video, frame // 4), i.e. runs of 4 identical frames —
+        known scene boundaries for ``video_scene_segments``;
       * every video with ``i % 7 == 0`` copies video 0's frame 0 exactly
         (a syndicated intro card): ONE cross-video keyframe group whose
         first-wins survivor is (video 0, frame 0);
@@ -70,8 +88,16 @@ def synth_video_table(
     intro = None
     for i in range(n_videos):
         n_frames = 12 + (i * 7) % 37
+        frame_key = (
+            np.arange(n_frames, dtype=np.uint64)
+            if i % 5 != 2
+            else np.arange(n_frames, dtype=np.uint64) // np.uint64(4)
+        )
         counter = (
-            np.arange(n_frames * h * w * 3, dtype=np.uint64)
+            (
+                np.repeat(frame_key, h * w * 3) * np.uint64(h * w * 3)
+                + np.tile(np.arange(h * w * 3, dtype=np.uint64), n_frames)
+            )
             + np.uint64(i) * np.uint64(0x51_7CC1B7_2722_0A95)
             + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
         )
@@ -189,6 +215,94 @@ def video_frame_sample(
     return ds.map_batches(
         FrameSampler,
         fn_constructor_kwargs={"every_n": every_n},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=_pool_width(concurrency),
+    )
+
+
+# ----------------------------------------------------------------- scenes
+
+
+class SceneSegmenter:
+    """Actor-pool stage: binary video rows -> one row per detected scene.
+
+    PySceneDetect-style cut detection re-expressed for the engine: a cut
+    is a consecutive-frame phash hamming distance > ``tau`` (identical/
+    near-still frames are hamming 0; unrelated content ~32 of 64 bits).
+    The whole segmentation of a video is local to its row, so the stage
+    is embarrassingly parallel and NOTHING shuffles — the output is
+    already the answer."""
+
+    def __init__(self, tau: int = 10):
+        self.tau = tau
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch.column("video_id").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        o_vid: list[str] = []
+        o_scene: list[np.ndarray] = []
+        o_start: list[np.ndarray] = []
+        o_end: list[np.ndarray] = []
+        for vid, fmt, blob in zip(vids, fmts, blobs):
+            if fmt != "rvid":
+                raise NotImplementedError(
+                    f"fmt={fmt!r} needs an external decoder (ffmpeg)"
+                )
+            frames, _ = codecs.decode_rvid(blob)
+            ph = codecs.phash64_batch(frames).view(np.uint64)
+            x = ph[1:] ^ ph[:-1]
+            ham = popcount64(x)
+            cuts = np.flatnonzero(ham > self.tau) + 1  # frame idx starting a scene
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [len(frames)]))
+            o_vid.append(vid)
+            o_scene.append(np.arange(len(starts), dtype=np.int64))
+            o_start.append(starts.astype(np.int64))
+            o_end.append(ends.astype(np.int64))
+        if not o_vid:
+            return pa.table(
+                {
+                    "video_id": pa.array([], pa.string()),
+                    "scene_idx": pa.array([], _I64),
+                    "start_frame": pa.array([], _I64),
+                    "end_frame": pa.array([], _I64),
+                    "n_frames": pa.array([], _I64),
+                }
+            )
+        counts = [len(s) for s in o_scene]
+        starts = np.concatenate(o_start)
+        ends = np.concatenate(o_end)
+        return pa.table(
+            {
+                "video_id": pa.array(np.repeat(o_vid, counts)),
+                "scene_idx": pa.array(np.concatenate(o_scene), _I64),
+                "start_frame": pa.array(starts, _I64),
+                "end_frame": pa.array(ends, _I64),
+                "n_frames": pa.array(ends - starts, _I64),
+            }
+        )
+
+
+def video_scene_segments(
+    videos_path: "str | Path | rd.Dataset",
+    *,
+    tau: int = 10,
+    concurrency: "int | tuple | None" = None,
+    batch_size: int = 8,
+) -> rd.Dataset:
+    """Scene segmentation of every video: (video_id, scene_idx,
+    start_frame, end_frame, n_frames) with cuts where consecutive-frame
+    phash hamming > ``tau``. Zero-shuffle: segmentation is row-local."""
+    ds = (
+        videos_path
+        if isinstance(videos_path, rd.Dataset)
+        else rd.read_parquet(str(videos_path))
+    )
+    return ds.map_batches(
+        SceneSegmenter,
+        fn_constructor_kwargs={"tau": tau},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=_pool_width(concurrency),

@@ -8,16 +8,15 @@ import pytest
 from newscrawler_ray import codecs
 from newscrawler_ray.pipelines.video import (
     FrameSampler,
-    synth_video_table,
+    default_video_fixture,
     video_frame_sample,
     video_keyframe_dedup,
+    video_scene_segments,
 )
-
-VID_PATH = "/tmp/newscrawler_ray_fixtures/videos_240.parquet"
 
 
 def _videos():
-    return synth_video_table(VID_PATH, 240, 23)
+    return default_video_fixture()
 
 
 def test_rvid_roundtrip_and_seek():
@@ -126,3 +125,37 @@ def test_frame_sampler_rejects_external_formats():
     )
     with pytest.raises(NotImplementedError):
         FrameSampler(every_n=5)(batch)
+
+
+def test_scene_segments_planted_runs(ray_session):
+    """Still-scene videos (i % 5 == 2: runs of 4 identical frames) come
+    back as exactly their planted runs; noise videos are one scene per
+    frame; segments tile each video exactly."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_videos(), columns=["video_id", "n_frames"])
+    nf = dict(
+        zip(t.column("video_id").to_pylist(), t.column("n_frames").to_numpy())
+    )
+    df = (
+        video_scene_segments(str(_videos()))
+        .to_pandas()
+        .sort_values(["video_id", "scene_idx"], ignore_index=True)
+    )
+    for vid, sub in df.groupby("video_id"):
+        n = int(nf[vid])
+        i = int(vid[4:])
+        # segments tile [0, n) with no gaps or overlaps
+        assert sub.start_frame.iloc[0] == 0 and sub.end_frame.iloc[-1] == n
+        assert (sub.start_frame.values[1:] == sub.end_frame.values[:-1]).all()
+        assert (sub.n_frames.values == sub.end_frame.values - sub.start_frame.values).all()
+        if i % 5 == 2 and i % 7 != 0:
+            # planted runs of 4 -> ceil(n/4) scenes, all len 4 but the tail
+            assert len(sub) == -(-n // 4), vid
+            assert (sub.n_frames.values[:-1] == 4).all()
+        elif i % 5 != 2 and i != 0 and i % 7 == 0 and i != 3:
+            # intro frame is a cut against noise; everything else noise
+            assert len(sub) == n, vid
+    # video 42 (still + intro): frame 0 is its own scene, runs shift by 1
+    v42 = df[df.video_id == "vid-000042"]
+    assert v42.n_frames.iloc[0] == 1
