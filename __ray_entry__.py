@@ -548,6 +548,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_sample": _video_frame_sample,
         "video_keyframe_dedup": _video_keyframe_dedup,
         "video_scene_segments": _video_scene_segments,
+        # shard-wise schema migration with backfill (reference DB-script
+        # analog; rows-only — idempotence/resume oracles in tests)
+        "migrate_domain_column": _migrate_domain_column,
         # ... and the loader schedule on top: exactly-batch_size groups
         # per (bucket, step), seeded order, leftovers dropped (rows-only:
         # numpy recompute + invariant oracles in tests/)
@@ -1034,6 +1037,45 @@ def _video_keyframe_dedup(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.video import video_keyframe_dedup
 
     return video_keyframe_dedup(str(_videos_table()), every_n=5)
+
+
+def _migrate_domain_column(sf_dir: str) -> Any:
+    """Rows-only: shard-wise add-domain-column migration (reference
+    scripts/add_domain_column.py + populate_domains.py analog) over a
+    fresh synthetic sharded corpus; migrate-then-skip idempotence +
+    value/resume oracles in tests/test_maintenance.py. Paths are
+    relativized so the manifest is run-deterministic."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from newscrawler_ray.pipelines.maintenance import backfill_domain
+
+    root = Path(tempfile.mkdtemp(prefix="nc_migrate_", dir="/tmp"))
+    try:
+        for s in range(4):
+            d = root / f"shard={s}"
+            d.mkdir(parents=True)
+            ids = [s * 50 + i for i in range(50)]
+            _pq.write_table(
+                _pa.table(
+                    {
+                        "host": _pa.array(
+                            [f"sub{i % 3}.site{i % 7:04d}.example.com" for i in ids]
+                        ),
+                        "n": _pa.array(ids, _pa.int64()),
+                    }
+                ),
+                str(d / "part-0.parquet"),
+            )
+        df = backfill_domain(root).to_pandas()
+        df["shard"] = [str(Path(p).relative_to(root)) for p in df["shard"]]
+        return df.sort_values("shard", ignore_index=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _video_scene_segments(sf_dir: str) -> Any:

@@ -191,6 +191,7 @@ QUERY_NAMES = [
     "video_keyframe_dedup",
     "video_scene_segments",
     "leakage_safe_split_docs",
+    "migrate_domain_column",
 ]
 
 

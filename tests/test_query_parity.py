@@ -85,7 +85,10 @@ def test_every_query_has_oracle_or_is_marked():
                                        # images table isn't a DuckDB view)
                                        "mixup", "export_webdataset",
                                        "read_webdataset",
-                                       "strip_image", "video"))
+                                       "strip_image", "video",
+                                       # filesystem-mutating migration
+                                       # (manifest output; no SQL analog)
+                                       "migrate"))
     }
 
 
