@@ -548,6 +548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_sample": _video_frame_sample,
         "video_keyframe_dedup": _video_keyframe_dedup,
         "video_scene_segments": _video_scene_segments,
+        "video_near_dup": _video_near_dup,
         # shard-wise schema migration with backfill (reference DB-script
         # analog; rows-only — idempotence/resume oracles in tests)
         "migrate_domain_column": _migrate_domain_column,
@@ -1076,6 +1077,15 @@ def _migrate_domain_column(sf_dir: str) -> Any:
         return df.sort_values("shard", ignore_index=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _video_near_dup(sf_dir: str) -> Any:
+    """Rows-only: whole-video near-dup (sampled-phash-set Jaccard via
+    the shared exact set-similarity join; planted truncated-copy pair
+    + brute-force parity oracles in tests/test_video.py)."""
+    from newscrawler_ray.pipelines.video import video_near_dup
+
+    return video_near_dup(str(_videos_table()), threshold=0.5)
 
 
 def _video_scene_segments(sf_dir: str) -> Any:

@@ -190,6 +190,7 @@ QUERY_NAMES = [
     "video_frame_sample",
     "video_keyframe_dedup",
     "video_scene_segments",
+    "video_near_dup",
     "leakage_safe_split_docs",
     "migrate_domain_column",
 ]

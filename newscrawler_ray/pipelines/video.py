@@ -43,7 +43,7 @@ _I64 = pa.int64()
 
 # bump when synth content changes: fixture files are cached by existence
 # (CLAUDE.md: changing synth invalidates cached fixture dirs)
-_SYNTH_VERSION = 2
+_SYNTH_VERSION = 3
 
 
 def default_video_fixture(n_videos: int = 240, seed: int = 23) -> Path:
@@ -77,7 +77,10 @@ def synth_video_table(
         (a syndicated intro card): ONE cross-video keyframe group whose
         first-wins survivor is (video 0, frame 0);
       * video 3 copies its own frame 5 to frame 10 (both sampled at the
-        default stride 5): a within-video duplicate.
+        default stride 5): a within-video duplicate;
+      * video 100's first 29 frames are video 50's 29 frames verbatim (a
+        re-upload with extra footage): sampled-phash-set Jaccard 0.6 —
+        the one pair ``video_near_dup`` must flag at threshold 0.5.
     """
     path = Path(path)
     if path.exists():
@@ -86,6 +89,7 @@ def synth_video_table(
     h, w, fps = 24, 32, 30
     ids, blobs, nfs = [], [], []
     intro = None
+    v50_frames = None
     for i in range(n_videos):
         n_frames = 12 + (i * 7) % 37
         frame_key = (
@@ -112,6 +116,10 @@ def synth_video_table(
             frames[0] = intro
         if i == 3:
             frames[10] = frames[5]
+        if i == 50:
+            v50_frames = frames.copy()
+        elif i == 100 and v50_frames is not None:
+            frames[: len(v50_frames)] = v50_frames
         ids.append(f"vid-{i:06d}")
         blobs.append(codecs.encode_rvid(frames, fps))
         nfs.append(n_frames)
@@ -135,6 +143,16 @@ def synth_video_table(
 
 
 # -------------------------------------------------------------- sampling
+
+
+def _sampled_phashes(blob: bytes, fmt: str, every_n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(sample indices, phash per sampled frame) for one video payload —
+    the seek-decode kernel FrameSampler and the near-dup gram stage share."""
+    if fmt != "rvid":
+        raise NotImplementedError(f"fmt={fmt!r} needs an external decoder (ffmpeg)")
+    n, _, _, _ = codecs.rvid_info(blob)
+    idx = np.arange(0, n, every_n, dtype=np.int64)
+    return idx, codecs.phash64_batch(codecs.decode_rvid_frames(blob, idx))
 
 
 class FrameSampler:
@@ -307,6 +325,128 @@ def video_scene_segments(
         batch_size=batch_size,
         concurrency=_pool_width(concurrency),
     )
+
+
+# --------------------------------------------------------- video near-dup
+
+
+def video_near_dup(
+    videos_path: "str | Path | rd.Dataset",
+    *,
+    threshold: float = 0.5,
+    every_n: int = 5,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Whole-video near-dup pairs: Jaccard over the SAMPLED frame-phash
+    SETS >= threshold — re-uploads, truncated copies and
+    extra-footage re-edits of the same content. Reuses the one exact
+    set-similarity engine (``dedup.jaccard_verify_pairs``) with videos
+    as "docs" and frame phashes as grams: a third payload type through
+    the same join, after text n-grams and caption tokens.
+
+    Shape: candidates are videos sharing >= 1 sampled phash (exact
+    match — at threshold t a qualifying pair must share >= t/(1+t) of
+    the smaller set, so one shared hash is a superset of the qualifying
+    candidates), mined with the shared coarse-partition segment-pair
+    kernel; verification hash-joins each side's sorted phash set onto
+    the pair rows. A corpus-common intro card behaves like a stopword
+    gram and fans out quadratically in its bucket — at 10^10 videos cap
+    per-bucket emission (the ``ngram_jaccard_pairs`` df_cap trick);
+    sandbox scale leaves it exact.
+
+    Output: (video_a, video_b, jaccard), video_a < video_b."""
+    from .dedup import _bucket_pair_indices, _distinct_pairs, jaccard_verify_pairs
+
+    ds = (
+        videos_path
+        if isinstance(videos_path, rd.Dataset)
+        else rd.read_parquet(str(videos_path))
+    )
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    def gram_lists(batch: pa.Table) -> pa.Table:
+        vids = batch.column("video_id").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        parts, counts, vnums = [], [], []
+        for vid, fmt, blob in zip(vids, fmts, blobs):
+            _, ph = _sampled_phashes(blob, fmt, every_n)
+            # UINT64-ascending distinct set: jaccard_verify_pairs
+            # intersects by sorted-array merge in uint64 space
+            u = np.unique(ph.view(np.uint64)).view(np.int64)
+            parts.append(u)
+            counts.append(len(u))
+            vnums.append(int(vid[4:]))
+        vals = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        offs = np.zeros(len(vnums) + 1, np.int32)
+        np.cumsum(counts, out=offs[1:])
+        return pa.table(
+            {
+                "doc_id": pa.array(vnums, _I64),
+                "grams": pa.ListArray.from_arrays(
+                    pa.array(offs), pa.array(vals, _I64)
+                ),
+                "n_grams": pa.array(counts, _I64),
+            }
+        )
+
+    # thin (id, phash-set) rows; materialized because both the candidate
+    # explode AND the verify join consume it (one decode pass, not two)
+    grams = ds.map_batches(
+        gram_lists, batch_format="pyarrow", batch_size=8
+    ).materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        col = batch.column("grams")
+        lens = pc.list_value_length(col).to_numpy().astype(np.int64)
+        vnum = np.repeat(batch.column("doc_id").to_numpy(), lens)
+        ph = pc.list_flatten(col).to_numpy()
+        part = (ph.view(np.uint64) % np.uint64(num_partitions)).astype(np.int64)
+        return pa.table(
+            {"part": pa.array(part, _I64), "phash": pa.array(ph, _I64),
+             "vnum": pa.array(vnum, _I64)}
+        )
+
+    def coarse_pairs(group: pa.Table) -> pa.Table:
+        ph = group.column("phash").to_numpy()
+        vn = group.column("vnum").to_numpy()
+        ia, ib, order = _bucket_pair_indices([ph], vn)
+        srt = vn[order]
+        return pa.table(
+            {"id_a": pa.array(srt[ia], _I64), "id_b": pa.array(srt[ib], _I64)}
+        )
+
+    cand = (
+        grams.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(coarse_pairs, batch_format="pyarrow")
+    )
+    verified = jaccard_verify_pairs(
+        _distinct_pairs(cand), None, threshold, num_partitions, grams=grams
+    )
+
+    def back(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"video_a": pa.array([], pa.string()),
+                 "video_b": pa.array([], pa.string()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        a = batch.column("id_a").to_numpy()
+        b = batch.column("id_b").to_numpy()
+        return pa.table(
+            {
+                "video_a": pa.array([f"vid-{v:06d}" for v in a.tolist()]),
+                "video_b": pa.array([f"vid-{v:06d}" for v in b.tolist()]),
+                "jaccard": batch.column("jaccard"),
+            }
+        )
+
+    return verified.map_batches(back, batch_format="pyarrow")
 
 
 # ----------------------------------------------------------------- dedup

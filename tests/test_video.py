@@ -159,3 +159,42 @@ def test_scene_segments_planted_runs(ray_session):
     # video 42 (still + intro): frame 0 is its own scene, runs shift by 1
     v42 = df[df.video_id == "vid-000042"]
     assert v42.n_frames.iloc[0] == 1
+
+
+def test_video_near_dup_planted_pair(ray_session):
+    """The truncated-copy plant (video 100 carries video 50's 29 frames
+    plus extra footage: sampled-set Jaccard 6/10) is the ONLY pair at
+    threshold 0.5; threshold 0.7 returns nothing; a brute-force driver
+    recompute agrees pair-for-pair at a low threshold."""
+    from newscrawler_ray.pipelines.video import video_near_dup, _sampled_phashes
+    import pyarrow.parquet as pq
+    import itertools
+
+    df = video_near_dup(str(_videos()), threshold=0.5).to_pandas()
+    assert len(df) == 1
+    assert (df.video_a[0], df.video_b[0]) == ("vid-000050", "vid-000100")
+    assert df.jaccard[0] == 0.6
+    assert video_near_dup(str(_videos()), threshold=0.7).count() == 0
+    # brute force at threshold 0.1 over a slice of the corpus
+    t = pq.read_table(_videos()).slice(0, 60)
+    sets = {}
+    for vid, fmt, blob in zip(
+        t.column("video_id").to_pylist(),
+        t.column("fmt").to_pylist(),
+        t.column("bytes").to_pylist(),
+    ):
+        sets[vid] = set(_sampled_phashes(blob, fmt, 5)[1].tolist())
+    brute = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter and inter / len(sets[a] | sets[b]) >= 0.1:
+            brute.add((a, b))
+    got = {
+        (r.video_a, r.video_b)
+        for r in video_near_dup(str(_videos()), threshold=0.1)
+        .to_pandas()
+        .itertuples()
+        if r.video_a in sets and r.video_b in sets
+    }
+    # restrict brute to pairs fully inside the slice (got already is)
+    assert got == brute
