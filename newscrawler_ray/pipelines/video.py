@@ -1,4 +1,5 @@
-"""Video payload operators: frame sampling + cross-video keyframe dedup.
+"""Video payload operators: frame sampling, scene segmentation,
+cross-video keyframe dedup and whole-video near-dup.
 
 The reference treats video as URL metadata only (its extractor parses
 watch-page IDs/titles — see ``utils/video_metadata.py``, mirrored by
