@@ -549,6 +549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_keyframe_dedup": _video_keyframe_dedup,
         "video_scene_segments": _video_scene_segments,
         "video_near_dup": _video_near_dup,
+        "video_keyframe_export": _video_keyframe_export,
+        "crawl_robots_audit": _crawl_robots_audit,
         # shard-wise schema migration with backfill (reference DB-script
         # analog; rows-only — idempotence/resume oracles in tests)
         "migrate_domain_column": _migrate_domain_column,
@@ -1077,6 +1079,28 @@ def _migrate_domain_column(sf_dir: str) -> Any:
         return df.sort_values("shard", ignore_index=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _video_keyframe_export(sf_dir: str) -> Any:
+    """Rows-only: sampled keyframes re-encoded as IMAGE-table rows —
+    the video->image bridge; decode/phash parity + unchanged-image-op
+    oracle in tests/test_video.py. Payload column dropped here so the
+    query result ships thin rows (the bytes are exercised in tests)."""
+    from newscrawler_ray.pipelines.video import export_video_keyframes
+
+    return export_video_keyframes(str(_videos_table()), every_n=5).drop_columns(
+        ["bytes"]
+    )
+
+
+def _crawl_robots_audit(sf_dir: str) -> Any:
+    """Rows-only: post-crawl robots/blocklist compliance audit over the
+    shared crawl output — expected EMPTY (engine filters pre-fetch);
+    planted-violation oracle in tests/test_robots_audit.py."""
+    from newscrawler_ray.pipelines.crawl import robots_compliance_audit
+    from newscrawler_ray.synth import default_fixture_dir
+
+    return robots_compliance_audit(_shared_crawl_out(), default_fixture_dir(600))
 
 
 def _video_near_dup(sf_dir: str) -> Any:

@@ -191,6 +191,8 @@ QUERY_NAMES = [
     "video_keyframe_dedup",
     "video_scene_segments",
     "video_near_dup",
+    "video_keyframe_export",
+    "crawl_robots_audit",
     "leakage_safe_split_docs",
     "migrate_domain_column",
 ]

@@ -825,3 +825,57 @@ def mine_url_templates(
     return counts.map_batches(finish, batch_format="pyarrow").sort(
         ["n_urls", "host", "template"], descending=[True, False, False]
     )
+
+
+def robots_compliance_audit(
+    out_dir: str | Path, fixture_dir: str | Path
+) -> rd.Dataset:
+    """Post-crawl policy audit: re-check every STORED fetch against the
+    world's robots disallow prefixes and the excluded-domain blocklist —
+    the compliance report an operator runs before publishing a snapshot.
+    The router filters both pre-fetch (``stages/route.py``, same rule as
+    ``oracle._allowed``), so the expected result is EMPTY; any row is a
+    policy regression. Output: (url, host, rule) violations, rule one of
+    ``blocklist`` or ``disallow:<prefix>``.
+
+    Shape: the policy is the small side — ONE ``ray.put`` broadcast —
+    and the audit is a single streaming map over thin (url, host)
+    columns of the stored waves; no shuffle anywhere."""
+    from ..functions.urls import is_blocked
+
+    _, robots, blocklist = _load_config(Path(fixture_dir))
+    ref = ray.put((robots, blocklist))
+    pages = rd.read_parquet(str(Path(out_dir) / "waves"), columns=["url", "host"])
+
+    def check(batch: pa.Table) -> pa.Table:
+        robots_, bl = ray.get(ref)
+        urls = batch.column("url").to_pylist()
+        hosts = batch.column("host").to_pylist()
+        v_url, v_host, v_rule = [], [], []
+        for u, h in zip(urls, hosts):
+            if is_blocked(h, bl):
+                v_url.append(u)
+                v_host.append(h)
+                v_rule.append("blocklist")
+                continue
+            dis = robots_.get(h)
+            if dis:
+                # path from the first '/' after the scheme — identical
+                # rule to stages/route.py:66-72 / oracle._allowed
+                sl = u.find("/", 7)
+                path = u[sl:] if sl != -1 else ""
+                for p in dis:
+                    if path.startswith(p):
+                        v_url.append(u)
+                        v_host.append(h)
+                        v_rule.append(f"disallow:{p}")
+                        break
+        return pa.table(
+            {
+                "url": pa.array(v_url, pa.string()),
+                "host": pa.array(v_host, pa.string()),
+                "rule": pa.array(v_rule, pa.string()),
+            }
+        )
+
+    return pages.map_batches(check, batch_format="pyarrow")

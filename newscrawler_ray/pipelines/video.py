@@ -328,6 +328,88 @@ def video_scene_segments(
     )
 
 
+# ------------------------------------------------------- keyframe export
+
+
+class KeyframeExporter:
+    """Actor-pool stage: video rows -> IMAGE-table rows, one per sampled
+    keyframe. The bridge that lets the whole image family (quality
+    gates, phash dedup, channel stats, kNN, curation) run unchanged
+    over video content: output schema is exactly the image input_hint
+    (image_id, bytes, w, h, fmt, caption, phash), bytes re-encoded as
+    lossless PPM. image_id packs (video, frame) into the fixture id
+    format ``img-%08d`` (vnum*1000 + frame_idx) so the int-keyed image
+    operators parse it natively."""
+
+    def __init__(self, every_n: int = 5):
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch.column("video_id").to_pylist()
+        fmts = batch.column("fmt").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        ids: list[str] = []
+        outb: list[bytes] = []
+        ws: list[int] = []
+        hs: list[int] = []
+        caps: list[str] = []
+        phs: list[np.ndarray] = []
+        for vid, fmt, blob in zip(vids, fmts, blobs):
+            if fmt != "rvid":
+                raise NotImplementedError(
+                    f"fmt={fmt!r} needs an external decoder (ffmpeg)"
+                )
+            n, h, w, _ = codecs.rvid_info(blob)
+            idx = np.arange(0, n, self.every_n, dtype=np.int64)
+            frames = codecs.decode_rvid_frames(blob, idx)
+            vnum = int(vid[4:])
+            for k, f in zip(idx.tolist(), frames):
+                ids.append(f"img-{vnum * 1000 + k:08d}")
+                outb.append(codecs.encode_ppm(f))
+                ws.append(w)
+                hs.append(h)
+                caps.append(f"keyframe {k} of {vid}")
+            phs.append(codecs.phash64_batch(frames))
+        return pa.table(
+            {
+                "image_id": pa.array(ids, pa.string()),
+                "bytes": pa.array(outb, pa.binary()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "fmt": pa.array(["ppm"] * len(ids), pa.string()),
+                "caption": pa.array(caps, pa.string()),
+                "phash": pa.array(
+                    np.concatenate(phs) if phs else np.empty(0, np.int64), _I64
+                ),
+            }
+        )
+
+
+def export_video_keyframes(
+    videos_path: "str | Path | rd.Dataset",
+    *,
+    every_n: int = 5,
+    concurrency: "int | tuple | None" = None,
+    batch_size: int = 8,
+) -> rd.Dataset:
+    """Sampled keyframes as image-table rows (see ``KeyframeExporter``).
+    Payload-heavy output: keep batch_size small and write/consume it
+    streaming — the downstream image ops pick winners on thin columns
+    so the bytes never enter a shuffle there either."""
+    ds = (
+        videos_path
+        if isinstance(videos_path, rd.Dataset)
+        else rd.read_parquet(str(videos_path))
+    )
+    return ds.map_batches(
+        KeyframeExporter,
+        fn_constructor_kwargs={"every_n": every_n},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=_pool_width(concurrency),
+    )
+
+
 # --------------------------------------------------------- video near-dup
 
 

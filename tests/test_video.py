@@ -198,3 +198,39 @@ def test_video_near_dup_planted_pair(ray_session):
     }
     # restrict brute to pairs fully inside the slice (got already is)
     assert got == brute
+
+
+def test_export_video_keyframes_bridges_to_image_ops(ray_session, tmp_path):
+    """The exported keyframe table is a valid IMAGE table: bytes decode
+    to the exact sampled frames, phash matches, and an unchanged image
+    operator (phash_near_dup_groups) finds the planted syndicated-intro
+    group across videos."""
+    import pyarrow.parquet as pq
+
+    from newscrawler_ray.pipelines.video import export_video_keyframes
+
+    ds = export_video_keyframes(str(_videos()), every_n=5)
+    out = tmp_path / "keyframes.parquet"
+    t = ds.to_pandas()
+    total = video_frame_sample(str(_videos()), every_n=5).count()
+    assert len(t) == total
+    # decode parity for video 3's frames
+    src = pq.read_table(_videos())
+    blob = src.slice(3, 1).column("bytes")[0].as_py()
+    frames = codecs.decode_rvid_frames(blob, np.array([0, 5, 10]))
+    for k, f in zip([0, 5, 10], frames):
+        row = t[t.image_id == f"img-{3 * 1000 + k:08d}"].iloc[0]
+        assert (codecs.decode_ppm(row["bytes"]) == f).all()
+        assert row["phash"] == codecs.phash64(f)
+        assert row["fmt"] == "ppm" and row["w"] == 32 and row["h"] == 24
+    # an unchanged IMAGE op over the bridge output: the intro group
+    import pyarrow as pa
+
+    pq.write_table(pa.Table.from_pandas(t[["image_id", "phash"]]), str(out))
+    from newscrawler_ray.pipelines.multimodal import phash_near_dup_groups
+
+    groups = phash_near_dup_groups(out).to_pandas()
+    intro_ph = int(t[t.image_id == "img-00000000"].phash.iloc[0])
+    assert int(groups[groups.phash == intro_ph].n_images.iloc[0]) == len(
+        range(0, 240, 7)
+    )
