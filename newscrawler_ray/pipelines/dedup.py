@@ -1966,7 +1966,11 @@ def edit_distance_pairs(
         )
 
     cand = rows.groupby("part").map_groups(coarse_pairs, batch_format="pyarrow")
-    cand = _distinct_pairs(cand.repartition(num_partitions)).materialize()
+    # repartition AFTER the distinct: the hash aggregate emits 0-COLUMN
+    # blocks for empty partitions (many at production CPU counts), and
+    # the downstream join cannot key them (the tfidf/r2 lesson; this
+    # reproduced only at num_cpus=32 in the driver sweep)
+    cand = _distinct_pairs(cand).repartition(num_partitions).materialize()
     if cand.count() == 0:
         return rd.from_arrow(
             pa.table(

@@ -888,3 +888,26 @@ def test_edit_distance_pairs_high_partition_count(ray_session):
     rows = out.take_all()
     assert len(rows) == 25  # matches the DuckDB levenshtein oracle count
     assert all(r["dist"] <= 1 for r in rows)
+
+
+def test_edit_distance_pairs_sparse_partitions(ray_session):
+    """Driver-sweep regression (num_cpus=32): ONE candidate pair across
+    8 partitions leaves most distinct-aggregate partitions empty, and
+    those emit 0-COLUMN blocks the verify join cannot key unless they
+    are coalesced AFTER the distinct. Two near-identical docs + filler
+    reproduce the sweep failure shape at the test session's safe
+    partition count."""
+    import ray.data as rd
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+            {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dot"},
+        ]
+        + [
+            {"doc_id": 10 + i, "text": f"{'xyzqvw'[i] * (5 + i)} filler {i} " + "pad" * i}
+            for i in range(6)
+        ]
+    )
+    rows = dedup.edit_distance_pairs(SF, docs=docs, num_partitions=8).take_all()
+    assert [(r["id_a"], r["id_b"], r["dist"]) for r in rows] == [(1, 2, 1)]
