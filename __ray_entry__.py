@@ -580,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_kmeans_clusters": _image_kmeans,
         "curate_crawl_output": _curate_crawl_output,
         "audio_features": _audio_features,
+        "audio_near_dup": _audio_near_dup,
         # flagship crawl (north_rule; rows-only — oracle equality in tests/)
         "crawl_e2e": _crawl_e2e,
         # crawl -> article-extraction composition (reference inline
@@ -1451,10 +1452,18 @@ def _export_image_shards(sf_dir: str) -> Any:
 def _audio_features(sf_dir: str) -> Any:
     """Rows-only: WAV decode + FFT feature stage over the deterministic
     synthetic audio table (sf_dir-independent input by design)."""
-    from newscrawler_ray.pipelines.audio import audio_features, synth_audio
+    from newscrawler_ray.pipelines.audio import audio_features, default_audio_fixture
 
-    path = synth_audio("/tmp/newscrawler_ray_fixtures/audio_500.parquet", 500)
-    return audio_features(path)
+    return audio_features(default_audio_fixture())
+
+
+def _audio_near_dup(sf_dir: str) -> Any:
+    """Rows-only: amplitude-invariant spectral-peak near-dup — the
+    FOURTH payload type through dedup.gram_set_near_dup (planted 0.55x
+    re-recordings + brute-force parity in tests/test_audio.py)."""
+    from newscrawler_ray.pipelines.audio import audio_near_dup, default_audio_fixture
+
+    return audio_near_dup(default_audio_fixture(), threshold=0.6)
 
 
 def oracle_sql() -> dict[str, str]:

@@ -193,6 +193,7 @@ QUERY_NAMES = [
     "video_near_dup",
     "video_keyframe_export",
     "crawl_robots_audit",
+    "audio_near_dup",
     "leakage_safe_split_docs",
     "migrate_domain_column",
 ]

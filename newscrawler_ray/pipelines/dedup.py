@@ -291,6 +291,59 @@ def minhash_lsh_pairs(
     return jaccard_verify_pairs(pairs, docs, threshold, num_partitions)
 
 
+def gram_set_near_dup(
+    grams: rd.Dataset, threshold: float, num_partitions: int
+) -> rd.Dataset:
+    """Generic exact set-similarity self-join over precomputed gram
+    sets: ``grams`` rows are (doc_id int64, grams list<int64> — the
+    distinct set, ascending in UINT64 order as ``jaccard_verify_pairs``
+    requires, n_grams int64); output (id_a, id_b, jaccard) for every
+    pair with set Jaccard >= threshold.
+
+    The one engine behind payload-specific near-dups (whole-video via
+    frame phashes, audio via spectral-peak shingles): candidates are
+    ids sharing >= 1 exact gram — a superset of qualifying pairs for
+    any threshold > 0 — mined with the shared coarse-partition
+    segment-pair kernel, then exact-verified by the gram-set hash join.
+    A corpus-common gram (a syndicated intro frame, a canned jingle)
+    fans out quadratically in its bucket — at 10^10 items cap or drop
+    top-df grams from candidate generation (the ``ngram_jaccard_pairs``
+    df_cap trick); sandbox scale stays exact."""
+    grams = grams.materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        col = batch.column("grams")
+        lens = pc.list_value_length(col).to_numpy().astype(np.int64)
+        did = np.repeat(batch.column("doc_id").to_numpy(), lens)
+        g = pc.list_flatten(col).to_numpy()
+        part = (g.view(_U64) % _U64(num_partitions)).astype(np.int64)
+        return pa.table(
+            {"part": pa.array(part, pa.int64()),
+             "g": pa.array(g, pa.int64()),
+             "doc_id": pa.array(did, pa.int64())}
+        )
+
+    def coarse_pairs(group: pa.Table) -> pa.Table:
+        g = group.column("g").to_numpy()
+        ids = group.column("doc_id").to_numpy()
+        ia, ib, order = _bucket_pair_indices([g], ids)
+        srt = ids[order]
+        return pa.table(
+            {"id_a": pa.array(srt[ia], pa.int64()),
+             "id_b": pa.array(srt[ib], pa.int64())}
+        )
+
+    cand = (
+        grams.map_batches(explode, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(coarse_pairs, batch_format="pyarrow")
+    )
+    return jaccard_verify_pairs(
+        _distinct_pairs(cand), None, threshold, num_partitions, grams=grams
+    )
+
+
 def _distinct_pairs(pairs: rd.Dataset) -> rd.Dataset:
     """Distinct (id_a, id_b) via the vectorized hash aggregate — NOT a
     per-group ``map_groups`` slice, which costs a Python call per pair

@@ -427,18 +427,12 @@ def video_near_dup(
     as "docs" and frame phashes as grams: a third payload type through
     the same join, after text n-grams and caption tokens.
 
-    Shape: candidates are videos sharing >= 1 sampled phash (exact
-    match — at threshold t a qualifying pair must share >= t/(1+t) of
-    the smaller set, so one shared hash is a superset of the qualifying
-    candidates), mined with the shared coarse-partition segment-pair
-    kernel; verification hash-joins each side's sorted phash set onto
-    the pair rows. A corpus-common intro card behaves like a stopword
-    gram and fans out quadratically in its bucket — at 10^10 videos cap
-    per-bucket emission (the ``ngram_jaccard_pairs`` df_cap trick);
-    sandbox scale leaves it exact.
+    Shape: one gram-lists pass (per-video uint64-sorted distinct phash
+    sets) into the generic ``dedup.gram_set_near_dup`` engine — shared
+    candidate mining, verification and scale caveats live there.
 
     Output: (video_a, video_b, jaccard), video_a < video_b."""
-    from .dedup import _bucket_pair_indices, _distinct_pairs, jaccard_verify_pairs
+    from .dedup import gram_set_near_dup
 
     ds = (
         videos_path
@@ -476,41 +470,8 @@ def video_near_dup(
             }
         )
 
-    # thin (id, phash-set) rows; materialized because both the candidate
-    # explode AND the verify join consume it (one decode pass, not two)
-    grams = ds.map_batches(
-        gram_lists, batch_format="pyarrow", batch_size=8
-    ).materialize()
-
-    def explode(batch: pa.Table) -> pa.Table:
-        batch = batch.combine_chunks()
-        col = batch.column("grams")
-        lens = pc.list_value_length(col).to_numpy().astype(np.int64)
-        vnum = np.repeat(batch.column("doc_id").to_numpy(), lens)
-        ph = pc.list_flatten(col).to_numpy()
-        part = (ph.view(np.uint64) % np.uint64(num_partitions)).astype(np.int64)
-        return pa.table(
-            {"part": pa.array(part, _I64), "phash": pa.array(ph, _I64),
-             "vnum": pa.array(vnum, _I64)}
-        )
-
-    def coarse_pairs(group: pa.Table) -> pa.Table:
-        ph = group.column("phash").to_numpy()
-        vn = group.column("vnum").to_numpy()
-        ia, ib, order = _bucket_pair_indices([ph], vn)
-        srt = vn[order]
-        return pa.table(
-            {"id_a": pa.array(srt[ia], _I64), "id_b": pa.array(srt[ib], _I64)}
-        )
-
-    cand = (
-        grams.map_batches(explode, batch_format="pyarrow")
-        .groupby("part")
-        .map_groups(coarse_pairs, batch_format="pyarrow")
-    )
-    verified = jaccard_verify_pairs(
-        _distinct_pairs(cand), None, threshold, num_partitions, grams=grams
-    )
+    grams = ds.map_batches(gram_lists, batch_format="pyarrow", batch_size=8)
+    verified = gram_set_near_dup(grams, threshold, num_partitions)
 
     def back(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:

@@ -58,3 +58,59 @@ def test_audio_stub_for_compressed(ray_session):
     by_id = {r["audio_id"]: r for r in out}
     assert by_id["a"]["feature_error"] is None
     assert "external codec" in by_id["b"]["feature_error"]
+
+
+def test_audio_near_dup_planted_rerecordings(ray_session):
+    """Every planted 0.55x re-recording (i % 10 == 6 copies i-3:
+    different BYTES, same spectra) is paired at threshold 0.6, nothing
+    else is, and the pipeline agrees with a brute-force driver
+    recompute of the shingle Jaccard."""
+    import itertools
+
+    import pyarrow.parquet as pq
+
+    from newscrawler_ray.pipelines.audio import (
+        audio_near_dup,
+        audio_peak_shingles,
+        decode_audio,
+        default_audio_fixture,
+    )
+
+    p = default_audio_fixture(200, 42)
+    df = audio_near_dup(p, threshold=0.6).to_pandas()
+    got = {(r.audio_a, r.audio_b) for r in df.itertuples()}
+    want = {
+        (f"aud-{i-3:06d}", f"aud-{i:06d}") for i in range(6, 200, 10)
+    } | {
+        # natural near-dup: clips 165/193 drew the same three tone
+        # frequencies (seeded coincidence) — the same signal at
+        # different durations, correctly flagged (plus 193's planted
+        # re-recording 196, transitively)
+        ("aud-000165", "aud-000193"),
+        ("aud-000165", "aud-000196"),
+    }
+    assert got == want
+    assert (df.jaccard >= 0.6).all()
+    # bytes really differ on every planted pair (the exact-dedup miss)
+    t = pq.read_table(p)
+    blobs = dict(zip(t.column("audio_id").to_pylist(), t.column("bytes").to_pylist()))
+    for a, b in want:
+        assert blobs[a] != blobs[b]
+    # brute-force parity at a low threshold over a corpus slice
+    fmts = dict(zip(t.column("audio_id").to_pylist(), t.column("fmt").to_pylist()))
+    ids = [f"aud-{i:06d}" for i in range(80)]
+    sets = {
+        a: set(audio_peak_shingles(decode_audio(blobs[a], fmts[a])[0]).tolist())
+        for a in ids
+    }
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(ids, 2)
+        if len(sets[a] & sets[b]) / max(1, len(sets[a] | sets[b])) >= 0.3
+    }
+    got_low = {
+        (r.audio_a, r.audio_b)
+        for r in audio_near_dup(p, threshold=0.3).to_pandas().itertuples()
+        if r.audio_a in sets and r.audio_b in sets
+    }
+    assert got_low == brute
