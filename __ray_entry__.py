@@ -551,6 +551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_near_dup": _video_near_dup,
         "video_keyframe_export": _video_keyframe_export,
         "crawl_robots_audit": _crawl_robots_audit,
+        "curate_video_corpus": _curate_video_corpus,
         # shard-wise schema migration with backfill (reference DB-script
         # analog; rows-only — idempotence/resume oracles in tests)
         "migrate_domain_column": _migrate_domain_column,
@@ -1102,6 +1103,15 @@ def _crawl_robots_audit(sf_dir: str) -> Any:
     from newscrawler_ray.synth import default_fixture_dir
 
     return robots_compliance_audit(_shared_crawl_out(), default_fixture_dir(600))
+
+
+def _curate_video_corpus(sf_dir: str) -> Any:
+    """Rows-only: the video-tier composition — near-dup drop
+    (first-wins) + per-survivor scene/keyframe stats (direct-recompute
+    oracle in tests/test_video.py)."""
+    from newscrawler_ray.pipelines.video import curate_video_corpus
+
+    return curate_video_corpus(str(_videos_table()), threshold=0.5)
 
 
 def _video_near_dup(sf_dir: str) -> Any:

@@ -194,6 +194,7 @@ QUERY_NAMES = [
     "video_keyframe_export",
     "crawl_robots_audit",
     "audio_near_dup",
+    "curate_video_corpus",
     "leakage_safe_split_docs",
     "migrate_domain_column",
 ]

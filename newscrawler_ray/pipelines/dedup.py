@@ -1229,6 +1229,14 @@ def ivf_pair_mine(
 # ------------------------------------------------ corpus-level dedup
 
 
+def _clean_id_blocks(batch: pa.Table) -> pa.Table:
+    """Normalize any block to the one-column (doc_id) schema —
+    0-column/0-row shuffle or repartition artifacts included."""
+    if batch.num_columns == 0 or batch.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    return pa.table({"doc_id": batch.column("doc_id")})
+
+
 def _survivors(docs: rd.Dataset, pairs: rd.Dataset, num_partitions: int) -> rd.Dataset:
     """Keep one doc per near-dup cluster (the min doc_id) plus every
     unpaired doc: pairs -> connected components -> anti-join the
@@ -1244,10 +1252,35 @@ def _survivors(docs: rd.Dataset, pairs: rd.Dataset, num_partitions: int) -> rd.D
         return pa.table({"doc_id": batch.filter(keep).column("node")})
 
     drop = assign.map_batches(non_roots, batch_format="pyarrow")
-    drop = drop.repartition(num_partitions).materialize()
+    # repartition SPLITS sparse row sets into 0-COLUMN empty blocks
+    # (reproduced at 32 CPUs with a 1-row drop set), and acero rejects
+    # those on a join side — normalize every block to the (doc_id)
+    # schema AFTER the repartition
+    drop = (
+        drop.repartition(num_partitions)
+        .map_batches(_clean_id_blocks, batch_format="pyarrow")
+        .materialize()
+    )
     ids = docs.select_columns(["doc_id"])
-    if drop.count() == 0:
+    n_drop = drop.count()
+    if n_drop == 0:
         return ids
+    if n_drop < num_partitions * 4096:
+        # sparse drop sets: Ray's hash join builds 0-column internal
+        # partitions when a side's partition receives no rows (acero
+        # rejects them; reproduced at 32 CPUs with a 1-row drop set),
+        # and a shuffle join is the wrong shape for a tiny side anyway —
+        # broadcast the ids once, anti-filter in a streaming map
+        from ..functions.joins import make_broadcast_semijoin_fn
+
+        id_arr = pa.concat_tables(
+            [b for b in drop.iter_batches(batch_format="pyarrow") if b.num_rows]
+        ).column("doc_id").combine_chunks()
+        ref = ray.put(id_arr)
+        return ids.map_batches(
+            make_broadcast_semijoin_fn("doc_id", ref, anti=True),
+            batch_format="pyarrow",
+        )
     return ids.join(
         drop.rename_columns(["doc_id"]),
         join_type="left_anti",

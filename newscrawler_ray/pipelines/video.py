@@ -493,6 +493,128 @@ def video_near_dup(
     return verified.map_batches(back, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------ curation
+
+
+def curate_video_corpus(
+    videos_path: "str | Path | rd.Dataset",
+    *,
+    threshold: float = 0.5,
+    every_n: int = 5,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """The video-tier composition (the ``curate_image_corpus`` shape):
+    whole-video near-dup pairs -> connected components -> first-wins
+    survivors, then per-survivor content stats — scene count, mean
+    scene length, sampled-keyframe count — in one row per kept video.
+
+    Survivor selection reuses ``dedup._survivors`` on thin id rows
+    (payload bytes never join or shuffle); stats come from the
+    row-local scene segmentation, semi-joined down to survivors.
+
+    Output: (video_id, n_scenes, mean_scene_len, n_keyframes)."""
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import _survivors
+
+    ds = (
+        videos_path
+        if isinstance(videos_path, rd.Dataset)
+        else rd.read_parquet(str(videos_path))
+    )
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+
+    pairs = video_near_dup(
+        ds, threshold=threshold, every_n=every_n, num_partitions=num_partitions
+    )
+
+    def pair_ids(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"id_a": pa.array([], _I64), "id_b": pa.array([], _I64)}
+            )
+        return pa.table(
+            {
+                "id_a": pc.cast(
+                    pc.utf8_slice_codeunits(batch.column("video_a"), 4, 99), _I64
+                ),
+                "id_b": pc.cast(
+                    pc.utf8_slice_codeunits(batch.column("video_b"), 4, 99), _I64
+                ),
+            }
+        )
+
+    def vid_ids(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(
+                    pc.utf8_slice_codeunits(batch.column("video_id"), 4, 99), _I64
+                )
+            }
+        )
+
+    keep = _survivors(
+        ds.map_batches(vid_ids, batch_format="pyarrow"),
+        pairs.map_batches(pair_ids, batch_format="pyarrow"),
+        num_partitions,
+    ).materialize()
+
+    scenes = video_scene_segments(ds)
+
+    def key_scenes(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(
+                    pc.utf8_slice_codeunits(batch.column("video_id"), 4, 99), _I64
+                ),
+                "n_frames": batch.column("n_frames"),
+            }
+        )
+
+    from .dedup import _clean_id_blocks
+
+    kept_scenes = scenes.map_batches(key_scenes, batch_format="pyarrow").join(
+        # keep is a join output: repartition splits it into 0-column
+        # empty blocks at high CPU counts — normalize before joining
+        keep.repartition(num_partitions).map_batches(
+            _clean_id_blocks, batch_format="pyarrow"
+        ),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+    agg = kept_scenes.groupby("doc_id").aggregate(
+        Count(alias_name="n_scenes"), Sum("n_frames", alias_name="total_frames")
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"video_id": pa.array([], pa.string()),
+                 "n_scenes": pa.array([], _I64),
+                 "mean_scene_len": pa.array([], pa.float64()),
+                 "n_keyframes": pa.array([], _I64)}
+            )
+        did = batch.column("doc_id").to_numpy()
+        ns = batch.column("n_scenes").to_numpy()
+        total = batch.column("total_frames").to_numpy()
+        return pa.table(
+            {
+                "video_id": pa.array([f"vid-{v:06d}" for v in did.tolist()]),
+                "n_scenes": pa.array(ns, _I64),
+                "mean_scene_len": pa.array(
+                    np.round(total / ns + 1e-9, 4), pa.float64()
+                ),
+                "n_keyframes": pa.array(-(-total // every_n), _I64),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 # ----------------------------------------------------------------- dedup
 
 

@@ -234,3 +234,28 @@ def test_export_video_keyframes_bridges_to_image_ops(ray_session, tmp_path):
     assert int(groups[groups.phash == intro_ph].n_images.iloc[0]) == len(
         range(0, 240, 7)
     )
+
+
+def test_curate_video_corpus_drops_copy_keeps_stats(ray_session):
+    """The composition: the truncated-copy video 100 (near-dup of 50)
+    is dropped first-wins; every other video survives with scene/
+    keyframe stats matching the direct per-op recompute."""
+    from newscrawler_ray.pipelines.video import curate_video_corpus
+
+    df = (
+        curate_video_corpus(str(_videos()), threshold=0.5)
+        .to_pandas()
+        .sort_values("video_id", ignore_index=True)
+    )
+    assert len(df) == 239 and "vid-000100" not in set(df.video_id)
+    scenes = (
+        video_scene_segments(str(_videos()))
+        .to_pandas()
+        .groupby("video_id")
+        .agg(n=("scene_idx", "size"), total=("n_frames", "sum"))
+    )
+    for r in df.sample(20, random_state=7).itertuples():
+        s = scenes.loc[r.video_id]
+        assert r.n_scenes == s.n
+        assert r.mean_scene_len == round(s.total / s.n + 1e-9, 4)
+        assert r.n_keyframes == -(-s.total // 5)
