@@ -203,6 +203,7 @@ def audio_near_dup(
     *,
     threshold: float = 0.6,
     num_partitions: int | None = None,
+    hot_gram_cap: int | None = None,
 ) -> rd.Dataset:
     """Near-duplicate audio pairs: Jaccard over spectral-peak shingle
     sets >= threshold — volume-normalized re-uploads and re-encodes of
@@ -252,7 +253,9 @@ def audio_near_dup(
     # only; a real compressed-codec deployment would turn this into a
     # decoder-holding class like AudioFeatures)
     grams = ds.map_batches(gram_lists, batch_format="pyarrow", batch_size=32)
-    verified = gram_set_near_dup(grams, threshold, num_partitions)
+    verified = gram_set_near_dup(
+        grams, threshold, num_partitions, hot_gram_cap=hot_gram_cap
+    )
 
     def back(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:

@@ -292,7 +292,11 @@ def minhash_lsh_pairs(
 
 
 def gram_set_near_dup(
-    grams: rd.Dataset, threshold: float, num_partitions: int
+    grams: rd.Dataset,
+    threshold: float,
+    num_partitions: int,
+    *,
+    hot_gram_cap: int | None = None,
 ) -> rd.Dataset:
     """Generic exact set-similarity self-join over precomputed gram
     sets: ``grams`` rows are (doc_id int64, grams list<int64> — the
@@ -305,18 +309,70 @@ def gram_set_near_dup(
     ids sharing >= 1 exact gram — a superset of qualifying pairs for
     any threshold > 0 — mined with the shared coarse-partition
     segment-pair kernel, then exact-verified by the gram-set hash join.
-    A corpus-common gram (a syndicated intro frame, a canned jingle)
-    fans out quadratically in its bucket — at 10^10 items cap or drop
-    top-df grams from candidate generation (the ``ngram_jaccard_pairs``
-    df_cap trick); sandbox scale stays exact."""
+
+    ``hot_gram_cap``: a corpus-common gram (a syndicated intro frame, a
+    canned jingle) fans out quadratically in its bucket — measured:
+    2,400 synthetic videos put one intro keyframe in 343 of them, ~59k
+    candidate pairs from ONE bucket. With the cap set, grams appearing
+    in more than ``hot_gram_cap`` sets are excluded from CANDIDATE
+    GENERATION only (verification still counts them, so reported
+    jaccard values are exact). The hot set is tiny by pigeonhole
+    (<= total_gram_rows / cap entries) and ships as one broadcast
+    array. Caveat: a pair similar ONLY through hot grams is missed —
+    for near-dup curation those pairs are boilerplate-driven and
+    usually unwanted anyway; leave None for the fully exact join."""
     grams = grams.materialize()
 
-    def explode(batch: pa.Table) -> pa.Table:
+    hot_ref = None
+    if hot_gram_cap is not None:
+
+        def just_grams(batch: pa.Table) -> pa.Table:
+            batch = batch.combine_chunks()
+            return pa.table({"g": pc.list_flatten(batch.column("grams"))})
+
+        df = (
+            grams.map_batches(just_grams, batch_format="pyarrow")
+            .groupby("g")
+            .aggregate(Count(alias_name="df"))
+        )
+
+        def only_hot(batch: pa.Table) -> pa.Table:
+            if batch.num_columns == 0 or batch.num_rows == 0:
+                return pa.table({"g": pa.array([], pa.int64())})
+            return pa.table(
+                {"g": batch.filter(
+                    pc.greater(batch.column("df"), hot_gram_cap)
+                ).column("g")}
+            )
+
+        hot_rows = [
+            b for b in df.map_batches(only_hot, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow"
+            ) if b.num_rows
+        ]
+        hot = (
+            np.sort(
+                pa.concat_tables(hot_rows).column("g").to_numpy().view(_U64)
+            )
+            if hot_rows
+            else np.empty(0, _U64)
+        )
+        hot_ref = ray.put(hot)
+
+    def explode(batch: pa.Table, _hot_ref=hot_ref) -> pa.Table:
         batch = batch.combine_chunks()
         col = batch.column("grams")
         lens = pc.list_value_length(col).to_numpy().astype(np.int64)
         did = np.repeat(batch.column("doc_id").to_numpy(), lens)
         g = pc.list_flatten(col).to_numpy()
+        if _hot_ref is not None:
+            hot_arr = ray.get(_hot_ref)
+            if len(hot_arr):
+                gu = g.view(_U64)
+                pos = np.searchsorted(hot_arr, gu)
+                is_hot = (pos < len(hot_arr)) & (hot_arr[np.minimum(pos, len(hot_arr) - 1)] == gu)
+                keep = ~is_hot
+                g, did = g[keep], did[keep]
         part = (g.view(_U64) % _U64(num_partitions)).astype(np.int64)
         return pa.table(
             {"part": pa.array(part, pa.int64()),

@@ -419,6 +419,7 @@ def video_near_dup(
     threshold: float = 0.5,
     every_n: int = 5,
     num_partitions: int | None = None,
+    hot_gram_cap: int | None = None,
 ) -> rd.Dataset:
     """Whole-video near-dup pairs: Jaccard over the SAMPLED frame-phash
     SETS >= threshold — re-uploads, truncated copies and
@@ -471,7 +472,9 @@ def video_near_dup(
         )
 
     grams = ds.map_batches(gram_lists, batch_format="pyarrow", batch_size=8)
-    verified = gram_set_near_dup(grams, threshold, num_partitions)
+    verified = gram_set_near_dup(
+        grams, threshold, num_partitions, hot_gram_cap=hot_gram_cap
+    )
 
     def back(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:

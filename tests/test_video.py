@@ -259,3 +259,26 @@ def test_curate_video_corpus_drops_copy_keeps_stats(ray_session):
         assert r.n_scenes == s.n
         assert r.mean_scene_len == round(s.total / s.n + 1e-9, 4)
         assert r.n_keyframes == -(-s.total // 5)
+
+
+def test_video_near_dup_hot_gram_cap_same_output(ray_session):
+    """With the intro keyframe (df=35) excluded from candidate
+    generation (hot_gram_cap=16), the output pair set is UNCHANGED:
+    intro-only pairs were below threshold anyway, and the planted
+    truncated-copy pair shares 6 non-hot grams. The scale mitigation
+    costs no recall on this corpus."""
+    from newscrawler_ray.pipelines.video import video_near_dup
+
+    exact = (
+        video_near_dup(str(_videos()), threshold=0.5)
+        .to_pandas()
+        .sort_values(["video_a", "video_b"], ignore_index=True)
+    )
+    capped = (
+        video_near_dup(str(_videos()), threshold=0.5, hot_gram_cap=16)
+        .to_pandas()
+        .sort_values(["video_a", "video_b"], ignore_index=True)
+    )
+    assert exact.equals(capped)
+    assert len(capped) == 1  # the planted pair, with its exact jaccard
+    assert capped.jaccard[0] == 0.6
