@@ -324,6 +324,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (text twin of leakage_safe_split_images, with a hard oracle:
         # the jaccard closure CTE composed with the Knuth split rule)
         "leakage_safe_split_docs": CS.leakage_safe_split_docs,
+        # per-doc k-gram novelty (first-appearance fraction): one
+        # Min-per-gram aggregate + winner counts + thin per-doc join
+        "gram_novelty_docs": CS.gram_novelty_docs,
         # C4-style normalized exact dedup (case/punct/whitespace
         # variants) — SQL-exact
         "normalized_exact_dedup": D.normalized_exact_dedup,
@@ -3356,6 +3359,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT node FROM lbl WHERE comp < node)""",
+        "gram_novelty_docs": r"""
+            -- per-doc k-gram novelty: fraction of the doc's DISTINCT
+            -- word-3-grams whose min-doc_id first appearance is the doc
+            -- itself (same gram convention as the jaccard family)
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) < 3
+                       THEN [list_aggregate(w, 'string_agg', ' ')]
+                       ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             FOR i IN generate_series(1, len(w)-2)]
+                     END) AS grams
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '\W+'),
+                                       x -> x <> '') AS w
+                    FROM documents)
+            ), x AS (
+              SELECT doc_id, unnest(grams) AS gram FROM g
+            ), firsts AS (
+              SELECT gram, min(doc_id) AS first_doc FROM x GROUP BY gram
+            ), novel AS (
+              SELECT first_doc AS doc_id, count(*) AS n_novel
+              FROM firsts GROUP BY first_doc
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_grams FROM x GROUP BY doc_id
+            )
+            SELECT s.doc_id,
+                   s.n_grams,
+                   coalesce(n.n_novel, 0) AS n_novel,
+                   round(coalesce(n.n_novel, 0)::DOUBLE
+                         / greatest(s.n_grams, 1) + 1e-9, 4) AS novelty
+            FROM sizes s LEFT JOIN novel n ON n.doc_id = s.doc_id""",
         "leakage_safe_split_docs": r"""
             -- leakage-safe split: the jaccard transitive closure gives
             -- each doc its cluster id (singletons: own doc_id), then the

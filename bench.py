@@ -195,6 +195,7 @@ QUERY_NAMES = [
     "crawl_robots_audit",
     "audio_near_dup",
     "curate_video_corpus",
+    "gram_novelty_docs",
     "leakage_safe_split_docs",
     "migrate_domain_column",
 ]

@@ -1383,6 +1383,92 @@ def train_val_test_split(
     return docs.map_batches(assign, batch_format="pyarrow")
 
 
+def gram_novelty_docs(
+    sf_dir: str, *, k: int = 3, num_partitions: int | None = None
+) -> rd.Dataset:
+    """Per-document k-gram novelty: the fraction of a doc's DISTINCT
+    word-k-grams whose FIRST corpus appearance (min doc_id) is this doc
+    — near 1 for fresh prose, near 0 for templated/spun/syndicated text
+    that recombines grams already in the corpus. The streaming-novelty
+    quality signal, computed batch (order = doc_id, the ingest order).
+
+    Shape: one gram-lists pass (shared tokenizer) -> explode to thin
+    (gram, doc_id) rows -> ONE hash aggregate Min(doc_id) per gram ->
+    count the winners per doc -> join onto per-doc gram counts (both
+    sides one row per doc). The exchange carries the distinct-gram
+    vocabulary once; text never moves.
+
+    Output: (doc_id, n_grams, n_novel, novelty) — SQL-checkable
+    row-for-row (same gram convention as the jaccard family)."""
+    from ray.data.aggregate import Count, Min
+
+    from .dedup import _gram_lists
+
+    nparts = _nparts(num_partitions)
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    grams = _gram_lists(docs, k).materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        col = batch.column("grams")
+        lens = pc.list_value_length(col).to_numpy().astype(np.int64)
+        did = np.repeat(batch.column("doc_id").to_numpy(), lens)
+        return pa.table(
+            {"gram": pc.list_flatten(col),
+             "doc_id": pa.array(did, _I64)}
+        )
+
+    firsts = (
+        grams.map_batches(explode, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Min("doc_id", alias_name="first_doc"))
+    )
+    novel = firsts.groupby("first_doc").aggregate(Count(alias_name="n_novel"))
+
+    def clean_novel(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], _I64), "n_novel": pa.array([], _I64)}
+            )
+        return pa.table(
+            {"doc_id": batch.column("first_doc"), "n_novel": batch.column("n_novel")}
+        )
+
+    novel = novel.map_batches(clean_novel, batch_format="pyarrow").repartition(nparts)
+
+    sizes = grams.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b.column("doc_id"), "n_grams": b.column("n_grams")}
+        ),
+        batch_format="pyarrow",
+    ).repartition(nparts)
+    j = sizes.join(novel, join_type="left_outer", num_partitions=nparts, on=("doc_id",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], _I64), "n_grams": pa.array([], _I64),
+                 "n_novel": pa.array([], _I64),
+                 "novelty": pa.array([], pa.float64())}
+            )
+        ng = batch.column("n_grams").to_numpy()
+        nv = pc.coalesce(
+            pc.cast(batch.column("n_novel"), _I64), pa.scalar(0, _I64)
+        ).to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_grams": pa.array(ng, _I64),
+                "n_novel": pa.array(nv, _I64),
+                "novelty": pa.array(
+                    np.round(nv / np.maximum(ng, 1) + 1e-9, 4), pa.float64()
+                ),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def leakage_safe_split_docs(
     sf_dir: str,
     *,

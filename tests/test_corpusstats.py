@@ -638,3 +638,31 @@ def test_leakage_safe_split_docs_colocates_clusters(ray_session):
         .sort_values("doc_id", ignore_index=True)
     )
     assert df.equals(df2)
+
+
+def test_gram_novelty_planted_template(ray_session, tmp_path):
+    """A later doc recombining only earlier grams scores novelty 0; the
+    first doc scores 1; a half-copied doc lands exactly between."""
+    from newscrawler_ray.pipelines.corpusstats import gram_novelty_docs
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fresh = "totally different words appear here nine distinct tokens now"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([a, a, a.split(" iota")[0] + " " + fresh]),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s"] * 3),
+            "n_chars": pa.array([len(a)] * 3, pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = {
+        r["doc_id"]: r for r in gram_novelty_docs(str(tmp_path)).take_all()
+    }
+    assert out[1]["novelty"] == 1.0 and out[1]["n_novel"] == out[1]["n_grams"]
+    assert out[2]["novelty"] == 0.0 and out[2]["n_novel"] == 0
+    # doc 3 = doc 1's first 8 words + 9 fresh words -> 15 grams, of
+    # which the 6 fully inside the copied prefix are old, 9 are new
+    assert out[3]["n_grams"] == 15 and out[3]["n_novel"] == 9
+    assert out[3]["novelty"] == 0.6
