@@ -327,6 +327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-doc k-gram novelty (first-appearance fraction): one
         # Min-per-gram aggregate + winner counts + thin per-doc join
         "gram_novelty_docs": CS.gram_novelty_docs,
+        # zlib-ratio quality gate (Gopher family): rows-only — no SQL
+        # zlib; driver-recompute + planted-tails test in tests/
+        "compression_ratio_docs": CS.compression_ratio_docs,
         # C4-style normalized exact dedup (case/punct/whitespace
         # variants) — SQL-exact
         "normalized_exact_dedup": D.normalized_exact_dedup,

@@ -196,6 +196,7 @@ QUERY_NAMES = [
     "audio_near_dup",
     "curate_video_corpus",
     "gram_novelty_docs",
+    "compression_ratio_docs",
     "leakage_safe_split_docs",
     "migrate_domain_column",
 ]

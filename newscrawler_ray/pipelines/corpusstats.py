@@ -1383,6 +1383,63 @@ def train_val_test_split(
     return docs.map_batches(assign, batch_format="pyarrow")
 
 
+def compression_ratio_docs(
+    sf_dir: str,
+    *,
+    level: int = 6,
+    max_ratio: float = 0.8,
+    min_ratio: float = 0.25,
+    min_len: int = 256,
+) -> rd.Dataset:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    Gopher-family quality signal a hand-written heuristic can't fake:
+    heavily templated/repeated text compresses far below prose
+    (< ``min_ratio``), random/base64-ish noise compresses above it
+    (> ``max_ratio`` — printable-ASCII entropy tops out ~0.83, real
+    prose sits ~0.3–0.6), and docs under ``min_len`` bytes are flagged
+    ``short`` instead of judged: zlib's fixed header dominates there
+    and the ratio measures overhead, not content.
+
+    Shape: one shuffle-free ``map_batches``; the per-doc loop is a
+    C-level ``zlib.compress`` call per string (the same class as the
+    regex kernels — Python drives, C does the bytes). Output:
+    (doc_id, raw_len, comp_len, ratio, flag) with flag in
+    {ok, too_repetitive, too_random, short}. Rows-only (no SQL zlib)."""
+    import zlib
+
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def ratios(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        raw = np.fromiter((len(t.encode()) for t in texts), np.int64, len(texts))
+        comp = np.fromiter(
+            (len(zlib.compress(t.encode(), level)) for t in texts),
+            np.int64,
+            len(texts),
+        )
+        r = comp / np.maximum(raw, 1)
+        flag = np.where(
+            raw < min_len,
+            "short",
+            np.where(
+                r < min_ratio,
+                "too_repetitive",
+                np.where(r > max_ratio, "too_random", "ok"),
+            ),
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "raw_len": pa.array(raw, _I64),
+                "comp_len": pa.array(comp, _I64),
+                "ratio": pa.array(np.round(r + 1e-9, 4), pa.float64()),
+                "flag": pa.array(flag, pa.string()),
+            }
+        )
+
+    return docs.map_batches(ratios, batch_format="pyarrow")
+
+
 def gram_novelty_docs(
     sf_dir: str, *, k: int = 3, num_partitions: int | None = None
 ) -> rd.Dataset:

@@ -666,3 +666,40 @@ def test_gram_novelty_planted_template(ray_session, tmp_path):
     # which the 6 fully inside the copied prefix are old, 9 are new
     assert out[3]["n_grams"] == 15 and out[3]["n_novel"] == 9
     assert out[3]["novelty"] == 0.6
+
+
+def test_compression_ratio_flags_tails(ray_session, tmp_path):
+    """Repeated text flags too_repetitive, high-entropy noise flags
+    too_random, prose-like text passes; ratios match a driver zlib
+    recompute exactly."""
+    import zlib
+
+    from newscrawler_ray.pipelines.corpusstats import compression_ratio_docs
+
+    rep = "spam ham " * 400
+    rng = np.random.default_rng(5)
+    noise = "".join(chr(33 + int(c)) for c in rng.integers(0, 90, 2000))
+    # distinct words, no repeated phrase: lands in the prose band
+    prose = " ".join(f"word{i} thing{(i * 7) % 997}x" for i in range(120))
+    tiny = "hi"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array([rep, noise, prose, tiny]),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+            "n_chars": pa.array(
+                [len(rep), len(noise), len(prose), len(tiny)], pa.int64()
+            ),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = {r["doc_id"]: r for r in compression_ratio_docs(str(tmp_path)).take_all()}
+    assert out[1]["flag"] == "too_repetitive"
+    assert out[2]["flag"] == "too_random"
+    assert out[3]["flag"] == "ok"
+    assert out[4]["flag"] == "short"
+    for did, txt in [(1, rep), (2, noise), (3, prose)]:
+        raw, comp = len(txt.encode()), len(zlib.compress(txt.encode(), 6))
+        assert out[did]["raw_len"] == raw and out[did]["comp_len"] == comp
+        assert out[did]["ratio"] == round(comp / raw + 1e-9, 4)

@@ -88,7 +88,9 @@ def test_every_query_has_oracle_or_is_marked():
                                        "strip_image", "video",
                                        # filesystem-mutating migration
                                        # (manifest output; no SQL analog)
-                                       "migrate"))
+                                       "migrate",
+                                       # zlib is not SQL-expressible
+                                       "compression"))
     }
 
 
