@@ -588,6 +588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_crawl_output": _curate_crawl_output,
         "audio_features": _audio_features,
         "audio_near_dup": _audio_near_dup,
+        "audio_dedup_clips": _audio_dedup_clips,
         # flagship crawl (north_rule; rows-only — oracle equality in tests/)
         "crawl_e2e": _crawl_e2e,
         # crawl -> article-extraction composition (reference inline
@@ -1471,6 +1472,14 @@ def _audio_features(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.audio import audio_features, default_audio_fixture
 
     return audio_features(default_audio_fixture())
+
+
+def _audio_dedup_clips(sf_dir: str) -> Any:
+    """Rows-only: corpus-level audio dedup (near-dup pairs -> CC ->
+    first-wins survivors; exact survivor-set oracle in tests)."""
+    from newscrawler_ray.pipelines.audio import audio_dedup_clips, default_audio_fixture
+
+    return audio_dedup_clips(default_audio_fixture(), threshold=0.6)
 
 
 def _audio_near_dup(sf_dir: str) -> Any:

@@ -197,6 +197,7 @@ QUERY_NAMES = [
     "curate_video_corpus",
     "gram_novelty_docs",
     "compression_ratio_docs",
+    "audio_dedup_clips",
     "leakage_safe_split_docs",
     "migrate_domain_column",
 ]

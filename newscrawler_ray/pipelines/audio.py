@@ -275,3 +275,70 @@ def audio_near_dup(
         )
 
     return verified.map_batches(back, batch_format="pyarrow")
+
+
+def audio_dedup_clips(
+    audio_path: "str | Path | rd.Dataset",
+    *,
+    threshold: float = 0.6,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Corpus-level audio dedup: near-dup pairs -> connected components
+    -> keep each cluster's min audio_id plus every unpaired clip (the
+    ``jaccard_dedup_docs`` / ``curate_video_corpus`` survivor shape on
+    the audio tower). Output: one (audio_id) row per kept clip."""
+    import pyarrow.compute as pc
+
+    from .dedup import _survivors
+
+    ds = (
+        audio_path
+        if isinstance(audio_path, rd.Dataset)
+        else rd.read_parquet(str(audio_path))
+    )
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 4)))
+    pairs = audio_near_dup(ds, threshold=threshold, num_partitions=num_partitions)
+
+    def pair_ids(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "id_a": pc.cast(
+                    pc.utf8_slice_codeunits(batch.column("audio_a"), 4, 99), pa.int64()
+                ),
+                "id_b": pc.cast(
+                    pc.utf8_slice_codeunits(batch.column("audio_b"), 4, 99), pa.int64()
+                ),
+            }
+        )
+
+    def clip_ids(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.cast(
+                    pc.utf8_slice_codeunits(batch.column("audio_id"), 4, 99), pa.int64()
+                )
+            }
+        )
+
+    keep = _survivors(
+        ds.map_batches(clip_ids, batch_format="pyarrow"),
+        pairs.map_batches(pair_ids, batch_format="pyarrow"),
+        num_partitions,
+    )
+
+    def back2(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table({"audio_id": pa.array([], pa.string())})
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table(
+            {"audio_id": pa.array([f"aud-{v:06d}" for v in ids.tolist()])}
+        )
+
+    return keep.map_batches(back2, batch_format="pyarrow")

@@ -114,3 +114,18 @@ def test_audio_near_dup_planted_rerecordings(ray_session):
         if r.audio_a in sets and r.audio_b in sets
     }
     assert got_low == brute
+
+
+def test_audio_dedup_clips_first_wins(ray_session):
+    """Survivors = corpus minus each planted pair's later member and
+    the natural cluster {165,193,196}'s non-min members."""
+    from newscrawler_ray.pipelines.audio import audio_dedup_clips, default_audio_fixture
+
+    p = default_audio_fixture(200, 42)
+    kept = set(
+        audio_dedup_clips(p, threshold=0.6).to_pandas()["audio_id"]
+    )
+    dropped = {f"aud-{i:06d}" for i in range(6, 200, 10)} | {
+        "aud-000193", "aud-000196",
+    }
+    assert kept == {f"aud-{i:06d}" for i in range(200)} - dropped
