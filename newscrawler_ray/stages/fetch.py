@@ -35,6 +35,7 @@ from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 
@@ -106,8 +107,17 @@ def build_web_index(fixture_dir: str | Path) -> dict:
     )
     # combine_chunks: take() on a multi-chunk table is ~100x slower than on
     # contiguous arrays (pyarrow re-resolves chunks per index) — pay the
-    # one-time concat here, not per batch
-    bundle["images"] = pq.read_table(fixture_dir / "images.parquet").combine_chunks()
+    # one-time concat here, not per batch. The payload column is cast to
+    # LARGE_BINARY first: a >2 GB world (1M images = 3.5 GB of bytes)
+    # cannot combine into one int32-offset binary chunk, and take() on
+    # the stuck multi-chunk column re-attempts that concat per batch and
+    # dies with "offset overflow while concatenating arrays"
+    images = pq.read_table(fixture_dir / "images.parquet")
+    bi = images.schema.get_field_index("bytes")
+    images = images.set_column(
+        bi, "bytes", images.column("bytes").cast(pa.large_binary())
+    )
+    bundle["images"] = images.combine_chunks()
     return bundle
 
 
@@ -157,6 +167,11 @@ def get_web_index(bundle_ref) -> WebIndex:
     return idx
 
 
+# rows per payload gather: 64k rows x 32 KB/image worst case stays
+# safely inside one binary array's int32 offset budget
+_PAYLOAD_TAKE_SLICE = 65536
+
+
 def fetch_batch(batch: pa.Table, idx: WebIndex) -> pa.Table:
     h = batch.column("url_hash").to_numpy()
     m = len(h)
@@ -176,9 +191,20 @@ def fetch_batch(batch: pa.Table, idx: WebIndex) -> pa.Table:
     clen = np.where(ok, idx.clen[pos], 0).astype(np.int32)
     img_rows = np.where(ok, idx.img_row[pos], 0)
 
-    # payload: take with null-masked indices -> nulls where not ok
+    # payload: take with null-masked indices -> nulls where not ok.
+    # SLICED take: one gather of a whole 10^6-row wave batch would build
+    # a single binary array past pyarrow's int32 offset limit ("offset
+    # overflow while concatenating arrays" — reproduced at the 1M-URL
+    # world, whose payload column is 3.5 GB); per-slice takes concat as
+    # CHUNKS, which have no combined-size limit
     take_idx = pa.array(img_rows, type=pa.int64(), mask=~ok)
-    img = idx.images.take(take_idx)
+    if m > _PAYLOAD_TAKE_SLICE:
+        img = pa.concat_tables(
+            idx.images.take(take_idx.slice(s, min(_PAYLOAD_TAKE_SLICE, m - s)))
+            for s in range(0, m, _PAYLOAD_TAKE_SLICE)
+        )
+    else:
+        img = idx.images.take(take_idx)
 
     # out-links: gather ranges from the flat adjacency, one take, ListArray
     starts = np.where(ok, idx.link_offsets[pos], 0)
@@ -214,7 +240,10 @@ def fetch_batch(batch: pa.Table, idx: WebIndex) -> pa.Table:
             "n_attempts": pa.array(attempts),
             "extra_ms": pa.array(extra_ms),
             "image_id": img.column("image_id"),
-            "bytes": img.column("bytes"),
+            # back to int32-offset binary: one batch's payload fits by
+            # construction (_PAYLOAD_TAKE_SLICE), and FETCHED_SCHEMA
+            # stays `binary` everywhere downstream
+            "bytes": pc.cast(img.column("bytes"), pa.binary()),
             "w": img.column("w"),
             "h": img.column("h"),
             "fmt": img.column("fmt"),
