@@ -330,6 +330,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # zlib-ratio quality gate (Gopher family): rows-only — no SQL
         # zlib; driver-recompute + planted-tails test in tests/
         "compression_ratio_docs": CS.compression_ratio_docs,
+        # source-level novelty rollup: integer-exact gram-weighted rate
+        "novelty_by_source": CS.novelty_by_source,
         # C4-style normalized exact dedup (case/punct/whitespace
         # variants) — SQL-exact
         "normalized_exact_dedup": D.normalized_exact_dedup,
@@ -3371,6 +3373,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT node FROM lbl WHERE comp < node)""",
+        "novelty_by_source": r"""
+            -- source-level novelty rollup over the same gram convention;
+            -- integer sums make the rate division bit-deterministic
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) < 3
+                       THEN [list_aggregate(w, 'string_agg', ' ')]
+                       ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                             FOR i IN generate_series(1, len(w)-2)]
+                     END) AS grams
+              FROM (SELECT doc_id,
+                           list_filter(string_split_regex(lower(text), '\W+'),
+                                       x -> x <> '') AS w
+                    FROM documents)
+            ), x AS (
+              SELECT doc_id, unnest(grams) AS gram FROM g
+            ), firsts AS (
+              SELECT gram, min(doc_id) AS first_doc FROM x GROUP BY gram
+            ), novel AS (
+              SELECT first_doc AS doc_id, count(*) AS n_novel
+              FROM firsts GROUP BY first_doc
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n_grams FROM x GROUP BY doc_id
+            ), per_doc AS (
+              SELECT s.doc_id, s.n_grams, coalesce(n.n_novel, 0) AS n_novel
+              FROM sizes s LEFT JOIN novel n ON n.doc_id = s.doc_id
+            )
+            SELECT d.source,
+                   count(*) AS n_docs,
+                   sum(p.n_grams)::BIGINT AS total_grams,
+                   sum(p.n_novel)::BIGINT AS total_novel,
+                   round(sum(p.n_novel)::DOUBLE
+                         / greatest(sum(p.n_grams), 1) + 1e-9, 4)
+                     AS novelty_rate,
+                   sum(CASE WHEN p.n_novel * 5 < p.n_grams
+                            THEN 1 ELSE 0 END)::BIGINT AS low_novelty_docs
+            FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+            GROUP BY d.source""",
         "gram_novelty_docs": r"""
             -- per-doc k-gram novelty: fraction of the doc's DISTINCT
             -- word-3-grams whose min-doc_id first appearance is the doc

@@ -198,6 +198,7 @@ QUERY_NAMES = [
     "gram_novelty_docs",
     "compression_ratio_docs",
     "audio_dedup_clips",
+    "novelty_by_source",
     "leakage_safe_split_docs",
     "migrate_domain_column",
 ]

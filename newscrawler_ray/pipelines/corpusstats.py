@@ -1526,6 +1526,84 @@ def gram_novelty_docs(
     return j.map_batches(finish, batch_format="pyarrow")
 
 
+def novelty_by_source(
+    sf_dir: str, *, k: int = 3, num_partitions: int | None = None
+) -> rd.Dataset:
+    """Source-level novelty rollup: per source, the gram-weighted
+    novelty rate (SUM n_novel / SUM n_grams — integer sums, so the
+    division is bit-deterministic at any partitioning; averaging the
+    per-doc float ratios would be order-sensitive) and the count of
+    LOW-novelty docs (n_novel * 5 < n_grams, i.e. ratio < 0.2 in exact
+    integer arithmetic). The per-source number a curator reads to spot
+    templated/syndicated sources before setting mixture weights.
+
+    Shape: the ``gram_novelty_docs`` aggregates + one thin per-doc
+    source join + one small-cardinality groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    nparts = _nparts(num_partitions)
+    nov = gram_novelty_docs(sf_dir, k=k, num_partitions=nparts)
+
+    def thin(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], _I64), "n_grams": pa.array([], _I64),
+                 "n_novel": pa.array([], _I64), "low": pa.array([], _I64)}
+            )
+        ng = batch.column("n_grams").to_numpy()
+        nv = batch.column("n_novel").to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_grams": batch.column("n_grams"),
+                "n_novel": batch.column("n_novel"),
+                "low": pa.array((nv * 5 < ng).astype(np.int64), _I64),
+            }
+        )
+
+    src = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "source"]).repartition(
+        nparts
+    )
+    j = nov.map_batches(thin, batch_format="pyarrow").repartition(nparts).join(
+        src, join_type="inner", num_partitions=nparts, on=("doc_id",)
+    )
+    agg = j.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_grams", alias_name="total_grams"),
+        Sum("n_novel", alias_name="total_novel"),
+        Sum("low", alias_name="low_novelty_docs"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"source": pa.array([], pa.string()),
+                 "n_docs": pa.array([], _I64),
+                 "total_grams": pa.array([], _I64),
+                 "total_novel": pa.array([], _I64),
+                 "novelty_rate": pa.array([], pa.float64()),
+                 "low_novelty_docs": pa.array([], _I64)}
+            )
+        tg = batch.column("total_grams").to_numpy()
+        tn = batch.column("total_novel").to_numpy()
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n_docs": batch.column("n_docs"),
+                "total_grams": pa.array(tg, _I64),
+                "total_novel": pa.array(tn, _I64),
+                "novelty_rate": pa.array(
+                    np.round(tn / np.maximum(tg, 1) + 1e-9, 4), pa.float64()
+                ),
+                "low_novelty_docs": pa.array(
+                    batch.column("low_novelty_docs").to_numpy().astype(np.int64), _I64
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def leakage_safe_split_docs(
     sf_dir: str,
     *,
