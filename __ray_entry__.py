@@ -2941,8 +2941,10 @@ def oracle_sql() -> dict[str, str]:
             FROM wl""",
         "mask_pii_docs": r"""
             WITH aug AS (
+              -- coalesce mirrors the engine's fill_null(text, '') so
+              -- null-text corpora stay in parity (ADVICE r3)
               SELECT doc_id,
-                     text || ' contact u' || CAST(doc_id AS VARCHAR)
+                     COALESCE(text, '') || ' contact u' || CAST(doc_id AS VARCHAR)
                           || '@ex' || CAST(doc_id % 7 AS VARCHAR)
                           || '.net ip 10.' || CAST(doc_id % 256 AS VARCHAR)
                           || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR)

@@ -46,10 +46,10 @@ def make_broadcast_map_fn(
     def add_mapped(batch: pa.Table) -> pa.Table:
         skeys, svals = _resolve(mapping_ref)
         if len(skeys) == 0:  # empty small side: no row matches (advice r2)
-            if inner:
-                return batch.append_column(
+            if inner:  # slice BEFORE append so column lengths agree
+                return batch.slice(0, 0).append_column(
                     out_col, pa.array([], out_type or pa.null())
-                ).slice(0, 0)
+                )
             return batch.append_column(
                 out_col, pa.nulls(batch.num_rows, out_type or pa.null())
             )
@@ -79,12 +79,16 @@ def make_broadcast_semijoin_fn(key_col: str, keys_ref, anti: bool = False):
         if not isinstance(vs, pa.Array):
             vs = pa.array(sorted(vs))
             _LOOKUP_CACHE[keys_ref] = vs  # memoize the converted form
-        mask = pc.is_in(batch.column(key_col), value_set=vs)
+        key = batch.column(key_col)
+        mask = pc.is_in(key, value_set=vs)
         if anti:
             mask = pc.invert(mask)
         # null keys match nothing AND fail NOT IN — SQL semantics for
-        # both paths (advice r2: fill_null(anti) kept null keys on anti)
-        return batch.filter(pc.fill_null(mask, False))
+        # both paths. pc.is_in yields FALSE (not null) for null inputs,
+        # so invert alone would keep null keys on anti: AND with
+        # validity explicitly (advice r2/r3).
+        mask = pc.and_kleene(pc.fill_null(mask, False), key.is_valid())
+        return batch.filter(mask)
 
     return filt
 

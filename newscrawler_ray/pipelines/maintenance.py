@@ -83,17 +83,44 @@ def migrate_add_column(
     return ds.map_batches(one_shard, batch_format="pyarrow", batch_size=1)
 
 
+# Common multi-label public suffixes: "news.bbc.co.uk" must reduce to
+# "bbc.co.uk", not "co.uk". A deliberately small built-in subset of the
+# public-suffix list (no network in this environment); extend as needed.
+_MULTI_LABEL_SUFFIXES = frozenset(
+    {
+        "co.uk", "ac.uk", "gov.uk", "org.uk", "net.uk",
+        "com.au", "net.au", "org.au", "edu.au", "gov.au",
+        "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+        "co.nz", "net.nz", "org.nz",
+        "co.in", "net.in", "org.in", "gov.in",
+        "com.br", "net.br", "org.br",
+        "co.za", "com.mx", "com.cn", "com.sg", "com.hk",
+    }
+)
+
+
 def registrable_domain(hosts: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """``sub.site.example.com -> example.com`` (last two labels); null or
-    empty host -> null, the reference's skip-missing-URL rule
-    (``scripts/populate_domains.py:47-49``)."""
+    """``sub.site.example.com -> example.com``; null or empty host ->
+    null, the reference's skip-missing-URL rule
+    (``scripts/populate_domains.py:47-49``).
+
+    DELIBERATE divergence from the reference: populate_domains stores the
+    full ``urlparse(url).netloc``; we reduce to the *registrable* domain
+    because per-site rollups (politeness, quality gates, domain_stats)
+    want ``www.example.com`` and ``m.example.com`` to be one key. Known
+    multi-label public suffixes (``co.uk``-style, see
+    ``_MULTI_LABEL_SUFFIXES``) keep three labels so ``news.bbc.co.uk``
+    -> ``bbc.co.uk`` rather than the wrong ``co.uk``."""
     out: list[str | None] = []
     for h in hosts.to_pylist():
         if not h:
             out.append(None)
             continue
-        labels = h.rsplit(".", 2)
-        out.append(".".join(labels[-2:]) if len(labels) >= 2 else h)
+        labels = h.split(".")
+        if len(labels) >= 3 and ".".join(labels[-2:]) in _MULTI_LABEL_SUFFIXES:
+            out.append(".".join(labels[-3:]))
+        else:
+            out.append(".".join(labels[-2:]) if len(labels) >= 2 else h)
     return pa.array(out, pa.string())
 
 

@@ -825,12 +825,22 @@ def _plant_png(data: bytes, image_id: str) -> bytes:
 
 
 def _strip_png(data: bytes) -> tuple[bytes, int]:
+    """Walk PNG chunks, keeping critical ones. Raises ValueError on a
+    truncated/malformed chunk stream (caller flags the row instead of
+    failing the whole map task — real crawled bytes are hostile)."""
     out = [data[:8]]
     idx, n_meta = 8, 0
     while idx < len(data):
+        if idx + 12 > len(data):
+            raise ValueError(f"truncated PNG chunk header at byte {idx}")
         (length,) = struct.unpack_from(">I", data, idx)
         tag = data[idx + 4 : idx + 8]
         end = idx + 12 + length
+        if length > (1 << 31) or end > len(data):
+            raise ValueError(
+                f"PNG chunk {tag!r} at byte {idx} overruns payload "
+                f"(len={length}, data={len(data)})"
+            )
         if tag in _PNG_CRITICAL:
             out.append(data[idx:end])
         else:
@@ -935,21 +945,30 @@ def strip_image_metadata(
     def strip(batch: pa.Table) -> pa.Table:
         fmts = batch.column("fmt").to_pylist()
         blobs = batch.column("bytes").to_pylist()
-        clean, n_meta, removed = [], [], []
+        clean, n_meta, removed, errs = [], [], [], []
         for f, b in zip(fmts, blobs):
-            if f == "png" and b.startswith(_PNG_SIG):
-                c, n = _strip_png(b)
-            elif f == "ppm" and b.startswith(b"P6"):
-                c, n = _strip_ppm(b)
-            else:
+            # malformed payloads (real crawled bytes) flag the row and
+            # pass it through untouched — the audio feature_error pattern
+            try:
+                if f == "png" and b.startswith(_PNG_SIG):
+                    c, n = _strip_png(b)
+                elif f == "ppm" and b.startswith(b"P6"):
+                    c, n = _strip_ppm(b)
+                else:
+                    c, n = b, 0
+                errs.append(None)
+            except (ValueError, struct.error, IndexError) as e:
                 c, n = b, 0
+                errs.append(f"{type(e).__name__}: {e}")
             clean.append(c)
             n_meta.append(n)
             removed.append(len(b) - len(c))
         i = batch.schema.get_field_index("bytes")
         batch = batch.set_column(i, "bytes", pa.array(clean, pa.binary()))
-        return batch.append_column(
-            "n_meta", pa.array(n_meta, pa.int64())
-        ).append_column("bytes_removed", pa.array(removed, pa.int64()))
+        return (
+            batch.append_column("n_meta", pa.array(n_meta, pa.int64()))
+            .append_column("bytes_removed", pa.array(removed, pa.int64()))
+            .append_column("strip_error", pa.array(errs, pa.string()))
+        )
 
     return ds.map_batches(strip, batch_format="pyarrow", batch_size=64)

@@ -338,8 +338,11 @@ class KeyframeExporter:
     over video content: output schema is exactly the image input_hint
     (image_id, bytes, w, h, fmt, caption, phash), bytes re-encoded as
     lossless PPM. image_id packs (video, frame) into the fixture id
-    format ``img-%08d`` (vnum*1000 + frame_idx) so the int-keyed image
-    operators parse it natively."""
+    format ``img-%d`` as ``vnum << 20 | frame_idx`` — the same packing
+    ``video_keyframe_dedup`` uses — so the int-keyed image operators
+    parse it natively and ids can never alias across videos (a
+    vnum*1000 scheme would collide for any video with >=1000 frames).
+    Out-of-range inputs (frame_idx >= 2^20, vnum >= 2^43) raise."""
 
     def __init__(self, every_n: int = 5):
         self.every_n = every_n
@@ -363,8 +366,14 @@ class KeyframeExporter:
             idx = np.arange(0, n, self.every_n, dtype=np.int64)
             frames = codecs.decode_rvid_frames(blob, idx)
             vnum = int(vid[4:])
+            if vnum >= (1 << 43):
+                raise ValueError(f"video number {vnum} overflows 43-bit pack")
             for k, f in zip(idx.tolist(), frames):
-                ids.append(f"img-{vnum * 1000 + k:08d}")
+                if k >= (1 << 20):
+                    raise ValueError(
+                        f"frame_idx {k} >= 2^20 overflows keyframe id pack"
+                    )
+                ids.append(f"img-{(vnum << 20) | k:08d}")
                 outb.append(codecs.encode_ppm(f))
                 ws.append(w)
                 hs.append(h)
@@ -646,9 +655,16 @@ def video_keyframe_dedup(
         vnum = pc.cast(
             pc.utf8_slice_codeunits(batch.column("video_id"), 4, 99), _I64
         )
-        key = pc.add(
-            pc.shift_left(vnum, pa.scalar(20, _I64)), batch.column("frame_idx")
-        )
+        fidx = batch.column("frame_idx")
+        if len(fidx) and (
+            pc.max(fidx).as_py() >= (1 << 20)
+            or pc.max(vnum).as_py() >= (1 << 43)
+        ):
+            raise ValueError(
+                "keyframe pack overflow: frame_idx >= 2^20 or vnum >= 2^43 "
+                "would alias adjacent videos — widen the pack before dedup"
+            )
+        key = pc.add(pc.shift_left(vnum, pa.scalar(20, _I64)), fidx)
         return pa.table({"phash": batch.column("phash"), "packed": key})
 
     agg = (

@@ -167,9 +167,11 @@ def get_web_index(bundle_ref) -> WebIndex:
     return idx
 
 
-# rows per payload gather: 64k rows x 32 KB/image worst case stays
-# safely inside one binary array's int32 offset budget
-_PAYLOAD_TAKE_SLICE = 65536
+# rows per payload gather: 32k rows x 32 KB/image worst case is 2^30
+# bytes — half of one binary array's int32 offset budget (2^31-1), a
+# genuinely conservative margin (65536*32768 would hit exactly 2^31 and
+# overflow by one byte)
+_PAYLOAD_TAKE_SLICE = 32768
 
 
 def fetch_batch(batch: pa.Table, idx: WebIndex) -> pa.Table:

@@ -41,9 +41,31 @@ def _mk_corpus(root, n_shards=4, rows_per=50):
 
 def test_registrable_domain_rule():
     got = registrable_domain(
-        pa.array(["a.b.example.com", "example.com", "localhost", "", None])
+        pa.array(
+            [
+                "a.b.example.com",
+                "example.com",
+                "localhost",
+                "",
+                None,
+                "news.bbc.co.uk",
+                "bbc.co.uk",
+                "co.uk",
+                "shop.example.com.au",
+            ]
+        )
     )
-    assert got.to_pylist() == ["example.com", "example.com", "localhost", None, None]
+    assert got.to_pylist() == [
+        "example.com",
+        "example.com",
+        "localhost",
+        None,
+        None,
+        "bbc.co.uk",
+        "bbc.co.uk",
+        "co.uk",
+        "example.com.au",
+    ]
 
 
 def test_backfill_migrates_then_skips(ray_session, tmp_path):

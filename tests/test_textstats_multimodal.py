@@ -563,6 +563,40 @@ def test_strip_restores_planted_bytes_exactly(ray_session, fixture_dir):
             assert r["bytes_removed"] == 0
 
 
+def test_strip_flags_malformed_png_instead_of_crashing(ray_session):
+    """A truncated/overrunning PNG chunk stream must flag the row
+    (strip_error) and pass the payload through — not fail the task."""
+    import ray.data as rd
+
+    from newscrawler_ray import codecs
+
+    good = codecs.encode_png(np.zeros((4, 4, 3), np.uint8))
+    truncated = good[:20]  # signature + partial IHDR header
+    # declared chunk length overruns the buffer
+    import struct as _struct
+
+    overrun = (
+        multimodal._PNG_SIG
+        + _struct.pack(">I", 1 << 20)
+        + b"IHDR"
+        + b"\x00" * 8
+    )
+    t = pa.table(
+        {
+            "image_id": ["ok", "trunc", "overrun"],
+            "bytes": pa.array([good, truncated, overrun], pa.binary()),
+            "fmt": ["png"] * 3,
+        }
+    )
+    out = {
+        r["image_id"]: r
+        for r in multimodal.strip_image_metadata(rd.from_arrow(t)).take_all()
+    }
+    assert out["ok"]["strip_error"] is None
+    assert out["trunc"]["strip_error"] and out["trunc"]["bytes"] == truncated
+    assert out["overrun"]["strip_error"] and out["overrun"]["bytes"] == overrun
+
+
 def test_strip_is_identity_on_clean_corpus(ray_session, fixture_dir):
     out = multimodal.strip_image_metadata(
         fixture_dir / "images.parquet", plant=False

@@ -219,7 +219,7 @@ def test_export_video_keyframes_bridges_to_image_ops(ray_session, tmp_path):
     blob = src.slice(3, 1).column("bytes")[0].as_py()
     frames = codecs.decode_rvid_frames(blob, np.array([0, 5, 10]))
     for k, f in zip([0, 5, 10], frames):
-        row = t[t.image_id == f"img-{3 * 1000 + k:08d}"].iloc[0]
+        row = t[t.image_id == f"img-{(3 << 20) | k:08d}"].iloc[0]
         assert (codecs.decode_ppm(row["bytes"]) == f).all()
         assert row["phash"] == codecs.phash64(f)
         assert row["fmt"] == "ppm" and row["w"] == 32 and row["h"] == 24
