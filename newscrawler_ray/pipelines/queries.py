@@ -338,8 +338,15 @@ def page_offset(sf_dir: str) -> pa.Table:
 def top_orders_per_segment(sf_dir: str, *, k: int = 3) -> rd.Dataset:
     """Per-group top-k (window-rank analog, SURVEY O1 generalized):
     orders ranked by (totalprice DESC, orderkey ASC) within market
-    segment; the shuffle keys on the segment, ranking stays in-group."""
-    import pandas as pd
+    segment.
+
+    Two-level plan (the ``frequent_users`` partial-top-k shape, not one
+    pandas call holding a segment's every order): a vectorized partial
+    top-k per BLOCK first shrinks each block to <= k rows per segment,
+    then the per-segment final ranks only those partials — the shuffle
+    ships k rows per (block, segment), never the raw orders, so a
+    segment with a billion orders costs the same as one with a
+    thousand."""
     import pyarrow.parquet as pq
 
     cust = pq.read_table(_p(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
@@ -350,11 +357,36 @@ def top_orders_per_segment(sf_dir: str, *, k: int = 3) -> rd.Dataset:
         batch_format="pyarrow",
     )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"], ascending=[False, True])
-        return g.head(k)[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+    def grouped_topk(batch: pa.Table) -> pa.Table:
+        batch = batch.combine_chunks()
+        if batch.num_rows == 0:
+            return batch.select(["c_mktsegment", "o_orderkey", "o_totalprice"])
+        codes = (
+            batch.column("c_mktsegment")
+            .combine_chunks()
+            .dictionary_encode()
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        okey = batch.column("o_orderkey").to_numpy()
+        price = batch.column("o_totalprice").to_numpy()
+        order = np.lexsort((okey, -price, codes))
+        cs = codes[order]
+        new = np.empty(len(cs), bool)
+        new[0] = True
+        new[1:] = cs[1:] != cs[:-1]
+        starts = np.nonzero(new)[0]
+        seg = np.cumsum(new) - 1
+        rank = np.arange(len(cs)) - starts[seg]
+        keep = np.sort(order[rank < k])
+        return batch.select(["c_mktsegment", "o_orderkey", "o_totalprice"]).take(
+            pa.array(keep)
+        )
 
-    return ds.groupby("c_mktsegment").map_groups(topk, batch_format="pandas")
+    partials = ds.map_batches(grouped_topk, batch_format="pyarrow")
+    return (
+        partials.groupby("c_mktsegment")
+        .map_groups(grouped_topk, batch_format="pyarrow")
+    )
 
 
 # ------------------------------------------------------------ dedup
@@ -509,48 +541,76 @@ def purchase_click_asof(sf_dir: str) -> rd.Dataset:
     """As-of join (custom operator — Ray Data has none): each purchase
     event matched to the latest click at-or-before it by the same user.
 
-    Composition per the guide: partition both sides by the equi-key
-    (user), sort within group, ``pd.merge_asof`` inside ``map_groups``.
-    Partitioning assumption: one user's events fit in one group — the
-    hash shuffle ships only the two event streams' key/ts/id columns.
-    DuckDB's ASOF JOIN is the oracle.
+    Coarse-bucket execution (not one pandas call per user — the repo's
+    measured slow idiom): users hash into ~4P buckets via
+    ``_knuth_bucket``, ONE ``map_groups`` call per bucket; inside, a
+    single lexsort by (user, ts, kind, id) with clicks ordered before
+    purchases at equal ts, then a per-segment-reset
+    ``np.maximum.accumulate`` of click row indices resolves every
+    purchase's latest-click match vectorized (an accumulated index that
+    predates the user's segment start means "no click yet" -> null).
+    Ties (several clicks at one ts) resolve to the highest event_id —
+    the same row ``pd.merge_asof`` picks. Only (id, user, type, ts)
+    columns ever shuffle. DuckDB's ASOF JOIN is the oracle.
     """
-    import pandas as pd
+    import ray
 
     ds = read_clean(
         _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
     )
+    B = max(8, int(ray.cluster_resources().get("CPU", 4)) * 4)
 
-    def filt(batch: pa.Table) -> pa.Table:
+    def tag(batch: pa.Table) -> pa.Table:
         keep = pc.is_in(
             batch.column("event_type"), value_set=pa.array(["purchase", "click"])
         )
-        return batch.filter(keep)
+        batch = batch.filter(keep)
+        part = _knuth_bucket(batch.column("user_id").to_numpy(), B)
+        return batch.append_column("part", pa.array(part, pa.int64()))
 
-    ds = ds.map_batches(filt, batch_format="pyarrow")
-
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
-        right = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
-        if left.empty:
-            return pd.DataFrame(
-                {"purchase_id": pd.Series(dtype="int64"),
-                 "user_id": pd.Series(dtype="int64"),
-                 "click_id": pd.Series(dtype="float64")}
-            )
-        merged = pd.merge_asof(
-            left[["event_id", "ts"]].rename(columns={"event_id": "purchase_id"}),
-            right[["event_id", "ts"]].rename(columns={"event_id": "click_id"}),
-            on="ts",
-            direction="backward",
+    def asof(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        is_click = pc.equal(g.column("event_type"), "click").to_numpy(
+            zero_copy_only=False
         )
-        merged["user_id"] = g["user_id"].iloc[0]
-        # float64 always: unmatched purchases are NaN, and the dtype must
-        # not flip between all-matched and partially-matched groups
-        merged["click_id"] = merged["click_id"].astype("float64")
-        return merged[["purchase_id", "user_id", "click_id"]]
+        kind = np.where(is_click, 0, 1)  # click sorts before purchase at a tie
+        order = np.lexsort((eid, kind, ts, uid))
+        uid, eid, is_click = uid[order], eid[order], is_click[order]
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {"purchase_id": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "click_id": pa.array([], pa.float64())}
+            )
+        bounds = np.empty(n, dtype=bool)
+        bounds[0] = True
+        bounds[1:] = uid[1:] != uid[:-1]
+        seg_first = np.flatnonzero(bounds)
+        seg_start = np.repeat(seg_first, np.diff(np.append(seg_first, n)))
+        idx = np.arange(n)
+        last_click = np.maximum.accumulate(np.where(is_click, idx, -1))
+        purch = ~is_click
+        m = last_click[purch]
+        valid = m >= seg_start[purch]  # a click from an earlier user doesn't count
+        click_id = np.where(valid, eid[np.maximum(m, 0)], 0).astype(np.float64)
+        return pa.table(
+            {
+                "purchase_id": pa.array(eid[purch], pa.int64()),
+                "user_id": pa.array(uid[purch], pa.int64()),
+                # float64 with nulls for unmatched — the dtype the pandas
+                # implementation produced (NaN -> null on block convert)
+                "click_id": pa.array(click_id, pa.float64(), mask=~valid),
+            }
+        )
 
-    return ds.groupby("user_id").map_groups(asof, batch_format="pandas")
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(asof, batch_format="pyarrow")
+    )
 
 
 # ------------------------------------------------------------ windows
@@ -785,46 +845,86 @@ def token_stats(sf_dir: str) -> rd.Dataset:
 def purchase_click_window(sf_dir: str, *, minutes: int = 60) -> rd.Dataset:
     """Range (interval) join: per purchase, count same-user clicks in the
     preceding ``minutes`` window (custom operator — Ray Data has no range
-    join). Same composition as the as-of join: hash-partition by the
-    equi-key, sort within group, then a vectorized two-searchsorted count
-    per purchase. Only (id, key, type, ts) columns ever shuffle."""
-    import pandas as pd
+    join). Coarse-bucket execution like the as-of join: users hash into
+    ~4P buckets, ONE kernel call per bucket. Inside, the window count is
+    a MERGED-EVENT scan, not per-user searchsorted loops: every click
+    (kind 0) sorts together with two probe rows per purchase — one at
+    ``ts`` (upper bound, inclusive) and one at ``ts - minutes`` (lower
+    bound, exclusive) — by (user, ts, kind); a segment-reset cumulative
+    click count read at each probe position yields hi/lo for all
+    purchases in one vectorized pass. Only (id, key, type, ts) columns
+    ever shuffle."""
+    import ray
 
     ds = read_clean(
         _p(sf_dir, "events"), columns=["event_id", "user_id", "event_type", "ts"]
     )
+    B = max(8, int(ray.cluster_resources().get("CPU", 4)) * 4)
+    win_us = np.int64(minutes) * 60_000_000
 
-    def filt(batch: pa.Table) -> pa.Table:
+    def tag(batch: pa.Table) -> pa.Table:
         keep = pc.is_in(
             batch.column("event_type"), value_set=pa.array(["purchase", "click"])
         )
-        return batch.filter(keep)
+        batch = batch.filter(keep)
+        part = _knuth_bucket(batch.column("user_id").to_numpy(), B)
+        return batch.append_column("part", pa.array(part, pa.int64()))
 
-    ds = ds.map_batches(filt, batch_format="pyarrow")
-
-    def windowed(g: "pd.DataFrame") -> "pd.DataFrame":
-        p = g[g["event_type"] == "purchase"].sort_values(["ts", "event_id"])
-        if p.empty:
-            return pd.DataFrame(
-                {"purchase_id": pd.Series(dtype="int64"),
-                 "user_id": pd.Series(dtype="int64"),
-                 "n_recent_clicks": pd.Series(dtype="int64")}
+    def windowed(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        is_click = pc.equal(g.column("event_type"), "click").to_numpy(
+            zero_copy_only=False
+        )
+        p_mask = ~is_click
+        pu, pt, pe = uid[p_mask], ts[p_mask], eid[p_mask]
+        np_rows = len(pu)
+        if np_rows == 0:
+            return pa.table(
+                {"purchase_id": pa.array([], pa.int64()),
+                 "user_id": pa.array([], pa.int64()),
+                 "n_recent_clicks": pa.array([], pa.int64())}
             )
-        c = g[g["event_type"] == "click"].sort_values("ts")
-        cts = c["ts"].to_numpy()
-        pts = p["ts"].to_numpy()
-        # clicks with ts in (p.ts - minutes, p.ts]
-        hi = np.searchsorted(cts, pts, side="right")
-        lo = np.searchsorted(cts, pts - np.timedelta64(minutes, "m"), side="right")
-        return pd.DataFrame(
+        cu, ct = uid[is_click], ts[is_click]
+        nc = len(cu)
+        # merged array: clicks | hi-probes (ts) | lo-probes (ts - w)
+        all_uid = np.concatenate([cu, pu, pu])
+        all_ts = np.concatenate([ct, pt, pt - win_us])
+        kind = np.zeros(nc + 2 * np_rows, np.int8)
+        kind[nc:] = 1  # probes sort AFTER clicks at an equal ts (<=)
+        order = np.lexsort((kind, all_ts, all_uid))
+        s_uid = all_uid[order]
+        s_click = (order < nc).astype(np.int64)
+        n = len(s_uid)
+        bounds = np.empty(n, dtype=bool)
+        bounds[0] = True
+        bounds[1:] = s_uid[1:] != s_uid[:-1]
+        seg_first = np.flatnonzero(bounds)
+        csum = np.cumsum(s_click)
+        base = np.repeat(
+            csum[seg_first] - s_click[seg_first],
+            np.diff(np.append(seg_first, n)),
+        )
+        clicks_upto = csum - base  # per row: same-user clicks with ts <= row ts
+        # scatter back to original probe positions
+        probe_counts = np.empty(n, np.int64)
+        probe_counts[order] = clicks_upto
+        hi = probe_counts[nc : nc + np_rows]
+        lo = probe_counts[nc + np_rows :]
+        return pa.table(
             {
-                "purchase_id": p["event_id"].to_numpy(),
-                "user_id": np.full(len(p), g["user_id"].iloc[0], dtype=np.int64),
-                "n_recent_clicks": (hi - lo).astype(np.int64),
+                "purchase_id": pa.array(pe, pa.int64()),
+                "user_id": pa.array(pu, pa.int64()),
+                "n_recent_clicks": pa.array(hi - lo, pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(windowed, batch_format="pandas")
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(windowed, batch_format="pyarrow")
+    )
 
 
 def events_rolling_7d(sf_dir: str) -> rd.Dataset:
@@ -1049,29 +1149,253 @@ def approx_frequent_users(sf_dir: str, *, topn: int = 10, k: int = 256) -> pa.Ta
     )
 
 
+def _f64_ordered_u64(v: np.ndarray) -> np.ndarray:
+    """Order-preserving map float64 -> uint64 (IEEE-754 total order for
+    finite values: negatives flip all bits, positives flip the sign
+    bit). Lets grouped order statistics bisect on EXACT integer ranges
+    — no float-boundary ambiguity between binning passes."""
+    b = v.view(np.uint64)
+    sign = (b >> np.uint64(63)).astype(bool)
+    return np.where(sign, ~b, b | np.uint64(1 << 63))
+
+
+def _ordered_u64_f64(key: int) -> float:
+    b = np.uint64(key)
+    if b & np.uint64(1 << 63):
+        b = b ^ np.uint64(1 << 63)
+    else:
+        b = ~b
+    return float(np.array([b], np.uint64).view(np.float64)[0])
+
+
+def _np_lerp(a: float, b: float, t: float) -> float:
+    """numpy's quantile interpolation branch (np.lib._function_base:
+    _lerp) — replicated exactly so distributed selection is
+    bit-identical to ``np.quantile`` on the gathered array."""
+    if t >= 0.5:
+        return b - (b - a) * (1 - t)
+    return a + (b - a) * t
+
+
+def _grouped_order_stats(
+    ds: rd.Dataset,
+    key_col: str,
+    val_col: str,
+    ranks_by_key: "dict[str, list[int]]",
+    *,
+    n_bins: int = 2048,
+    collect_cap: int = 65536,
+) -> "dict[tuple[str, int], float]":
+    """EXACT k-th order statistics per group, fully distributed — the
+    scale path for grouped quantiles/medians that never materializes a
+    group's values anywhere. ``ranks_by_key[key]`` lists the 0-based
+    sorted-position ranks wanted for that key; returns {(key, rank):
+    value}.
+
+    Mechanism: values map to order-preserving uint64 keys, then each
+    wanted rank bisects its integer range by histogram refinement —
+    one column-pruned pass per round counts ``n_bins`` buckets per
+    still-wide entry (a few thin (entry, bin, count) rows shuffle,
+    never values), the driver descends into the bucket holding the
+    rank, and once an entry's range holds <= ``collect_cap`` rows a
+    final filtered pass gathers just those rows for the exact pick.
+    Terminates in <= ceil(64 / log2(n_bins)) rounds regardless of
+    distribution or skew (each round cuts the integer range by
+    ``n_bins``); typical data resolves in 0-1 rounds. NaNs are not
+    supported (they have no place in a total value order)."""
+    # entries: one per (key, rank): [key, rank, lo_u64, hi_u64, r_local]
+    entries: list[list] = []
+    for key, ranks in ranks_by_key.items():
+        for r in ranks:
+            entries.append([key, r, 0, 1 << 64, r])
+
+    def _count_pass(live: list[list]) -> "dict[int, np.ndarray]":
+        keys = [e[0] for e in live]
+        los = np.array([e[2] for e in live], np.uint64)
+        # ranges are half-open [lo, hi); compare inclusively against hi-1
+        # so the 2^64 top stays representable in uint64
+        his = np.array([e[3] - 1 for e in live], np.uint64)
+        widths = [e[3] - e[2] for e in live]
+        shifts = np.array(
+            [max(0, (w - 1).bit_length() - n_bins.bit_length() + 1) for w in widths],
+            np.uint64,
+        )
+
+        def hist(batch: pa.Table) -> pa.Table:
+            kv = batch.column(key_col).to_numpy(zero_copy_only=False)
+            iv = _f64_ordered_u64(
+                batch.column(val_col).to_numpy().astype(np.float64)
+            )
+            eids, bins, cnts = [], [], []
+            for i in range(len(keys)):
+                m = (kv == keys[i]) & (iv >= los[i]) & (iv <= his[i])
+                if not m.any():
+                    continue
+                lb = ((iv[m] - los[i]) >> shifts[i]).astype(np.int64)
+                c = np.bincount(lb)
+                nz = np.flatnonzero(c)
+                eids.append(np.full(len(nz), i, np.int64))
+                bins.append(nz.astype(np.int64))
+                cnts.append(c[nz].astype(np.int64))
+            if not eids:
+                return pa.table(
+                    {"eid": pa.array([], pa.int64()),
+                     "bin": pa.array([], pa.int64()),
+                     "cnt": pa.array([], pa.int64())}
+                )
+            return pa.table(
+                {"eid": pa.array(np.concatenate(eids), pa.int64()),
+                 "bin": pa.array(np.concatenate(bins), pa.int64()),
+                 "cnt": pa.array(np.concatenate(cnts), pa.int64())}
+            )
+
+        agg = (
+            ds.map_batches(hist, batch_format="pyarrow")
+            .groupby(["eid", "bin"])
+            .aggregate(Sum("cnt", alias_name="n"))
+            .take_all()
+        )
+        per_entry: dict[int, dict[int, int]] = {}
+        for r in agg:
+            per_entry.setdefault(r["eid"], {})[r["bin"]] = r["n"]
+        return per_entry, shifts
+
+    out: dict[tuple[str, int], float] = {}
+    live = entries
+    for _round in range(8):  # 64 bits / 11 bits per round, with margin
+        # an entry is collectable once its range is narrow (count known
+        # small) — width-1 ranges resolve exactly without collecting
+        narrow = [e for e in live if e[3] - e[2] <= 1]
+        for e in narrow:
+            out[(e[0], e[1])] = _ordered_u64_f64(e[2])
+        live = [e for e in live if e[3] - e[2] > 1]
+        if not live:
+            break
+        per_entry, shifts = _count_pass(live)
+        nxt = []
+        for i, e in enumerate(live):
+            bins = per_entry.get(i, {})
+            cum = 0
+            chosen = None
+            for b in sorted(bins):
+                if cum + bins[b] > e[4]:
+                    chosen = (b, e[4] - cum, bins[b])
+                    break
+                cum += bins[b]
+            if chosen is None:
+                raise RuntimeError(
+                    f"rank {e[4]} beyond group size for key {e[0]!r}"
+                )
+            b, r_local, cnt = chosen
+            step = np.uint64(1) << shifts[i]
+            lo = int(e[2]) + b * int(step)
+            hi = min(lo + int(step), 1 << 64)
+            e2 = [e[0], e[1], lo, hi, r_local]
+            if cnt <= collect_cap:
+                e2.append(cnt)  # mark: ready for the gather pass
+            nxt.append(e2)
+        live = [e for e in nxt if len(e) == 5]
+        gather = [e for e in nxt if len(e) == 6]
+        if gather:
+            g_keys = [e[0] for e in gather]
+            g_lo = np.array([e[2] for e in gather], np.uint64)
+            g_hi = np.array([min(e[3] - 1, (1 << 64) - 1) for e in gather], np.uint64)
+
+            def pick_rows(batch: pa.Table) -> pa.Table:
+                kv = batch.column(key_col).to_numpy(zero_copy_only=False)
+                fv = batch.column(val_col).to_numpy().astype(np.float64)
+                iv = _f64_ordered_u64(fv)
+                eids, vals = [], []
+                for i in range(len(g_keys)):
+                    m = (kv == g_keys[i]) & (iv >= g_lo[i]) & (iv <= g_hi[i])
+                    if m.any():
+                        eids.append(np.full(int(m.sum()), i, np.int64))
+                        vals.append(fv[m])
+                if not eids:
+                    return pa.table(
+                        {"eid": pa.array([], pa.int64()),
+                         "v": pa.array([], pa.float64())}
+                    )
+                return pa.table(
+                    {"eid": pa.array(np.concatenate(eids), pa.int64()),
+                     "v": pa.array(np.concatenate(vals), pa.float64())}
+                )
+
+            rows = ds.map_batches(pick_rows, batch_format="pyarrow").take_all()
+            by_eid: dict[int, list[float]] = {}
+            for r in rows:
+                by_eid.setdefault(r["eid"], []).append(r["v"])
+            for i, e in enumerate(gather):
+                vs = np.sort(np.array(by_eid.get(i, []), np.float64))
+                out[(e[0], e[1])] = float(vs[e[4]])
+    if live:
+        raise RuntimeError("grouped order statistics did not converge")
+    return out
+
+
+def _grouped_quantiles(
+    ds: rd.Dataset, key_col: str, val_col: str, qs: "tuple[float, ...]"
+) -> "dict[tuple[str, float], float]":
+    """Linear-interpolated exact grouped quantiles (np.quantile /
+    DuckDB quantile_cont semantics) on top of ``_grouped_order_stats``:
+    one tiny count aggregate picks the two order statistics each
+    quantile needs; the selection never ships a group's raw values."""
+    import math
+
+    counts = {
+        r[key_col]: r["n"]
+        for r in ds.groupby(key_col).aggregate(Count(alias_name="n")).take_all()
+    }
+    ranks_by_key: dict[str, list[int]] = {}
+    pos_by_key: dict[str, list[tuple[float, int, int]]] = {}
+    for key, n in counts.items():
+        want = set()
+        plan = []
+        for q in qs:
+            pos = q * (n - 1)
+            f, c = int(math.floor(pos)), int(math.ceil(pos))
+            want.update((f, c))
+            plan.append((q, f, c, pos - f))
+        ranks_by_key[key] = sorted(want)
+        pos_by_key[key] = plan
+    stats = _grouped_order_stats(ds, key_col, val_col, ranks_by_key)
+    out: dict[tuple[str, float], float] = {}
+    for key, plan in pos_by_key.items():
+        for q, f, c, t in plan:
+            a, b = stats[(key, f)], stats[(key, c)]
+            out[(key, q)] = a if f == c else _np_lerp(a, b, t)
+    return out
+
+
 def value_quantiles_by_type(
     sf_dir: str, *, qs: tuple = (0.5, 0.9)
 ) -> rd.Dataset:
     """GROUPED exact order statistics: per event_type, the q-quantiles of
-    value (linear interpolation — numpy's default matches DuckDB's
-    ``quantile_cont``). Partitioning assumption: one group's values fit
-    in a worker (event-type cardinality is bounded); for unbounded keys
-    the mergeable t-digest (``approx_quantiles``) is the scale path."""
-    import pandas as pd
-
+    value (linear interpolation — replicating numpy's lerp branch, which
+    matches DuckDB's ``quantile_cont``). Runs on the distributed
+    selection engine (``_grouped_order_stats``): histogram-refinement
+    bisection on order-preserving integer keys, so NO group's values are
+    ever materialized in one worker — the round-2 "one group fits in a
+    worker" assumption is gone and unbounded key cardinality only widens
+    the thin (entry, bin, count) aggregate."""
     ds = read_clean(_p(sf_dir, "events"), columns=["event_type", "value"])
-
-    def quants(g: "pd.DataFrame") -> "pd.DataFrame":
-        v = np.quantile(g["value"].to_numpy(), list(qs))
-        return pd.DataFrame(
+    quants = _grouped_quantiles(ds, "event_type", "value", tuple(qs))
+    keys = sorted({k for k, _ in quants})
+    rows_k, rows_q, rows_v = [], [], []
+    for k in keys:
+        for q in qs:
+            rows_k.append(k)
+            rows_q.append(q)
+            rows_v.append(round(quants[(k, q)], 4))
+    return rd.from_arrow(
+        pa.table(
             {
-                "event_type": [g["event_type"].iloc[0]] * len(qs),
-                "q": np.asarray(qs, dtype=np.float64),
-                "value": np.round(v, 4),
+                "event_type": pa.array(rows_k, pa.string()),
+                "q": pa.array(rows_q, pa.float64()),
+                "value": pa.array(rows_v, pa.float64()),
             }
         )
-
-    return ds.groupby("event_type").map_groups(quants, batch_format="pandas")
+    )
 
 
 def urgent_top_revenue(sf_dir: str, *, k: int = 10) -> rd.Dataset:
@@ -3082,44 +3406,26 @@ def mad_anomaly_events(sf_dir: str, *, z_cut: float = 3.5) -> rd.Dataset:
     """Robust (median/MAD) outlier detection per event type — what
     ``zscore_anomaly_events`` should be when the tail itself is the
     contamination (mean/sd are dragged by the outliers they're meant to
-    flag; median/MAD have a 50% breakdown point). Three thin passes:
-    per-type exact medians (grouped order statistics, bounded type
-    cardinality — the ``winsorize_values`` machinery), a shuffle-free
-    map tags |v - med| with the broadcast medians and a second grouped
-    median yields the MAD, then one more shuffle-free map emits rows
-    with modified z = 0.6745 (v - med) / MAD beyond ``z_cut``. The cut
-    compares the ROUNDED score on both engines (np.quantile linear
-    interpolation == DuckDB quantile_cont, so medians are
-    bit-identical)."""
-    import pandas as pd
+    flag; median/MAD have a 50% breakdown point).
 
+    Both grouped medians run on the distributed selection engine
+    (``_grouped_quantiles``): histogram-refinement bisection over
+    order-preserving integer keys — no event type's values are ever
+    gathered into one worker, so unbounded group sizes are safe. The
+    deviation pass tags |v - med| with the broadcast medians
+    (shuffle-free map), and one more shuffle-free map emits rows with
+    modified z = 0.6745 (v - med) / MAD beyond ``z_cut``. The cut
+    compares the ROUNDED score on both engines (the selection engine
+    replicates np.quantile's lerp == DuckDB quantile_cont, so medians
+    are bit-identical)."""
     ds = read_clean(
         _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
     )
 
-    def med_of(col: str):
-        def f(g: "pd.DataFrame") -> "pd.DataFrame":
-            return pd.DataFrame(
-                {
-                    "event_type": [g["event_type"].iloc[0]],
-                    "med": [float(np.quantile(g[col].to_numpy(), 0.5))],
-                }
-            )
-
-        return f
-
-    m1 = (
-        ds.map_batches(
-            lambda t: t.select(["event_type", "value"]), batch_format="pyarrow"
-        )
-        .groupby("event_type")
-        .map_groups(med_of("value"), batch_format="pandas")
-        .take_all()
-    )
-    types = np.array(sorted(r["event_type"] for r in m1))
-    med = np.array(
-        [dict((r["event_type"], r["med"]) for r in m1)[t] for t in types]
-    )
+    thin = ds.select_columns(["event_type", "value"])
+    m1 = _grouped_quantiles(thin, "event_type", "value", (0.5,))
+    types = np.array(sorted(k for k, _ in m1))
+    med = np.array([m1[(t, 0.5)] for t in types])
 
     def absdev(batch: pa.Table) -> pa.Table:
         idx = np.searchsorted(
@@ -3133,15 +3439,9 @@ def mad_anomaly_events(sf_dir: str, *, z_cut: float = 3.5) -> rd.Dataset:
             }
         )
 
-    m2 = (
-        ds.map_batches(absdev, batch_format="pyarrow")
-        .groupby("event_type")
-        .map_groups(med_of("dev"), batch_format="pandas")
-        .take_all()
-    )
-    mad = np.array(
-        [dict((r["event_type"], r["med"]) for r in m2)[t] for t in types]
-    )
+    devs = ds.map_batches(absdev, batch_format="pyarrow")
+    m2 = _grouped_quantiles(devs, "event_type", "dev", (0.5,))
+    mad = np.array([m2[(t, 0.5)] for t in types])
 
     def flag(batch: pa.Table) -> pa.Table:
         idx = np.searchsorted(

@@ -18,6 +18,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from pathlib import Path
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -114,46 +115,120 @@ def multi_source_union(sf_dir: str, sources: list[str] | None = None) -> rd.Data
 
 
 def user_sessions(sf_dir: str, *, gap_minutes: int = 60) -> rd.Dataset:
-    """Gap-based sessionization (SURVEY §2.9 streaming analog): events are
-    partitioned by user and sorted by time inside ``map_groups``; a new
-    session starts when the gap to the previous event exceeds
-    ``gap_minutes``. Ordering assumption: within-group sort — no global
-    order needed, so this scales as a single hash shuffle by user."""
-    import pandas as pd
+    """Gap-based sessionization (SURVEY §2.9 streaming analog): a new
+    session starts when the gap to the user's previous event exceeds
+    ``gap_minutes``.
+
+    Coarse-bucket execution (queries._knuth_bucket; one pandas call per
+    USER is the repo's measured slow idiom): users hash into ~4P
+    buckets, ONE kernel call per bucket; inside, a single lexsort by
+    (user, ts, event_id) then vectorized per-segment gap flags +
+    ``np.add.reduceat`` fold every user's event/session counts at
+    once. Ordering assumption: within-bucket sort — no global order
+    needed, so this scales as a single hash shuffle by bucket."""
+    import ray
+
+    from .queries import _knuth_bucket
 
     ds = read_clean(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+    B = max(8, int(ray.cluster_resources().get("CPU", 4)) * 4)
+    gap_us = np.int64(gap_minutes) * 60_000_000
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        n_sessions = int(gap.sum()) + 1
-        return pd.DataFrame(
+    def tag(batch: pa.Table) -> pa.Table:
+        part = _knuth_bucket(batch.column("user_id").to_numpy(), B)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def sessions(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64()),
+                 "n_sessions": pa.array([], pa.int64())}
+            )
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.zeros(n, dtype=bool)
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_us
+        breaks = (gap & ~new_user).astype(np.int64)
+        seg_first = np.flatnonzero(new_user)
+        n_events = np.diff(np.append(seg_first, n))
+        n_sessions = np.add.reduceat(breaks, seg_first) + 1
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [n_sessions],
+                "user_id": pa.array(uid[seg_first], pa.int64()),
+                "n_events": pa.array(n_events, pa.int64()),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
 
 
 def user_event_sequence(sf_dir: str) -> rd.Dataset:
     """Grouped ordered collect (reference A4 headline-cluster analog,
     ``google_news_crawler.py:388-440``): per user, the comma-joined
-    event-type sequence in event_id order — deterministic, hashable."""
-    import pandas as pd
+    event-type sequence in event_id order — deterministic, hashable.
+
+    Coarse-bucket execution: users hash into ~4P buckets, ONE kernel
+    call per bucket; inside, the bucket table sorts by (user, event_id)
+    once, then Arrow's single-threaded grouped ``list`` aggregate (which
+    preserves encounter order) + ``binary_join`` emit every user's
+    joined sequence without a Python loop over users."""
+    import ray
+
+    from .queries import _knuth_bucket
 
     ds = read_clean(_p(sf_dir, "events"), columns=["user_id", "event_id", "event_type"])
+    B = max(8, int(ray.cluster_resources().get("CPU", 4)) * 4)
 
-    def seq(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("event_id")
-        return pd.DataFrame(
+    def tag(batch: pa.Table) -> pa.Table:
+        part = _knuth_bucket(batch.column("user_id").to_numpy(), B)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def seq(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        eid = g.column("event_id").to_numpy()
+        order = np.lexsort((eid, uid))
+        if len(order) == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64()),
+                 "sequence": pa.array([], pa.string())}
+            )
+        srt = pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "sequence": [",".join(g["event_type"])],
+                "user_id": pa.array(uid[order], pa.int64()),
+                "event_type": g.column("event_type").take(pa.array(order)),
+            }
+        )
+        # use_threads=False keeps the grouped list aggregate in row
+        # order, which the sort above made (user, event_id) order
+        agg = srt.group_by("user_id", use_threads=False).aggregate(
+            [("event_type", "list")]
+        )
+        lists = agg.column("event_type_list")
+        return pa.table(
+            {
+                "user_id": agg.column("user_id"),
+                "n_events": pc.cast(pc.list_value_length(lists), pa.int64()),
+                "sequence": pc.binary_join(lists, ","),
             }
         )
 
-    return ds.groupby("user_id").map_groups(seq, batch_format="pandas")
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(seq, batch_format="pyarrow")
+    )
+
