@@ -46,18 +46,15 @@ def _crawl_e2e(sf_dir: str) -> Any:
     (sf_dir-independent input by design — the crawl's input table is the
     image+caption world from BASELINE.json input_hint, not the TPC-H set).
     Equality vs the single-threaded oracle is enforced in tests/."""
-    import pyarrow as pa
-
-    from newscrawler_ray.pipelines.crawl import crawl_order, run_crawl
+    from newscrawler_ray.pipelines.crawl import crawl_order_topk, run_crawl
     from newscrawler_ray.synth import default_fixture_dir, gen_fixtures
 
     fx = gen_fixtures(default_fixture_dir(1200), n_urls=1200, seed=42)
     out = Path("/tmp/newscrawler_ray_q_crawl")
     res = run_crawl(fx, out, checkpoint=False)
-    order = crawl_order(out)
-    return pa.table(
-        {"rank": pa.array(range(len(order)), pa.int64()), "url": pa.array(order)}
-    )
+    # top-k contract: bounded driver materialization at any corpus size
+    # (the full ordered list is a test-scale helper only — verdict r3 #7)
+    return crawl_order_topk(out, k=1000)
 
 
 def _extract_crawl_output(sf_dir: str) -> Any:
@@ -1379,7 +1376,7 @@ def _read_webdataset_shards(sf_dir: str) -> Any:
 
     out = Path("/tmp/newscrawler_ray_wds_read")
     shutil.rmtree(out, ignore_errors=True)
-    export_webdataset_shards(_fixture_images(), out, n_shards=8)
+    export_webdataset_shards(_fixture_images(), out)  # cluster-width shards
     return read_webdataset_shards(out).drop_columns(["bytes"])
 
 
@@ -1402,7 +1399,7 @@ def _export_webdataset_shards(sf_dir: str) -> Any:
 
     out = Path("/tmp/newscrawler_ray_wds_export")
     shutil.rmtree(out, ignore_errors=True)
-    return export_webdataset_shards(_fixture_images(), out, n_shards=8)
+    return export_webdataset_shards(_fixture_images(), out)  # cluster-width shards
 
 
 def _crawl_payload_fidelity(sf_dir: str) -> Any:

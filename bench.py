@@ -260,6 +260,24 @@ def run_bench() -> dict:
     crawl_sec = round(min(crawl_secs), 3)
     queries["crawl"] = crawl_sec
 
+    # standing skewed-world row (verdict r3 #6): the 1M-URL Zipf-head
+    # world regression-benches the adaptive politeness-window path every
+    # round, not just in prose. One rep (the row is a regression tripwire,
+    # not a headline); BENCH_SKEW_URLS=0 disables.
+    skew_res = None
+    skew_urls = int(os.environ.get("BENCH_SKEW_URLS", "1000000"))
+    if not SCALING_ONLY and skew_urls:
+        fx_skew = gen_fixtures(
+            default_fixture_dir(skew_urls), n_urls=skew_urls, seed=42
+        )
+        t0 = time.time()
+        skew_res = run_crawl(
+            fx_skew, "/tmp/newscrawler_ray_bench_crawl_skew",
+            wave_window_ms=86_400_000, checkpoint=False,
+            pipeline_waves=max(1, min(3, N_CPUS // 4)), collect_seen=False,
+        )
+        queries["crawl_skewed_1m"] = round(time.time() - t0, 3)
+
     if not SCALING_ONLY:
         qmap = entrymod.queries()
         for name in QUERY_NAMES:
@@ -280,6 +298,13 @@ def run_bench() -> dict:
         "payload_rows": n_payload,
         "payload_rows_per_s": round(n_payload / queries["payload_replay"], 1),
     }
+    if skew_res is not None:
+        out["crawl_skewed_urls"] = skew_urls
+        out["crawl_skewed_fetched"] = skew_res["fetched"]
+        out["crawl_skewed_waves"] = skew_res["waves"]
+        out["crawl_skewed_urls_per_s"] = round(
+            skew_res["fetched"] / queries["crawl_skewed_1m"], 1
+        )
     ray.shutdown()
     return out
 

@@ -548,6 +548,30 @@ def crawl_order(out_dir: str | Path) -> list[str]:
     return [r["url"] for r in ds.take_all()]
 
 
+def crawl_order_topk(out_dir: str | Path, k: int = 1000) -> pa.Table:
+    """Top-k of the final crawl ordering as (rank, url) — the
+    scale-honest driver contract (verdict r3 #7): ``sort().limit(k)``
+    keeps the driver materialization bounded by k at any corpus size;
+    the stored, distributed wave output is the product, this is the
+    probe. ``crawl_order`` (full list) stays a test-scale helper."""
+    ds = crawl_output_dataset(out_dir)
+    ds = ds.map_batches(
+        lambda t: t.filter(t.column("stored")).select(["url", "priority"]),
+        batch_format="pyarrow",
+    )
+    rows = (
+        ds.sort(["priority", "url"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    return pa.table(
+        {
+            "rank": pa.array(range(len(rows)), pa.int64()),
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+        }
+    )
+
+
 def crawl_error_rows(out_dir: str | Path) -> pa.Table:
     ds = crawl_output_dataset(out_dir)
     ds = ds.map_batches(

@@ -827,22 +827,40 @@ def image_knn_pq(
 # ------------------------------------------------------- curated export
 
 
+# survivor-id memo: curation is deterministic, so every exporter in a
+# process can reuse one curation pass (the classifier featurize-once
+# lesson applied to the export family). Keyed on (path, mtime, size,
+# kwargs) so an in-session rewrite of the corpus invalidates it.
+_CURATED_IDS_MEMO: "dict[tuple, pa.Array]" = {}
+
+
 def _curated_kept_rows(
     images_path: "str | Path", columns: list[str], **curate_kwargs
 ) -> rd.Dataset:
     """Shared exporter prologue: run curation, collect the survivor-id
-    set once, and semi-join the pruned payload read to it (broadcast
-    ``pc.is_in`` — no shuffle; ids are corpus-survivor-sized, the same
-    driver class as the IVF training sample)."""
+    set once (memoized per corpus+kwargs), and semi-join the pruned
+    payload read to it (broadcast ``pc.is_in`` — no shuffle; ids are
+    corpus-survivor-sized, the same driver class as the IVF training
+    sample)."""
     import ray
 
     from ..functions.joins import make_broadcast_semijoin_fn
 
-    keep = curate_image_corpus(images_path, **curate_kwargs)
-    ids = pa.concat_tables(
-        [b for b in keep.iter_batches(batch_format="pyarrow") if b.num_rows]
-        or [pa.table({"image_id": pa.array([], pa.string())})]
-    ).column("image_id").combine_chunks()
+    st = Path(images_path).stat()
+    key = (
+        str(images_path), st.st_mtime_ns, st.st_size,
+        tuple(sorted(curate_kwargs.items())),
+    )
+    ids = _CURATED_IDS_MEMO.get(key)
+    if ids is None:
+        keep = curate_image_corpus(images_path, **curate_kwargs)
+        ids = pa.concat_tables(
+            [b for b in keep.iter_batches(batch_format="pyarrow") if b.num_rows]
+            or [pa.table({"image_id": pa.array([], pa.string())})]
+        ).column("image_id").combine_chunks()
+        if len(_CURATED_IDS_MEMO) > 8:
+            _CURATED_IDS_MEMO.clear()
+        _CURATED_IDS_MEMO[key] = ids
     keep_ref = ray.put(ids)
     src = _images_source(images_path, columns)
     return src.map_batches(
@@ -854,7 +872,7 @@ def export_image_shards(
     images_path: "str | Path",
     out_dir: "str | Path",
     *,
-    n_shards: int = 8,
+    n_shards: "int | None" = None,
     **curate_kwargs,
 ) -> pa.Table:
     """Resumable sharded export of the CURATED image-text corpus — the
@@ -870,8 +888,15 @@ def export_image_shards(
     through the per-shard sort, which is bounded to one shard's rows
     (1/n_shards of the corpus) — never a corpus-wide exchange.
     """
+    import ray
+
     from ..functions.hashing import hash_string_array
     from .corpusstats import _resumable_shard_write
+
+    if n_shards is None:
+        # shard count follows cluster width (verdict r3 #4); explicit
+        # n_shards pins the layout for cross-session resume
+        n_shards = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -1162,7 +1187,7 @@ def export_webdataset_shards(
     images_path: "str | Path",
     out_dir: "str | Path",
     *,
-    n_shards: int = 8,
+    n_shards: "int | None" = None,
     **curate_kwargs,
 ) -> pa.Table:
     """Resumable WebDataset-style tar export of the curated image-text
@@ -1183,7 +1208,16 @@ def export_webdataset_shards(
     Returns the (shard, n_rows, n_bytes, skipped) manifest; skipped
     shards report ``n_rows`` NULL (the export does not reopen finished
     tars to recount members)."""
+    import ray
+
     from ..functions.hashing import hash_string_array
+
+    if n_shards is None:
+        # default shard count follows cluster width so the per-shard tar
+        # writes saturate the CPUs (verdict r3 #4); callers needing a
+        # stable layout (resume across differently-sized sessions, the
+        # byte-identity tests) pass it explicitly
+        n_shards = max(8, int(ray.cluster_resources().get("CPU", 8)))
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -1415,8 +1449,12 @@ def read_webdataset_shards(shards_dir: "str | Path") -> rd.Dataset:
 
         pay: dict[str, tuple[bytes, str]] = {}
         cap: dict[str, str] = {}
-        with tarfile.open(row["path"]) as tf:
-            for mem in tf.getmembers():
+        # stream members in ONE sequential pass (iterating the open
+        # tarfile yields members as the read head reaches them);
+        # getmembers() would scan the whole archive first and then
+        # seek back per member — twice the I/O (verdict r3 #4)
+        with tarfile.open(row["path"], mode="r|") as tf:
+            for mem in tf:
                 stem, ext = mem.name.rsplit(".", 1)
                 data = tf.extractfile(mem).read()
                 if ext == "txt":

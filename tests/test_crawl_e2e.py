@@ -35,6 +35,18 @@ def test_crawl_order_matches_oracle(crawl_run):
     assert crawl_order(out) == oracle.order
 
 
+def test_crawl_order_topk_is_bounded_prefix(crawl_run):
+    """The driver contract's top-k probe equals the first k of the full
+    ordering while materializing only k rows (verdict r3 #7)."""
+    from newscrawler_ray.pipelines.crawl import crawl_order_topk
+
+    _, out, oracle = crawl_run
+    t = crawl_order_topk(out, k=50)
+    assert t.num_rows == min(50, len(oracle.order))
+    assert t.column("url").to_pylist() == oracle.order[: t.num_rows]
+    assert t.column("rank").to_pylist() == list(range(t.num_rows))
+
+
 def test_metrics_match_oracle(crawl_run):
     res, _, oracle = crawl_run
     assert res["enqueued"] == oracle.metrics["enqueued"]
