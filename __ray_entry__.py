@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_encode": S.pq_encode,
         # gap sessionization (SURVEY §2.9 streaming analog)
         "user_sessions": SRC.user_sessions,
+        "user_session_rows": SRC.user_session_rows,
         # headline clustering (SURVEY A4 grouping half: simhash pairs ->
         # connected components -> grouped title collect; rows-only —
         # union-find + planted-cluster oracles in tests/)
@@ -404,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_cooccurrence": Q.basket_cooccurrence,
         # ROWS-frame window: per-user trailing 3-row moving average
         "user_value_ma3": Q.user_value_ma3,
+        "user_value_median": Q.user_value_median,
         # streaming watermark audit: per-user late-event counts + worst
         # disorder under a deterministic synthetic ingest clock
         "late_event_audit": Q.late_event_audit,
@@ -2586,6 +2588,10 @@ def oracle_sql() -> dict[str, str]:
                                      THEN date_diff('microseconds', ts, wm)
                                      END), 0)::BIGINT AS max_disorder_us
             FROM w GROUP BY user_id""",
+        "user_value_median": """
+            SELECT user_id,
+                   round(quantile_cont(value, 0.5) + 1e-9, 4) AS med_value
+            FROM events GROUP BY user_id""",
         "user_value_ma3": """
             SELECT user_id, event_id,
                    round(avg(value) OVER (
@@ -3586,6 +3592,25 @@ def oracle_sql() -> dict[str, str]:
                 SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
                        unnest(quantile_cont(value, [0.25, 0.5, 0.75, 0.9, 0.99])) AS v
                 FROM events)""",
+        "user_session_rows": """
+            WITH flags AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id)
+                              > INTERVAL 60 MINUTE
+                          THEN 1 ELSE 0 END AS brk, event_id
+              FROM events
+            ), sess AS (
+              SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM flags
+            )
+            SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+                   count(*) AS n_events,
+                   min(ts) AS start_ts, max(ts) AS end_ts
+            FROM sess GROUP BY user_id, session_idx""",
         "user_sessions": """
             SELECT user_id, count(*) AS n_events,
                    CAST(1 + COALESCE(sum(CASE WHEN gap THEN 1 ELSE 0 END), 0) AS BIGINT)

@@ -54,6 +54,7 @@ QUERY_NAMES = [
     "salted_returnflag_agg",
     "multi_source_union",
     "user_sessions",
+    "user_session_rows",
     # round-2 additions
     "purchase_click_window",
     "events_rolling_7d",
@@ -141,6 +142,7 @@ QUERY_NAMES = [
     "pareto_orders",
     "basket_cooccurrence",
     "user_value_ma3",
+    "user_value_median",
     "weighted_sample_orders",
     "props_json_stats",
     "embedding_dim_stats",

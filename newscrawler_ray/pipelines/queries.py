@@ -2460,6 +2460,59 @@ def basket_cooccurrence(sf_dir: str) -> rd.Dataset:
     return rd.from_arrow(out)
 
 
+def user_value_median(sf_dir: str) -> rd.Dataset:
+    """Per-user EXACT median of value — grouped order statistics at
+    UNBOUNDED key cardinality, the complement of
+    ``value_quantiles_by_type``'s selection engine: when groups are
+    many and small (50M users x dozens of events), histogram bisection
+    per key would be absurd and a per-key pandas call is the measured
+    slow idiom; the right plan is the coarse-bucket lexsort — users
+    hash into ~4P buckets, ONE kernel call per bucket sorts (user,
+    value) and reads both middle order statistics of every segment
+    vectorized. Interpolation matches DuckDB ``quantile_cont`` (lower +
+    t*(upper-lower), t=0.5)."""
+    import ray
+
+    ds = read_clean(_p(sf_dir, "events"), columns=["user_id", "value"])
+    B = max(8, int(ray.cluster_resources().get("CPU", 4)) * 4)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        part = _knuth_bucket(batch.column("user_id").to_numpy(), B)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def medians(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        val = g.column("value").to_numpy()
+        order = np.lexsort((val, uid))
+        uid, val = uid[order], val[order]
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "med_value": pa.array([], pa.float64())}
+            )
+        bounds = np.empty(n, dtype=bool)
+        bounds[0] = True
+        bounds[1:] = uid[1:] != uid[:-1]
+        seg_first = np.flatnonzero(bounds)
+        cnt = np.diff(np.append(seg_first, n))
+        lo = val[seg_first + (cnt - 1) // 2]
+        hi = val[seg_first + cnt // 2]
+        med = lo + 0.5 * (hi - lo)  # quantile_cont's lower + t*(upper-lower)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[seg_first], pa.int64()),
+                "med_value": pa.array(np.round(med + 1e-9, 4), pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(medians, batch_format="pyarrow")
+    )
+
+
 def user_value_ma3(sf_dir: str, *, k: int = 3) -> rd.Dataset:
     """ROWS-frame window: per-user trailing k-row moving average of
     ``value`` ordered by (ts, event_id) — SQL's ``ROWS BETWEEN k-1

@@ -175,6 +175,76 @@ def user_sessions(sf_dir: str, *, gap_minutes: int = 60) -> rd.Dataset:
     )
 
 
+def user_session_rows(sf_dir: str, *, gap_minutes: int = 60) -> rd.Dataset:
+    """Sessionization emitting ONE ROW PER SESSION (user_id,
+    session_idx, n_events, start_ts, end_ts) — the materialized form a
+    downstream funnel/attribution join consumes, vs ``user_sessions``'
+    per-user rollup. Same coarse-bucket lexsort execution; session ids
+    are a cumulative sum of gap flags reset per user, and the per-
+    session bounds fold with ``np.minimum/maximum.reduceat`` — no
+    Python call per user or per session."""
+    import ray
+
+    from .queries import _knuth_bucket
+
+    ds = read_clean(_p(sf_dir, "events"), columns=["user_id", "ts", "event_id"])
+    B = max(8, int(ray.cluster_resources().get("CPU", 4)) * 4)
+    gap_us = np.int64(gap_minutes) * 60_000_000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        part = _knuth_bucket(batch.column("user_id").to_numpy(), B)
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    def sessions(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy()
+        eid = g.column("event_id").to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()),
+                 "session_idx": pa.array([], pa.int64()),
+                 "n_events": pa.array([], pa.int64()),
+                 "start_ts": pa.array([], pa.timestamp("us")),
+                 "end_ts": pa.array([], pa.timestamp("us"))}
+            )
+        new_user = np.empty(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap = np.zeros(n, dtype=bool)
+        gap[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sess_start = new_user | gap
+        s_first = np.flatnonzero(sess_start)
+        s_cnt = np.diff(np.append(s_first, n))
+        # per-user session index: global session ordinal minus the
+        # ordinal at the user's first session
+        ord_all = np.cumsum(sess_start) - 1
+        user_first_ord = ord_all[np.flatnonzero(new_user)]
+        # map each session to its user's first ordinal
+        user_seg = np.cumsum(new_user) - 1
+        sidx = ord_all[s_first] - user_first_ord[user_seg[s_first]]
+        end_ts = ts[s_first + s_cnt - 1]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[s_first], pa.int64()),
+                "session_idx": pa.array(sidx, pa.int64()),
+                "n_events": pa.array(s_cnt, pa.int64()),
+                "start_ts": pa.array(ts[s_first], pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "end_ts": pa.array(end_ts, pa.int64()).cast(pa.timestamp("us")),
+            }
+        )
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sessions, batch_format="pyarrow")
+    )
+
+
 def user_event_sequence(sf_dir: str) -> rd.Dataset:
     """Grouped ordered collect (reference A4 headline-cluster analog,
     ``google_news_crawler.py:388-440``): per user, the comma-joined

@@ -100,6 +100,24 @@ def test_purchase_click_asof_1m_keys(ray_session, highcard_dir):
     _compare(got, _oracle(highcard_dir, E.oracle_sql()["purchase_click_asof"]))
 
 
+def test_user_session_rows_1m_keys(ray_session, highcard_dir):
+    import __ray_entry__ as E
+
+    got, wall = _run(E.queries()["user_session_rows"], highcard_dir)
+    assert wall < WALL_BOUND_S, f"user_session_rows took {wall:.1f}s"
+    assert got["user_id"].nunique() == N_USERS
+    _compare(got, _oracle(highcard_dir, E.oracle_sql()["user_session_rows"]))
+
+
+def test_user_value_median_1m_keys(ray_session, highcard_dir):
+    import __ray_entry__ as E
+
+    got, wall = _run(E.queries()["user_value_median"], highcard_dir)
+    assert wall < WALL_BOUND_S, f"user_value_median took {wall:.1f}s"
+    assert len(got) == N_USERS
+    _compare(got, _oracle(highcard_dir, E.oracle_sql()["user_value_median"]))
+
+
 def test_purchase_click_window_1m_keys(ray_session, highcard_dir):
     import __ray_entry__ as E
 
