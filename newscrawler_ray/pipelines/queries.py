@@ -3026,38 +3026,25 @@ def winsorize_values(
     """Winsorization: clamp each event's value to its type's
     [p05, p95] — the outlier-clipping pass run before training-data
     normalization (z-scores over raw heavy tails are garbage; clip
-    first). Two stages: per-type exact quantile bounds (the grouped
-    order-statistics op, bounded-type-cardinality assumption as
-    documented in ``value_quantiles_by_type``) collected as a
-    types-sized broadcast, then one shuffle-free clip map over the
-    events — the big table never moves. np.quantile's linear
-    interpolation matches DuckDB's ``quantile_cont``, and interpolated
-    bounds fall strictly between data points, so the clip decisions are
-    bit-identical across engines."""
-    import pandas as pd
-
+    first). Two stages: per-type exact quantile bounds via the
+    distributed selection engine (``_grouped_quantiles`` — histogram-
+    refinement bisection, no type's values ever gathered into one
+    worker) collected as a types-sized broadcast, then one shuffle-free
+    clip map over the events — the big table never moves. The engine
+    replicates np.quantile's lerp (== DuckDB ``quantile_cont``), and
+    interpolated bounds fall strictly between data points, so the clip
+    decisions are bit-identical across engines."""
     ds = read_clean(
         _p(sf_dir, "events"), columns=["event_id", "event_type", "value"]
     )
-
-    def bounds(g: "pd.DataFrame") -> "pd.DataFrame":
-        v = np.quantile(g["value"].to_numpy(), [lo_q, hi_q])
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "lo": [v[0]],
-                "hi": [v[1]],
-            }
-        )
-
-    b = (
-        ds.map_batches(
-            lambda t: t.select(["event_type", "value"]), batch_format="pyarrow"
-        )
-        .groupby("event_type")
-        .map_groups(bounds, batch_format="pandas")
-        .take_all()
+    quants = _grouped_quantiles(
+        ds.select_columns(["event_type", "value"]), "event_type", "value",
+        (lo_q, hi_q),
     )
+    b = [
+        {"event_type": t, "lo": quants[(t, lo_q)], "hi": quants[(t, hi_q)]}
+        for t in sorted({k for k, _ in quants})
+    ]
     types = np.array(sorted(r["event_type"] for r in b))
     by = {r["event_type"]: r for r in b}
     lo = np.array([by[t]["lo"] for t in types], dtype=np.float64)
