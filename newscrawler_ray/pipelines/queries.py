@@ -1183,6 +1183,7 @@ def _grouped_order_stats(
     val_col: str,
     ranks_by_key: "dict[str, list[int]]",
     *,
+    group_counts: "dict[str, int] | None" = None,
     n_bins: int = 2048,
     collect_cap: int = 65536,
 ) -> "dict[tuple[str, int], float]":
@@ -1192,46 +1193,55 @@ def _grouped_order_stats(
     sorted-position ranks wanted for that key; returns {(key, rank):
     value}.
 
-    Mechanism: values map to order-preserving uint64 keys, then each
-    wanted rank bisects its integer range by histogram refinement —
+    Mechanism: values map to order-preserving uint64 keys, then the
+    wanted ranks bisect their integer ranges by histogram refinement —
     one column-pruned pass per round counts ``n_bins`` buckets per
-    still-wide entry (a few thin (entry, bin, count) rows shuffle,
-    never values), the driver descends into the bucket holding the
-    rank, and once an entry's range holds <= ``collect_cap`` rows a
-    final filtered pass gathers just those rows for the exact pick.
-    Terminates in <= ceil(64 / log2(n_bins)) rounds regardless of
-    distribution or skew (each round cuts the integer range by
-    ``n_bins``); typical data resolves in 0-1 rounds. NaNs are not
-    supported (they have no place in a total value order)."""
-    # entries: one per (key, rank): [key, rank, lo_u64, hi_u64, r_local]
-    entries: list[list] = []
+    still-wide INTERVAL (a few thin (interval, bin, count) rows
+    shuffle, never values), the driver descends each rank into the
+    bucket holding it, and once an interval holds <= ``collect_cap``
+    rows a filtered gather pass ships just those rows for the exact
+    pick. Intervals are deduplicated across ranks: a key's f/c median
+    ranks (or several quantiles) share one histogram and one gather
+    until their descent paths split. ``group_counts`` (per-key row
+    counts, if the caller already aggregated them) lets small groups
+    skip bisection entirely and go straight to the gather. Terminates
+    in <= ceil(64 / log2(n_bins)) rounds regardless of distribution or
+    skew; typical groups resolve in 0-1 rounds. NaNs unsupported (no
+    place in a total value order)."""
+    FULL = (0, 1 << 64)
+    # intervals: (key, lo, hi) -> list of (rank, r_local); count or None
+    intervals: "dict[tuple, list[list[int]]]" = {}
+    counts: "dict[tuple, int | None]" = {}
     for key, ranks in ranks_by_key.items():
-        for r in ranks:
-            entries.append([key, r, 0, 1 << 64, r])
+        iv = (key,) + FULL
+        intervals[iv] = [[r, r] for r in ranks]
+        counts[iv] = (group_counts or {}).get(key)
 
-    def _count_pass(live: list[list]) -> "dict[int, np.ndarray]":
-        keys = [e[0] for e in live]
-        los = np.array([e[2] for e in live], np.uint64)
-        # ranges are half-open [lo, hi); compare inclusively against hi-1
-        # so the 2^64 top stays representable in uint64
-        his = np.array([e[3] - 1 for e in live], np.uint64)
-        widths = [e[3] - e[2] for e in live]
+    out: dict[tuple[str, int], float] = {}
+
+    def _hist_pass(ivs: "list[tuple]") -> "tuple[dict, np.ndarray]":
+        keys = [iv[0] for iv in ivs]
+        los = np.array([iv[1] for iv in ivs], np.uint64)
+        his = np.array([iv[2] - 1 for iv in ivs], np.uint64)  # inclusive
         shifts = np.array(
-            [max(0, (w - 1).bit_length() - n_bins.bit_length() + 1) for w in widths],
+            [
+                max(0, (iv[2] - iv[1] - 1).bit_length() - n_bins.bit_length() + 1)
+                for iv in ivs
+            ],
             np.uint64,
         )
 
         def hist(batch: pa.Table) -> pa.Table:
             kv = batch.column(key_col).to_numpy(zero_copy_only=False)
-            iv = _f64_ordered_u64(
+            iv_ = _f64_ordered_u64(
                 batch.column(val_col).to_numpy().astype(np.float64)
             )
             eids, bins, cnts = [], [], []
             for i in range(len(keys)):
-                m = (kv == keys[i]) & (iv >= los[i]) & (iv <= his[i])
+                m = (kv == keys[i]) & (iv_ >= los[i]) & (iv_ <= his[i])
                 if not m.any():
                     continue
-                lb = ((iv[m] - los[i]) >> shifts[i]).astype(np.int64)
+                lb = ((iv_[m] - los[i]) >> shifts[i]).astype(np.int64)
                 c = np.bincount(lb)
                 nz = np.flatnonzero(c)
                 eids.append(np.full(len(nz), i, np.int64))
@@ -1255,80 +1265,89 @@ def _grouped_order_stats(
             .aggregate(Sum("cnt", alias_name="n"))
             .take_all()
         )
-        per_entry: dict[int, dict[int, int]] = {}
+        per: dict[int, dict[int, int]] = {}
         for r in agg:
-            per_entry.setdefault(r["eid"], {})[r["bin"]] = r["n"]
-        return per_entry, shifts
+            per.setdefault(r["eid"], {})[r["bin"]] = r["n"]
+        return per, shifts
 
-    out: dict[tuple[str, int], float] = {}
-    live = entries
-    for _round in range(8):  # 64 bits / 11 bits per round, with margin
-        # an entry is collectable once its range is narrow (count known
-        # small) — width-1 ranges resolve exactly without collecting
-        narrow = [e for e in live if e[3] - e[2] <= 1]
-        for e in narrow:
-            out[(e[0], e[1])] = _ordered_u64_f64(e[2])
-        live = [e for e in live if e[3] - e[2] > 1]
-        if not live:
-            break
-        per_entry, shifts = _count_pass(live)
-        nxt = []
-        for i, e in enumerate(live):
-            bins = per_entry.get(i, {})
-            cum = 0
-            chosen = None
-            for b in sorted(bins):
-                if cum + bins[b] > e[4]:
-                    chosen = (b, e[4] - cum, bins[b])
-                    break
-                cum += bins[b]
-            if chosen is None:
-                raise RuntimeError(
-                    f"rank {e[4]} beyond group size for key {e[0]!r}"
-                )
-            b, r_local, cnt = chosen
-            step = np.uint64(1) << shifts[i]
-            lo = int(e[2]) + b * int(step)
-            hi = min(lo + int(step), 1 << 64)
-            e2 = [e[0], e[1], lo, hi, r_local]
-            if cnt <= collect_cap:
-                e2.append(cnt)  # mark: ready for the gather pass
-            nxt.append(e2)
-        live = [e for e in nxt if len(e) == 5]
-        gather = [e for e in nxt if len(e) == 6]
-        if gather:
-            g_keys = [e[0] for e in gather]
-            g_lo = np.array([e[2] for e in gather], np.uint64)
-            g_hi = np.array([min(e[3] - 1, (1 << 64) - 1) for e in gather], np.uint64)
+    def _gather_pass(ivs: "list[tuple]") -> "dict[int, np.ndarray]":
+        keys = [iv[0] for iv in ivs]
+        los = np.array([iv[1] for iv in ivs], np.uint64)
+        his = np.array([iv[2] - 1 for iv in ivs], np.uint64)
 
-            def pick_rows(batch: pa.Table) -> pa.Table:
-                kv = batch.column(key_col).to_numpy(zero_copy_only=False)
-                fv = batch.column(val_col).to_numpy().astype(np.float64)
-                iv = _f64_ordered_u64(fv)
-                eids, vals = [], []
-                for i in range(len(g_keys)):
-                    m = (kv == g_keys[i]) & (iv >= g_lo[i]) & (iv <= g_hi[i])
-                    if m.any():
-                        eids.append(np.full(int(m.sum()), i, np.int64))
-                        vals.append(fv[m])
-                if not eids:
-                    return pa.table(
-                        {"eid": pa.array([], pa.int64()),
-                         "v": pa.array([], pa.float64())}
-                    )
+        def pick_rows(batch: pa.Table) -> pa.Table:
+            kv = batch.column(key_col).to_numpy(zero_copy_only=False)
+            fv = batch.column(val_col).to_numpy().astype(np.float64)
+            iv_ = _f64_ordered_u64(fv)
+            eids, vals = [], []
+            for i in range(len(keys)):
+                m = (kv == keys[i]) & (iv_ >= los[i]) & (iv_ <= his[i])
+                if m.any():
+                    eids.append(np.full(int(m.sum()), i, np.int64))
+                    vals.append(fv[m])
+            if not eids:
                 return pa.table(
-                    {"eid": pa.array(np.concatenate(eids), pa.int64()),
-                     "v": pa.array(np.concatenate(vals), pa.float64())}
+                    {"eid": pa.array([], pa.int64()),
+                     "v": pa.array([], pa.float64())}
                 )
+            return pa.table(
+                {"eid": pa.array(np.concatenate(eids), pa.int64()),
+                 "v": pa.array(np.concatenate(vals), pa.float64())}
+            )
 
-            rows = ds.map_batches(pick_rows, batch_format="pyarrow").take_all()
-            by_eid: dict[int, list[float]] = {}
-            for r in rows:
-                by_eid.setdefault(r["eid"], []).append(r["v"])
-            for i, e in enumerate(gather):
-                vs = np.sort(np.array(by_eid.get(i, []), np.float64))
-                out[(e[0], e[1])] = float(vs[e[4]])
-    if live:
+        rows = ds.map_batches(pick_rows, batch_format="pyarrow").take_all()
+        by: dict[int, list[float]] = {}
+        for r in rows:
+            by.setdefault(r["eid"], []).append(r["v"])
+        return {i: np.sort(np.array(by.get(i, []), np.float64)) for i in range(len(ivs))}
+
+    for _round in range(9):  # 64 bits / 11 bits per round, with margin
+        if not intervals:
+            break
+        # width-1 intervals resolve without touching data
+        for iv in [i for i in intervals if i[2] - i[1] <= 1]:
+            v = _ordered_u64_f64(iv[1])
+            for rank, _ in intervals.pop(iv):
+                out[(iv[0], rank)] = v
+            counts.pop(iv, None)
+        # narrow-enough intervals go to ONE shared gather
+        gather = [
+            iv for iv in intervals
+            if counts.get(iv) is not None and counts[iv] <= collect_cap
+        ]
+        if gather:
+            sorted_vals = _gather_pass(gather)
+            for i, iv in enumerate(gather):
+                vs = sorted_vals[i]
+                for rank, r_local in intervals.pop(iv):
+                    out[(iv[0], rank)] = float(vs[r_local])
+                counts.pop(iv, None)
+        if not intervals:
+            break
+        # histogram round over the remaining wide intervals
+        ivs = sorted(intervals)
+        per, shifts = _hist_pass(ivs)
+        nxt: dict[tuple, list[list[int]]] = {}
+        nxt_counts: dict[tuple, int | None] = {}
+        for i, iv in enumerate(ivs):
+            bins = per.get(i, {})
+            step = int(np.uint64(1) << shifts[i])
+            sorted_bins = sorted(bins)
+            cums = np.cumsum([bins[b] for b in sorted_bins])
+            for rank, r_local in intervals[iv]:
+                j = int(np.searchsorted(cums, r_local, side="right"))
+                if j >= len(sorted_bins):
+                    raise RuntimeError(
+                        f"rank {r_local} beyond group size for key {iv[0]!r}"
+                    )
+                b = sorted_bins[j]
+                new_local = r_local - (int(cums[j - 1]) if j else 0)
+                lo = int(iv[1]) + b * step
+                child = (iv[0], lo, min(lo + step, 1 << 64))
+                nxt.setdefault(child, []).append([rank, new_local])
+                nxt_counts[child] = bins[b]
+        intervals, counts = nxt, nxt_counts
+    if intervals:
         raise RuntimeError("grouped order statistics did not converge")
     return out
 
@@ -1339,7 +1358,8 @@ def _grouped_quantiles(
     """Linear-interpolated exact grouped quantiles (np.quantile /
     DuckDB quantile_cont semantics) on top of ``_grouped_order_stats``:
     one tiny count aggregate picks the two order statistics each
-    quantile needs; the selection never ships a group's raw values."""
+    quantile needs (and lets small groups resolve in a single gather
+    pass); the selection never ships a group's raw values."""
     import math
 
     counts = {
@@ -1358,7 +1378,9 @@ def _grouped_quantiles(
             plan.append((q, f, c, pos - f))
         ranks_by_key[key] = sorted(want)
         pos_by_key[key] = plan
-    stats = _grouped_order_stats(ds, key_col, val_col, ranks_by_key)
+    stats = _grouped_order_stats(
+        ds, key_col, val_col, ranks_by_key, group_counts=counts
+    )
     out: dict[tuple[str, float], float] = {}
     for key, plan in pos_by_key.items():
         for q, f, c, t in plan:
