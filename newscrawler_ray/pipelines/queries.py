@@ -1231,14 +1231,21 @@ def _grouped_order_stats(
             np.uint64,
         )
 
+        uk = np.array(sorted(set(keys)))
+        key_code = {k: int(np.searchsorted(uk, k)) for k in keys}
+
         def hist(batch: pa.Table) -> pa.Table:
-            kv = batch.column(key_col).to_numpy(zero_copy_only=False)
+            # integer key codes once per batch: comparing an object-dtype
+            # string array per entry would be a Python loop per element
+            kv = batch.column(key_col).to_numpy(zero_copy_only=False).astype("U")
+            codes = np.searchsorted(uk, kv)
+            codes[(codes >= len(uk)) | (uk[np.minimum(codes, len(uk) - 1)] != kv)] = -1
             iv_ = _f64_ordered_u64(
                 batch.column(val_col).to_numpy().astype(np.float64)
             )
             eids, bins, cnts = [], [], []
             for i in range(len(keys)):
-                m = (kv == keys[i]) & (iv_ >= los[i]) & (iv_ <= his[i])
+                m = (codes == key_code[keys[i]]) & (iv_ >= los[i]) & (iv_ <= his[i])
                 if not m.any():
                     continue
                 lb = ((iv_[m] - los[i]) >> shifts[i]).astype(np.int64)
@@ -1275,13 +1282,18 @@ def _grouped_order_stats(
         los = np.array([iv[1] for iv in ivs], np.uint64)
         his = np.array([iv[2] - 1 for iv in ivs], np.uint64)
 
+        uk = np.array(sorted(set(keys)))
+        key_code = {k: int(np.searchsorted(uk, k)) for k in keys}
+
         def pick_rows(batch: pa.Table) -> pa.Table:
-            kv = batch.column(key_col).to_numpy(zero_copy_only=False)
+            kv = batch.column(key_col).to_numpy(zero_copy_only=False).astype("U")
+            codes = np.searchsorted(uk, kv)
+            codes[(codes >= len(uk)) | (uk[np.minimum(codes, len(uk) - 1)] != kv)] = -1
             fv = batch.column(val_col).to_numpy().astype(np.float64)
             iv_ = _f64_ordered_u64(fv)
             eids, vals = [], []
             for i in range(len(keys)):
-                m = (kv == keys[i]) & (iv_ >= los[i]) & (iv_ <= his[i])
+                m = (codes == key_code[keys[i]]) & (iv_ >= los[i]) & (iv_ <= his[i])
                 if m.any():
                     eids.append(np.full(int(m.sum()), i, np.int64))
                     vals.append(fv[m])
