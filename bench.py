@@ -55,7 +55,10 @@ QUERY_NAMES = [
     "multi_source_union",
     "user_sessions",
     "user_session_rows",
+    "user_event_sequence",
+    "top_orders_per_segment",
     # round-2 additions
+    "purchase_click_asof",
     "purchase_click_window",
     "events_rolling_7d",
     "order_priority_revenue",
