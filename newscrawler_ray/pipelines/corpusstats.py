@@ -1766,7 +1766,28 @@ def _resumable_shard_write(
     row order (shard dirs are disjoint key-hash slices of one sorted
     stream, so per-shard content is the same as sorting each shard
     alone)."""
+    import json
     import shutil
+
+    # Layout marker (ADVICE r4): the row->shard map is `hash(key) %
+    # n_shards`, so resuming with a DIFFERENT n_shards (e.g. the
+    # cluster-width default on a differently-sized cluster) would
+    # silently mix two hash layouts — old _DONE shards skipped under the
+    # new assignment, rows duplicated/missing. Persist n_shards on first
+    # run and fail loud on mismatch instead of relying on the docstring.
+    out_dir.mkdir(parents=True, exist_ok=True)
+    layout_path = out_dir / "_SHARD_LAYOUT.json"
+    if layout_path.exists():
+        recorded = json.loads(layout_path.read_text()).get("n_shards")
+        if recorded != n_shards:
+            raise ValueError(
+                f"resume layout mismatch: {out_dir} was written with "
+                f"n_shards={recorded} but this run uses n_shards={n_shards}; "
+                "pass n_shards explicitly (or delete the output dir) — "
+                "mixing hash layouts would duplicate/drop rows"
+            )
+    else:
+        layout_path.write_text(json.dumps({"n_shards": n_shards, "key": key}))
 
     pending, manifest_rows = [], {}
     for s in range(n_shards):
@@ -2397,6 +2418,53 @@ def table_checksum(sf_dir: str, table: str = "documents") -> pa.Table:
         {
             "n_rows": pa.array([n], _I64),
             "xor_hash": pa.array([xor], _I64),
+            "total_chars": pa.array([chars], _I64),
+        }
+    )
+
+
+def table_checksum_fast(sf_dir: str, table: str = "documents") -> pa.Table:
+    """Production-rate twin of ``table_checksum``: the per-row md5 there
+    is load-bearing ONLY for SQL parity (DuckDB recomputes the identical
+    value); at 100 TB an interpreter-bound ~80 MB/s/core scan is the
+    wrong shape for an anti-entropy pass. This variant folds the
+    vectorized 128-bit content-hash pair (``hash_text_array_128``,
+    ~3.5 GB/s/core) instead — same order-/partition-independent XOR
+    fold, same (count, chars) blind-spot cover, two independent lanes.
+    Rows-only for the driver (no SQL twin for xxhash); pytest asserts
+    order/partition invariance and single-row sensitivity."""
+    from ..functions.hashing import hash_text_array_128
+
+    ds = read_clean(_p(sf_dir, table), columns=["text", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a, b = hash_text_array_128(batch.column("text"))
+        return pa.table(
+            {
+                "xor_a": pa.array(
+                    [int(np.bitwise_xor.reduce(a)) if len(a) else 0], _I64
+                ),
+                "xor_b": pa.array(
+                    [int(np.bitwise_xor.reduce(b)) if len(b) else 0], _I64
+                ),
+                "n_rows": pa.array([batch.num_rows], _I64),
+                "total_chars": pa.array(
+                    [int(np.sum(batch.column("n_chars").to_numpy()))], _I64
+                ),
+            }
+        )
+
+    xa = xb = n = chars = 0
+    for r in ds.map_batches(partial, batch_format="pyarrow").take_all():
+        xa ^= int(r["xor_a"])
+        xb ^= int(r["xor_b"])
+        n += int(r["n_rows"])
+        chars += int(r["total_chars"])
+    return pa.table(
+        {
+            "n_rows": pa.array([n], _I64),
+            "xor_a": pa.array([xa], _I64),
+            "xor_b": pa.array([xb], _I64),
             "total_chars": pa.array([chars], _I64),
         }
     )

@@ -533,13 +533,36 @@ def crawl_output_dataset(out_dir: str | Path) -> rd.Dataset:
     return rd.read_parquet(str(Path(out_dir) / "waves"))
 
 
-def crawl_order(out_dir: str | Path) -> list[str]:
+# full-materialization cap for the test-scale helpers below (verdict r4
+# #7): enough for every fixture world, far below any production corpus.
+_HELPER_ROW_CAP = 2_000_000
+
+
+def _assert_helper_scale(ds: rd.Dataset, what: str, unsafe: bool) -> None:
+    """Fail loud when a test-scale helper (which ``take_all()``s the
+    full stored set onto the driver) is pointed at a production-sized
+    corpus by accident. ``unsafe=True`` is the explicit override; the
+    bounded driver contract is ``crawl_order_topk``."""
+    if unsafe:
+        return
+    n = ds.count()
+    if n > _HELPER_ROW_CAP:
+        raise ValueError(
+            f"{what} materializes the full stored set on the driver "
+            f"({n:,} rows > cap {_HELPER_ROW_CAP:,}); use crawl_order_topk "
+            "/ stream crawl_output_dataset(...), or pass unsafe=True"
+        )
+
+
+def crawl_order(out_dir: str | Path, *, unsafe: bool = False) -> list[str]:
     """Final crawl ordering: stored rows by (priority DESC, url ASC).
 
     Test-scale helper (materializes URLs on the driver); at scale consume
-    ``crawl_output_dataset(...).sort(...)`` as a stream instead.
+    ``crawl_output_dataset(...).sort(...)`` as a stream instead. Guarded
+    by a row-count cap (``unsafe=True`` overrides).
     """
     ds = crawl_output_dataset(out_dir)
+    _assert_helper_scale(ds, "crawl_order", unsafe)
     ds = ds.map_batches(
         lambda t: t.filter(t.column("stored")).select(["url", "priority"]),
         batch_format="pyarrow",
@@ -572,8 +595,11 @@ def crawl_order_topk(out_dir: str | Path, k: int = 1000) -> pa.Table:
     )
 
 
-def crawl_error_rows(out_dir: str | Path) -> pa.Table:
+def crawl_error_rows(out_dir: str | Path, *, unsafe: bool = False) -> pa.Table:
+    """Rows whose extraction errored — test-scale helper (driver
+    materialization), guarded like ``crawl_order``."""
     ds = crawl_output_dataset(out_dir)
+    _assert_helper_scale(ds, "crawl_error_rows", unsafe)
     ds = ds.map_batches(
         lambda t: t.filter(pa.compute.is_valid(t.column("extraction_error"))).select(
             ["url", "status", "extraction_error"]

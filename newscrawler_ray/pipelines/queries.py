@@ -1420,7 +1420,10 @@ def value_quantiles_by_type(
         for q in qs:
             rows_k.append(k)
             rows_q.append(q)
-            rows_v.append(round(quants[(k, q)], 4))
+            # +1e-9 anti-tie nudge (repo invariant): builtin round,
+            # np.round and DuckDB round can disagree within an ulp of a
+            # .00005 half-even boundary; the nudge keeps both engines off it.
+            rows_v.append(round(quants[(k, q)] + 1e-9, 4))
     return rd.from_arrow(
         pa.table(
             {

@@ -846,21 +846,31 @@ def _curated_kept_rows(
 
     from ..functions.joins import make_broadcast_semijoin_fn
 
-    st = Path(images_path).stat()
-    key = (
-        str(images_path), st.st_mtime_ns, st.st_size,
-        tuple(sorted(curate_kwargs.items())),
-    )
-    ids = _CURATED_IDS_MEMO.get(key)
+    # The memo is only sound for a plain parquet FILE, where (mtime, size)
+    # pins the content. A Dataset input has no stable identity, and a
+    # directory's mtime/size do not change when a member parquet is
+    # rewritten in place — both would serve stale survivor ids — so those
+    # inputs bypass the memo and run a fresh curation pass (ADVICE r4).
+    key = None
+    if not isinstance(images_path, rd.Dataset):
+        p = Path(images_path)
+        if p.is_file():
+            st = p.stat()
+            key = (
+                str(images_path), st.st_mtime_ns, st.st_size,
+                tuple(sorted(curate_kwargs.items())),
+            )
+    ids = _CURATED_IDS_MEMO.get(key) if key is not None else None
     if ids is None:
         keep = curate_image_corpus(images_path, **curate_kwargs)
         ids = pa.concat_tables(
             [b for b in keep.iter_batches(batch_format="pyarrow") if b.num_rows]
             or [pa.table({"image_id": pa.array([], pa.string())})]
         ).column("image_id").combine_chunks()
-        if len(_CURATED_IDS_MEMO) > 8:
-            _CURATED_IDS_MEMO.clear()
-        _CURATED_IDS_MEMO[key] = ids
+        if key is not None:
+            if len(_CURATED_IDS_MEMO) > 8:
+                _CURATED_IDS_MEMO.clear()
+            _CURATED_IDS_MEMO[key] = ids
     keep_ref = ray.put(ids)
     src = _images_source(images_path, columns)
     return src.map_batches(
@@ -1221,6 +1231,23 @@ def export_webdataset_shards(
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+
+    # Layout marker (ADVICE r4): resume on a differently-sized cluster
+    # would otherwise silently mix two `hash(id) % n_shards` layouts —
+    # finished tars skipped under the new assignment, rows dup/missing.
+    import json as _json
+
+    layout_path = out_dir / "_SHARD_LAYOUT.json"
+    if layout_path.exists():
+        recorded = _json.loads(layout_path.read_text()).get("n_shards")
+        if recorded != n_shards:
+            raise ValueError(
+                f"resume layout mismatch: {out_dir} was written with "
+                f"n_shards={recorded} but this run uses n_shards={n_shards}; "
+                "pass n_shards explicitly (or delete the output dir)"
+            )
+    else:
+        layout_path.write_text(_json.dumps({"n_shards": n_shards}))
 
     # resume scan FIRST: a fully-finished export must cost n_shards
     # stat calls, not a curation pass (review r3c)

@@ -29,8 +29,13 @@ def pin_worker_threads() -> None:
     global _PINNED
     if _PINNED:
         return
+    import os
+
     import pyarrow as pa
 
     pa.set_cpu_count(1)
     pa.set_io_thread_count(2)
+    # polars (the content-hash kernel) sizes its rayon pool from hardware
+    # concurrency the same way; pin before first polars import
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
     _PINNED = True

@@ -103,3 +103,58 @@ def test_jaccard_unaffected():
     assert ngram_jaccard("a b c d", "x y z w") == 0.0
     near = _DOC.replace("lazy", "sleepy")
     assert 0.0 < ngram_jaccard(_DOC, near) < 1.0
+
+
+# ---------------------------------------------- 128-bit content hash pair
+
+
+def test_hash_text_array_128_batch_invariant():
+    """Equal strings hash equal regardless of batch composition, slicing,
+    offset, chunking, or string/large_string storage."""
+    from newscrawler_ray.functions.hashing import hash_text_array_128
+
+    texts = ["", "a", "hello world", "x" * 7, "x" * 8, "x" * 9,
+             "the quick brown fox" * 50, "éü unicode 中文"]
+    arr = pa.array(texts, pa.string())
+    a1, b1 = hash_text_array_128(arr)
+    assert a1.dtype == np.int64 and b1.dtype == np.int64
+    for i, t in enumerate(texts):
+        a2, b2 = hash_text_array_128(pa.array([t], pa.string()))
+        assert (a2[0], b2[0]) == (a1[i], b1[i])
+    a3, b3 = hash_text_array_128(arr.slice(2, 4))
+    assert a3.tolist() == a1[2:6].tolist() and b3.tolist() == b1[2:6].tolist()
+    a4, _ = hash_text_array_128(pa.array(texts, pa.large_string()))
+    assert a4.tolist() == a1.tolist()
+    a5, _ = hash_text_array_128(
+        pa.chunked_array([arr.slice(0, 3), arr.slice(3)])
+    )
+    assert a5.tolist() == a1.tolist()
+    az, bz = hash_text_array_128(pa.array([], pa.string()))
+    assert len(az) == 0 and len(bz) == 0
+
+
+def test_hash_text_array_128_full_content_sensitivity():
+    """The hash covers ALL bytes (not a fixed-width prefix like
+    hash_string_array) and the two lanes are independent."""
+    from newscrawler_ray.functions.hashing import hash_text_array_128
+
+    long_shared_prefix = "p" * 500
+    a, b = hash_text_array_128(
+        pa.array([long_shared_prefix + "x", long_shared_prefix + "y",
+                  "ab cd", "cd ab", "abcd ", " abcd"])
+    )
+    assert len(set(a.tolist())) == 6  # order + tail sensitive
+    assert len(set(b.tolist())) == 6
+    assert a.tolist() != b.tolist()  # lanes differ
+    # scalar twin stays available for spot checks
+    from newscrawler_ray.pipelines.dedup import content_hash64
+
+    assert content_hash64("abc") != content_hash64("abd")
+
+
+def test_hash_text_array_128_collision_free_at_test_scale():
+    from newscrawler_ray.functions.hashing import hash_text_array_128
+
+    many = pa.array([f"doc {i} payload" for i in range(50_000)])
+    a, b = hash_text_array_128(many)
+    assert len(set(zip(a.tolist(), b.tolist()))) == 50_000
