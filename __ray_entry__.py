@@ -217,6 +217,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ... and the matching TRANSFORM: strip every position covered
         # by a corpus-duplicated 8-gram and rebuild the doc
         "strip_dup_spans": CS.strip_dup_spans,
+        # ... and the Lee et al. 2021 length-thresholded form: duplicated
+        # k-gram seeds extend to maximal runs, only runs covering >=
+        # min_words words are stripped (short boilerplate dups preserved)
+        "strip_dup_spans_maximal": CS.strip_dup_spans_maximal,
         # Dolma-style paragraph (disjoint-block) keep-first dedup: later
         # copies of a duplicated block are stripped, the first survives
         "paragraph_dedup_docs": CS.paragraph_dedup_docs,
@@ -400,6 +404,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and reference-encode oracles in tests/test_tokenizer.py)
         "train_bpe_merges": _train_bpe_merges,
         "bpe_encode_docs": _bpe_encode_docs,
+        # byte-level BPE (GPT-2/tiktoken class): regex pre-tokenization +
+        # 256-byte initial alphabet over the same merge engine (rows-only:
+        # iterative + lookahead regex has no RE2/SQL twin; exact
+        # brute-force-retrain and reference-encode oracles in tests)
+        "byte_bpe_merges": _byte_bpe_merges,
+        "byte_bpe_encode_docs": _byte_bpe_encode_docs,
         "quality_score_docs": T.quality_score,
         # per-doc Shannon char entropy (byte histogram, one bincount)
         "char_entropy_docs": T.char_entropy_docs,
@@ -626,6 +636,18 @@ def _bpe_encode_docs(sf_dir: str) -> Any:
     from newscrawler_ray.pipelines.tokenizer import bpe_encode_docs
 
     return bpe_encode_docs(sf_dir, n_merges=64)
+
+
+def _byte_bpe_merges(sf_dir: str) -> Any:
+    from newscrawler_ray.pipelines.tokenizer import byte_bpe_merges
+
+    return byte_bpe_merges(sf_dir, n_merges=64)
+
+
+def _byte_bpe_encode_docs(sf_dir: str) -> Any:
+    from newscrawler_ray.pipelines.tokenizer import byte_bpe_encode_docs
+
+    return byte_bpe_encode_docs(sf_dir, n_merges=64)
 
 
 def _quality_classifier_docs(sf_dir: str) -> Any:
@@ -2159,6 +2181,58 @@ def oracle_sql() -> dict[str, str]:
                      EXISTS (SELECT 1 FROM duppos d
                              WHERE d.doc_id = w.doc_id
                                AND w.i BETWEEN d.i AND d.i + 7) AS covered
+              FROM w
+            ), agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_words,
+                     sum(CASE WHEN covered THEN 1 ELSE 0 END)::BIGINT
+                       AS n_removed,
+                     string_agg(CASE WHEN NOT covered THEN w END,
+                                ' ' ORDER BY i) AS clean
+              FROM cov GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_words, 0) AS n_words,
+                   coalesce(n_removed, 0) AS n_removed,
+                   coalesce(clean, '') AS clean_text
+            FROM documents d LEFT JOIN agg USING (doc_id)""",
+        # maximal-run form: gaps-and-islands over the duplicated window
+        # starts (i - row_number() groups consecutive starts), islands
+        # covering >= 20 words stripped, shorter ones preserved
+        "strip_dup_spans_maximal": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                       '\W+'), x -> x <> '')) AS w,
+                     generate_subscripts(list_filter(string_split_regex(
+                       lower(text), '\W+'), x -> x <> ''), 1) AS i
+              FROM documents
+            ), g AS (
+              SELECT doc_id, i,
+                w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                  || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+                  || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win
+                  || ' ' || lead(w, 7) OVER win AS g8
+              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+              QUALIFY g8 IS NOT NULL
+            ), duppos AS (
+              SELECT doc_id, i FROM (
+                SELECT doc_id, i,
+                       count(*) OVER (PARTITION BY g8) AS c FROM g)
+              WHERE c >= 2
+            ), isl AS (
+              SELECT doc_id, i,
+                     i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                       AS grp
+              FROM duppos
+            ), spans AS (
+              SELECT doc_id, min(i) AS p0, max(i) + 7 AS p1
+              FROM isl GROUP BY doc_id, grp
+              HAVING max(i) + 8 - min(i) >= 20
+            ), cov AS (
+              SELECT w.doc_id, w.i, w.w,
+                     EXISTS (SELECT 1 FROM spans s
+                             WHERE s.doc_id = w.doc_id
+                               AND w.i BETWEEN s.p0 AND s.p1) AS covered
               FROM w
             ), agg AS (
               SELECT doc_id, count(*)::BIGINT AS n_words,

@@ -804,12 +804,23 @@ def strip_dup_spans(
     sf_dir: str,
     *,
     k: int = 8,
+    min_words: "int | None" = None,
     num_partitions: int | None = None,
 ) -> rd.Dataset:
     """Exact-substring dedup as a TRANSFORM (Lee et al. 2021: remove the
     duplicated substrings, keep the rest): every word position covered
     by any corpus-duplicated k-gram window is dropped, and the doc is
     rebuilt from the surviving normalized tokens.
+
+    ``min_words`` (verdict r4 #4, the maximal-span refinement — see
+    ``strip_dup_spans_maximal``): when set, duplicated k-gram window
+    starts are first extended into MAXIMAL runs (consecutive duplicated
+    starts = one duplicated region), and a region is stripped only when
+    it covers >= ``min_words`` words — the >=L-token threshold real
+    pipelines use (Lee et al. strip >=50-token duplicates). ``None``
+    keeps the original strip-every-window behavior, which over-strips
+    docs whose maximal duplicated run is shorter than the threshold
+    (e.g. a single duplicated 8-gram).
 
     Output: (doc_id, n_words, n_removed, clean_text) where clean_text
     joins the kept tokens of the shared ``\\W+`` tokenizer with single
@@ -937,8 +948,29 @@ def strip_dup_spans(
             if v is None:
                 continue
             p = np.frombuffer(v, dtype=np.int64)
-            np.add.at(diff, starts[i] + p, 1)
-            np.add.at(diff, np.minimum(starts[i] + p + k, starts[i] + lens[i]), -1)
+            if len(p) == 0:
+                continue
+            if min_words is not None:
+                # maximal-run extension: consecutive duplicated window
+                # starts form one duplicated region [p0, p1+k); strip
+                # only regions covering >= min_words words
+                brk = np.flatnonzero(np.diff(p) > 1)
+                s0 = np.r_[0, brk + 1]
+                s1 = np.r_[brk, len(p) - 1]
+                good = (p[s1] - p[s0] + k) >= min_words
+                if not good.any():
+                    continue
+                w0 = p[s0[good]]
+                w1 = p[s1[good]] + k  # exclusive end
+                np.add.at(diff, starts[i] + w0, 1)
+                np.add.at(
+                    diff, np.minimum(starts[i] + w1, starts[i] + lens[i]), -1
+                )
+            else:
+                np.add.at(diff, starts[i] + p, 1)
+                np.add.at(
+                    diff, np.minimum(starts[i] + p + k, starts[i] + lens[i]), -1
+                )
         covered = np.zeros(int(lens.sum()), dtype=bool)
         if len(covered):
             # cumsum must not leak across docs: reset by construction —
@@ -962,6 +994,39 @@ def strip_dup_spans(
         )
 
     return joined.map_batches(rebuild, batch_format="pyarrow")
+
+
+def strip_dup_spans_maximal(
+    sf_dir: str,
+    *,
+    k: int = 8,
+    min_words: int = 20,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Exact-substring dedup with the Lee et al. 2021 length threshold
+    (verdict r4 #4): duplicated k-gram window starts extend left/right
+    into maximal runs, and only runs covering >= ``min_words`` words are
+    stripped — a doc whose longest duplicated run is short (e.g. one
+    duplicated 8-gram boilerplate phrase) is PRESERVED, where the
+    fixed-k ``strip_dup_spans`` would strip it. This is the >=L-token
+    rule production pipelines apply (Lee et al. use 50 BPE tokens).
+
+    Approximation note (documented, same class as BFF/Dolma k-gram
+    dedup): a maximal run of consecutive corpus-duplicated k-grams may
+    chain windows duplicated against DIFFERENT partners, so a stripped
+    region is a superset union of true >=k-word duplicated substrings
+    rather than one suffix-array-maximal match; with k=8 every stripped
+    word is still inside some corpus-duplicated 8-gram.
+
+    Same distributed shape as ``strip_dup_spans`` (thin int64 span rows,
+    coarse-partition segment counts, one doc-keyed join; the maximal-run
+    extension is per-doc vectorized numpy on already-local position
+    blobs — no extra exchange). SQL-exact: the oracle recomputes the
+    runs with a gaps-and-islands window over the duplicated positions.
+    """
+    return strip_dup_spans(
+        sf_dir, k=k, min_words=min_words, num_partitions=num_partitions
+    )
 
 
 # ------------------------------------------------- domain-level curation

@@ -62,16 +62,24 @@ def _p(sf_dir: str, table: str) -> str:
 
 
 def _word_count_table(
-    docs: rd.Dataset, max_word_types: int
+    docs: rd.Dataset, max_word_types: int, token_fn=None
 ) -> tuple[list[str], np.ndarray]:
     """(word types, int64 counts) for the whole corpus, frequency-desc
     with word-asc tiebreak, capped at ``max_word_types`` (most frequent
     kept). One distributed pass: per-batch dictionary-encode partials,
     then a hash ``groupby(word)`` sum; the fold collects the TYPE table
-    only (see module docstring for the scale licence)."""
+    only (see module docstring for the scale licence).
+
+    ``token_fn`` (text Arrow column -> flat Arrow string array of
+    tokens) swaps the pre-tokenizer: default is the shared ``\\W+``
+    word tokenizer; the byte-level trainer passes the GPT-2 regex
+    splitter."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        words, _ = tokenize_words(batch.column("text"))
+        if token_fn is None:
+            words, _ = tokenize_words(batch.column("text"))
+        else:
+            words = token_fn(batch.column("text"))
         if len(words) == 0:
             return pa.table(
                 {"word": pa.array([], pa.string()), "cnt": pa.array([], _I64)}
@@ -292,6 +300,189 @@ class _BPEEncodeStage:
                 "n_tokens": pa.array(n_tokens, _I64),
             }
         )
+
+
+# ------------------------------------------------------- byte-level BPE
+#
+# GPT-2 / tiktoken-class tokenizer (verdict r4 #5): regex
+# pre-tokenization + byte-level initial alphabet. Same engine shape as
+# the word-level trainer — the distributed pass counts pre-token TYPES,
+# the driver merge loop runs over the type table, encode streams via an
+# actor pool with a per-type memo — only the pre-tokenizer differs.
+
+# ASCII form of the GPT-2 split pattern (Radford et al. 2019): the
+# stdlib `re` supports the trailing-whitespace lookahead but not
+# \p{L}/\p{N} unicode property classes, so letter/number classes are
+# ASCII here. Both the engine and the test oracle compile THIS pattern,
+# so encode parity is exact; swapping in the `regex` module's \p form
+# changes only the pre-token boundaries, not the engine.
+GPT2_SPLIT_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+
+def bytes_to_unicode() -> "dict[int, str]":
+    """GPT-2's reversible byte->printable-unicode-char map (public
+    algorithm from the GPT-2 release): the 188 printable latin-1 bytes
+    map to themselves, the rest to 256+n — so every byte string becomes
+    a same-length str of SYMBOL characters and the char-pair merge
+    engine (``learn_bpe`` / ``encode_word``) applies unchanged."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAD))
+        + list(range(0xAE, 0x100))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+def _pretokenize_column(texts) -> pa.Array:
+    """Flat Arrow string array of GPT-2 pre-tokens for a text column
+    (compiled-regex findall per doc — the regex engine is C; per-doc
+    token lists are immediately re-batched into one Arrow array)."""
+    import re
+
+    pat = re.compile(GPT2_SPLIT_PATTERN)
+    toks: list[str] = []
+    for t in texts.to_pylist():
+        if t:
+            toks.extend(pat.findall(t))
+    return pa.array(toks, pa.string())
+
+
+def _to_symbols(pretok: str, b2u: "dict[int, str]") -> str:
+    """UTF-8 bytes of a pre-token as the symbol string the merge engine
+    consumes (one char per byte)."""
+    return "".join(b2u[b] for b in pretok.encode("utf-8"))
+
+
+def byte_bpe_merges(
+    sf_dir: str,
+    *,
+    n_merges: int = 64,
+    min_count: int = 2,
+    max_word_types: int = 1_000_000,
+    docs: rd.Dataset | None = None,
+) -> rd.Dataset:
+    """Train byte-level BPE on the corpus: GPT-2 regex pre-tokens,
+    UTF-8-byte initial symbols (via ``bytes_to_unicode``), then the
+    shared deterministic merge loop. Returns (rank, left, right,
+    pair_count) in merge order. Rows-only for the driver (iterative);
+    the pytest oracle retrains brute-force from an independently
+    computed pre-token count table and asserts exact equality."""
+    if docs is None:
+        docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    types, freqs = _word_count_table(
+        docs, max_word_types, token_fn=_pretokenize_column
+    )
+    b2u = bytes_to_unicode()
+    sym_words = [_to_symbols(w, b2u) for w in types]
+    merges = learn_bpe(sym_words, freqs, n_merges, min_count=min_count)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array(np.arange(len(merges), dtype=np.int64), _I64),
+                "left": pa.array([m[0] for m in merges], pa.string()),
+                "right": pa.array([m[1] for m in merges], pa.string()),
+                "pair_count": pa.array([m[2] for m in merges], _I64),
+            }
+        )
+    )
+
+
+class _ByteBPEEncodeStage:
+    """Actor-pool byte-level encode: merge ranks + byte map build once
+    per actor; distinct pre-tokens encode once per batch (dictionary
+    encode) with a memo across batches. Emits per-doc pre-token and
+    token counts."""
+
+    def __init__(self, merges: "list[tuple[str, str]]"):
+        import re
+
+        self._ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
+        self._b2u = bytes_to_unicode()
+        self._pat = re.compile(GPT2_SPLIT_PATTERN)
+        self._cache: dict = {}
+
+    def _tok_len(self, pretok: str) -> int:
+        n = self._cache.get(pretok)
+        if n is None:
+            n = len(encode_word(_to_symbols(pretok, self._b2u), self._ranks))
+            if len(self._cache) > 1_000_000:
+                self._cache.clear()
+            self._cache[pretok] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        toks: list[str] = []
+        n_pre = np.zeros(n_docs, np.int64)
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            if t:
+                found = self._pat.findall(t)
+                n_pre[i] = len(found)
+                toks.extend(found)
+        if toks:
+            d = pa.array(toks, pa.string()).dictionary_encode()
+            lens = np.fromiter(
+                (self._tok_len(w) for w in d.dictionary.to_pylist()),
+                dtype=np.int64,
+                count=len(d.dictionary),
+            )
+            per_tok = lens[d.indices.to_numpy(zero_copy_only=False)]
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_pre)
+            n_tokens = np.bincount(
+                doc_of, weights=per_tok, minlength=n_docs
+            ).astype(np.int64)
+        else:
+            n_tokens = np.zeros(n_docs, np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_pretokens": pa.array(n_pre, _I64),
+                "n_tokens": pa.array(n_tokens, _I64),
+            }
+        )
+
+
+def byte_bpe_encode_docs(
+    sf_dir: str,
+    *,
+    n_merges: int = 64,
+    min_count: int = 2,
+    max_word_types: int = 1_000_000,
+    concurrency: "int | tuple | None" = None,
+) -> rd.Dataset:
+    """Train byte-level BPE on the corpus, then encode the corpus under
+    the trained vocabulary: (doc_id, n_pretokens, n_tokens). The
+    byte-level twin of ``bpe_encode_docs`` — every byte is representable
+    (no unknown-token path), which is why production tokenizers are
+    byte-level."""
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+    types, freqs = _word_count_table(
+        docs, max_word_types, token_fn=_pretokenize_column
+    )
+    b2u = bytes_to_unicode()
+    merges = [
+        (l, r)
+        for l, r, _ in learn_bpe(
+            [_to_symbols(w, b2u) for w in types], freqs, n_merges,
+            min_count=min_count,
+        )
+    ]
+    return docs.map_batches(
+        _ByteBPEEncodeStage,
+        batch_format="pyarrow",
+        fn_constructor_args=(merges,),
+        concurrency=_pool_width(concurrency),
+    )
 
 
 def bpe_encode_docs(

@@ -703,3 +703,57 @@ def test_compression_ratio_flags_tails(ray_session, tmp_path):
         raw, comp = len(txt.encode()), len(zlib.compress(txt.encode(), 6))
         assert out[did]["raw_len"] == raw and out[did]["comp_len"] == comp
         assert out[did]["ratio"] == round(comp / raw + 1e-9, 4)
+
+
+def test_strip_dup_spans_maximal_planted(ray_session, tmp_path):
+    """Lee et al. length threshold (verdict r4 #4): a SHORT duplicated
+    run (one shared 8-gram, 8 words < min_words=20) is preserved by the
+    maximal-span path but stripped by the fixed-k path (the documented
+    over-strip); a LONG duplicated run (25 shared words >= 20) is
+    stripped by both. Unique docs untouched either way."""
+    short_dup = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    long_dup = " ".join(f"tok{i}" for i in range(25))  # 25 words
+    texts = [
+        f"lead one two {short_dup} tail three four five",
+        f"other start {short_dup} different ending here now",
+        f"intro {long_dup} outro",
+        f"{long_dup} closing words here",
+        "unique words only nothing shared at all among these tokens",
+    ]
+    d = _write_docs(tmp_path, texts)
+
+    fixed = {r["doc_id"]: r for r in corpusstats.strip_dup_spans(d).take_all()}
+    maximal = {
+        r["doc_id"]: r
+        for r in corpusstats.strip_dup_spans_maximal(d, min_words=20).take_all()
+    }
+
+    # the over-strip: fixed-k removes the short dup from docs 0/1 ...
+    assert fixed[0]["n_removed"] == 8 and fixed[1]["n_removed"] == 8
+    # ... the maximal path preserves them whole
+    assert maximal[0]["n_removed"] == 0 and maximal[1]["n_removed"] == 0
+    assert maximal[0]["clean_text"] == texts[0].lower()
+    assert maximal[1]["clean_text"] == texts[1].lower()
+
+    # the long run is stripped by BOTH (>= threshold)
+    for res in (fixed, maximal):
+        assert res[2]["n_removed"] == 25
+        assert res[3]["n_removed"] == 25
+    assert maximal[2]["clean_text"] == "intro outro"
+    assert maximal[3]["clean_text"] == "closing words here"
+
+    # unique doc untouched
+    assert maximal[4]["n_removed"] == 0
+
+    # threshold exactness: a run of exactly min_words words is stripped,
+    # one word shorter is not (run cover = p1 - p0 + k)
+    exact = " ".join(f"w{i}" for i in range(20))
+    under = " ".join(f"u{i}" for i in range(19))
+    d2 = _write_docs(tmp_path / "t2" if (tmp_path / "t2").mkdir() or True else tmp_path,
+                     [f"a {exact} b {under} c",
+                      f"x {exact} y {under} z"])
+    m2 = {
+        r["doc_id"]: r
+        for r in corpusstats.strip_dup_spans_maximal(d2, min_words=20).take_all()
+    }
+    assert m2[0]["n_removed"] == 20 and m2[1]["n_removed"] == 20

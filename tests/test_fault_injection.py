@@ -1,0 +1,188 @@
+"""Fault-injection resilience (verdict r4 #1): the distributed analog of
+the reference's idempotent-upsert re-run safety (main.py:210-227 — a
+crashed run can simply be re-run because upserts converge).
+
+Three failure classes, each against REAL killed processes:
+
+  * state-actor loss mid-run: a ``SeenShard`` and a ``FrontierShard`` are
+    ``ray.kill``-ed between waves and the driver dies; a fresh
+    ``resume=True`` run restores the last complete checkpoint, prunes the
+    orphaned wave output, and finishes byte-equal to the uninterrupted
+    run (seen set, ordering, metrics, makespan).
+  * fetch-worker loss mid-wave: a map_batches worker ``os._exit``s inside
+    the fused fetch/route/extract task; Ray's task retry re-executes the
+    block. Re-routing is idempotent by construction (SeenShard
+    check-and-add admits each URL once), so seen/order/enqueued/makespan
+    stay exact. Duplicate-visibility counters (dedup_hits, blocked) MAY
+    inflate under replay — they are per-attempt observations, not state —
+    and are deliberately not asserted here.
+  * throughput mode (``pipeline_waves>1``, checkpoint-incompatible by
+    design): the recovery story is a full idempotent re-run — a fresh
+    ``resume=False`` run rebuilds the output dir from scratch and is
+    oracle-equal regardless of what a crashed run left behind.
+"""
+
+import os
+
+import pytest
+
+from newscrawler_ray.oracle import run_oracle
+from newscrawler_ray.pipelines import crawl as C
+from newscrawler_ray.synth import gen_fixtures
+
+
+@pytest.fixture(scope="module")
+def fx(tmp_path_factory):
+    out = tmp_path_factory.mktemp("fi_fx") / "n1500"
+    return gen_fixtures(out, n_urls=1500, seed=7)
+
+
+@pytest.fixture(scope="module")
+def oracle(fx):
+    return run_oracle(fx)
+
+
+def test_actor_kill_midrun_then_resume_byte_equal(
+    ray_session, fx, oracle, tmp_path, monkeypatch
+):
+    """Kill a SeenShard + FrontierShard between waves (simulated node
+    loss), crash the driver, resume from the checkpoint: output must be
+    byte-equal to an uninterrupted run."""
+    import ray
+
+    out = tmp_path / "out"
+    real_ckpt = C._checkpoint
+
+    def sabotage(state, ckpt_dir, wave, fixture_dir):
+        if wave < 1:
+            return real_ckpt(state, ckpt_dir, wave, fixture_dir)
+        # crash BEFORE the wave-1 checkpoint lands: the last complete
+        # checkpoint stays wave 0, and wave 1's already-written parquet
+        # becomes an orphan the resume must prune
+        ray.kill(state.seen[0])
+        ray.kill(state.frontier[-1])
+        # the kills are real: the shard state is gone, not restartable
+        with pytest.raises(ray.exceptions.RayActorError):
+            ray.get(state.seen[0].counters.remote())
+        with pytest.raises(ray.exceptions.RayActorError):
+            ray.get(state.frontier[-1].counters.remote())
+        raise RuntimeError("injected node failure")
+
+    monkeypatch.setattr(C, "_checkpoint", sabotage)
+    with pytest.raises(RuntimeError, match="injected node failure"):
+        C.run_crawl(
+            fx, out, n_seen_shards=3, n_frontier_shards=3,
+            checkpoint=True, checkpoint_interval=1,
+        )
+    monkeypatch.setattr(C, "_checkpoint", real_ckpt)
+
+    # crash left: waves 0..1 written, checkpoint manifest at wave 0
+    import json
+
+    manifest = json.loads((out / "checkpoint" / "MANIFEST.json").read_text())
+    assert manifest["completed_wave"] == 0
+    assert (out / "waves" / "wave=0001").exists()  # the orphan
+
+    res = C.run_crawl(
+        fx, out, n_seen_shards=3, n_frontier_shards=3,
+        checkpoint=True, resume=True,
+    )
+    assert sorted(res["seen"]) == sorted(oracle.seen)
+    assert res["enqueued"] == oracle.metrics["enqueued"]
+    assert res["dedup_hits"] == oracle.metrics["dedup_hits"]
+    assert res["blocked"] == oracle.metrics["blocked"]
+    assert res["fetched"] == oracle.metrics["fetched"]
+    assert res["makespan_ms"] == oracle.makespan_ms
+    assert C.crawl_order(out) == oracle.order
+
+
+def test_fetch_worker_kill_midwave_is_retried(
+    ray_session, fx, oracle, tmp_path, monkeypatch
+):
+    """os._exit(1) one fused fetch/route/extract worker mid-wave: Ray
+    retries the block and the run converges — seen set, ordering,
+    enqueued/fetched and politeness makespan all exact (check-and-add
+    makes re-routing idempotent; only per-attempt duplicate counters may
+    inflate, see module docstring)."""
+    out = tmp_path / "out"
+    flag = str(tmp_path / "crashed_once")
+    real_make = C.make_fetch_fn
+
+    def crashing_make(web_ref):
+        inner = real_make(web_ref)
+
+        def fetch(batch):
+            try:
+                fd = os.open(flag, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                os._exit(1)  # hard worker death, no cleanup
+            except FileExistsError:
+                pass
+            return inner(batch)
+
+        return fetch
+
+    monkeypatch.setattr(C, "make_fetch_fn", crashing_make)
+    # force every wave through Ray tasks (the inline driver path would
+    # os._exit the test process itself)
+    monkeypatch.setattr(C, "INLINE_WAVE_ROWS", 0)
+
+    res = C.run_crawl(
+        fx, out, n_seen_shards=2, n_frontier_shards=2, checkpoint=False
+    )
+    assert os.path.exists(flag), "fault was never injected"
+    assert sorted(res["seen"]) == sorted(oracle.seen)
+    assert res["enqueued"] == oracle.metrics["enqueued"]
+    assert res["fetched"] == oracle.metrics["fetched"]
+    assert res["makespan_ms"] == oracle.makespan_ms
+    assert C.crawl_order(out) == oracle.order
+
+
+def test_throughput_mode_recovery_is_idempotent_rerun(
+    ray_session, fx, oracle, tmp_path
+):
+    """pipeline_waves>1 is checkpoint-incompatible by design (a
+    mid-overlap snapshot is not a consistent cut); its recovery story is
+    a full re-run. A fresh resume=False run rebuilds the output dir from
+    whatever garbage a crashed throughput run left and is oracle-equal."""
+    out = tmp_path / "out"
+    # simulate a crashed throughput run's leftovers
+    (out / "waves" / "wave=0000").mkdir(parents=True)
+    (out / "waves" / "wave=0000" / "part-garbage.parquet").write_bytes(b"junk")
+
+    res = C.run_crawl(
+        fx, out, n_seen_shards=2, n_frontier_shards=2,
+        checkpoint=False, pipeline_waves=2,
+    )
+    assert sorted(res["seen"]) == sorted(oracle.seen)
+    assert res["makespan_ms"] == oracle.makespan_ms
+    assert C.crawl_order(out) == oracle.order
+
+
+def test_object_store_pressure_spills_and_stays_green(ray_session, tmp_path):
+    """Memory-pressure evidence (verdict r4 #2): a fresh Ray instance
+    with a starved (80 MB) object store runs the payload replay, the
+    checkpointed crawl (oracle-equal), and a deliberate payload-bytes
+    all-to-all (the SURVEY §7.5 hazard) that must SPILL rather than OOM.
+    Runs in a subprocess because the pytest session already owns a Ray
+    instance; a second local cluster gets its own plasma store."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable, "tools/memory_pressure.py",
+            "--n-urls", "20000", "--object-store-mb", "80",
+            "--num-cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=420,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    res = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert res["ok"] and res["crawl_ok"]
+    assert res["payload_rows"] > 0
+    assert res["shuffle_rows"] == 20000
+    # ~70 MB of payload sorted through an 80 MB store must have spilled
+    assert res["spilled_mb"] > 0, res

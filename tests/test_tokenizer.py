@@ -243,3 +243,114 @@ def test_more_merges_never_increase_tokens(ray_session):
     n_words = sum(r["n_words"] for r in tk.bpe_encode_docs(SF, n_merges=16).take_all())
     assert t64 <= t16
     assert t64 >= n_words  # a word is never fewer than 1 token
+
+
+# ---------------------------------------------------- byte-level BPE
+
+
+def test_bytes_to_unicode_bijective():
+    m = tk.bytes_to_unicode()
+    assert len(m) == 256 and len(set(m.values())) == 256
+    assert all(0 <= b < 256 for b in m)
+    # printable ascii maps to itself (GPT-2 contract)
+    assert m[ord("A")] == "A" and m[ord("!")] == "!"
+
+
+def test_gpt2_pretokenizer_shapes():
+    import re
+
+    pat = re.compile(tk.GPT2_SPLIT_PATTERN)
+    toks = pat.findall("Hello world's  end!\nnew 42x")
+    # leading-space attachment, contraction split, punct runs separate
+    assert "".join(toks) == "Hello world's  end!\nnew 42x"
+    assert " world" in toks and "'s" in toks and "!" in toks
+    assert " 42" in toks and "x" in toks
+
+
+def test_byte_bpe_merges_match_brute_force(ray_session):
+    """Exact equality with a brute-force retrain from an INDEPENDENTLY
+    computed pre-token count table (plain re.findall + Counter over the
+    parquet, textbook O(rounds*table) trainer)."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    got = [
+        (r["left"], r["right"], r["pair_count"])
+        for r in tk.byte_bpe_merges(SF, n_merges=48).take_all()
+    ]
+
+    pat = re.compile(tk.GPT2_SPLIT_PATTERN)
+    cnt: Counter = Counter()
+    for t in pq.read_table(f"{SF}/documents.parquet", columns=["text"]) \
+            .column("text").to_pylist():
+        cnt.update(pat.findall(t or ""))
+    b2u = tk.bytes_to_unicode()
+    types = sorted(cnt, key=lambda w: (-cnt[w], w))
+    sym = ["".join(b2u[b] for b in w.encode("utf-8")) for w in types]
+    freqs = np.array([cnt[w] for w in types], np.int64)
+    want = _brute_learn(sym, freqs, 48)
+    assert got == want
+    assert len(got) == 48  # corpus is rich enough to fill the budget
+
+
+def test_byte_bpe_encode_docs_reference_encode(ray_session):
+    """Per-doc token counts exactly equal a reference re-encode of every
+    doc under the trained merges (byte path: multi-byte UTF-8 and
+    whitespace runs all representable — no unknown tokens)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    rows = {r["doc_id"]: r for r in tk.byte_bpe_encode_docs(SF, n_merges=48).take_all()}
+    merges = [
+        (r["left"], r["right"])
+        for r in tk.byte_bpe_merges(SF, n_merges=48).take_all()
+    ]
+    ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
+    b2u = tk.bytes_to_unicode()
+    pat = re.compile(tk.GPT2_SPLIT_PATTERN)
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    n_checked = 0
+    for doc_id, text in zip(
+        t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+    ):
+        toks = pat.findall(text or "")
+        want = sum(
+            len(
+                tk.encode_word(
+                    "".join(b2u[b] for b in w.encode("utf-8")), ranks
+                )
+            )
+            for w in toks
+        )
+        assert rows[doc_id]["n_pretokens"] == len(toks)
+        assert rows[doc_id]["n_tokens"] == want
+        n_checked += 1
+    assert n_checked == len(rows) and n_checked > 0
+
+
+def test_byte_bpe_multibyte_and_whitespace(ray_session, tmp_path):
+    """Unicode (multi-byte UTF-8) text and whitespace runs round-trip
+    through the byte alphabet: token counts are positive and pre-token
+    concatenation is lossless on the planted docs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["héllo wörld — naïve", "tabs\t\tand\n\nnewlines  here", "中文 text"]
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(range(3), pa.int64()),
+             "text": pa.array(texts, pa.string())}
+        ),
+        tmp_path / "documents.parquet",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in tk.byte_bpe_encode_docs(str(tmp_path), n_merges=8).take_all()
+    }
+    assert all(rows[i]["n_tokens"] > 0 for i in range(3))
+    # bytes are all representable: token count >= pretoken count only
+    # when merges are few; at minimum every pretoken yields >= 1 token
+    assert all(rows[i]["n_tokens"] >= rows[i]["n_pretokens"] for i in range(3))
