@@ -267,6 +267,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob_docs": CS.unigram_logprob_docs,
         # bigram-LM mean NLL per doc (order-aware rung toward KenLM)
         "bigram_logprob_docs": CS.bigram_logprob_docs,
+        # interpolated Kneser-Ney trigram mean NLL per doc (the
+        # CCNet-grade perplexity filter; continuation-count smoothing,
+        # SQL-exact vs a string trigram/bigram CTE recompute)
+        "kneser_ney_logprob_docs": CS.kneser_ney_logprob_docs,
         # distributed spherical k-means over the full embeddings table
         # (SemDeDup-style corpus clustering; rows-only: iterative — the
         # pytest oracle checks exact argmax optimality under the final
@@ -2505,6 +2509,77 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN n USING (doc_id)
             LEFT JOIN f USING (doc_id)
             LEFT JOIN s USING (doc_id)""",
+        # interpolated Kneser-Ney trigram (D=0.75): string trigram/bigram
+        # type tables give the continuation counts; same formula as the
+        # engine, per-event, summed per doc (rounded + nudged)
+        "kneser_ney_logprob_docs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                       '\W+'), x -> x <> '')) AS w,
+                     generate_subscripts(list_filter(string_split_regex(
+                       lower(text), '\W+'), x -> x <> ''), 1) AS i
+              FROM documents
+            ), bi AS (
+              SELECT doc_id, w AS w1,
+                     lead(w, 1) OVER win AS w2
+              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+              QUALIFY w2 IS NOT NULL
+            ), tr AS (
+              SELECT doc_id, w AS w1,
+                     lead(w, 1) OVER win AS w2, lead(w, 2) OVER win AS w3
+              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+              QUALIFY w3 IS NOT NULL
+            ), c2 AS (
+              SELECT w1, w2, count(*)::DOUBLE AS c FROM bi GROUP BY w1, w2
+            ), c3 AS (
+              SELECT w1, w2, w3, count(*)::DOUBLE AS c
+              FROM tr GROUP BY w1, w2, w3
+            ), mid1 AS (
+              SELECT w1, w2, count(*)::DOUBLE AS n FROM c3 GROUP BY w1, w2
+            ), cont3 AS (
+              SELECT w2, w3, count(*)::DOUBLE AS n FROM c3 GROUP BY w2, w3
+            ), mid2 AS (
+              SELECT w2, count(*)::DOUBLE AS n FROM c3 GROUP BY w2
+            ), fol AS (
+              SELECT w1, count(*)::DOUBLE AS n FROM c2 GROUP BY w1
+            ), cont2 AS (
+              SELECT w2, count(*)::DOUBLE AS n FROM c2 GROUP BY w2
+            ), tot AS (
+              SELECT count(*)::DOUBLE AS n FROM c2
+            ), ev AS (
+              SELECT tr.doc_id,
+                -ln(
+                  greatest(c3.c - 0.75, 0) / c2.c
+                  + 0.75 * mid1.n / c2.c * (
+                      greatest(cont3.n - 0.75, 0) / mid2.n
+                      + 0.75 * fol.n / mid2.n * (cont2.n / tot.n)
+                    )
+                ) AS nll
+              FROM tr
+              JOIN c3 ON c3.w1 = tr.w1 AND c3.w2 = tr.w2 AND c3.w3 = tr.w3
+              JOIN c2 ON c2.w1 = tr.w1 AND c2.w2 = tr.w2
+              JOIN mid1 ON mid1.w1 = tr.w1 AND mid1.w2 = tr.w2
+              JOIN cont3 ON cont3.w2 = tr.w2 AND cont3.w3 = tr.w3
+              JOIN mid2 ON mid2.w2 = tr.w2
+              JOIN fol ON fol.w1 = tr.w2
+              JOIN cont2 ON cont2.w2 = tr.w3
+              CROSS JOIN tot
+            ), lens AS (
+              SELECT doc_id, count(*)::BIGINT AS n_words FROM w GROUP BY doc_id
+            ), agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tri, sum(nll) AS s
+              FROM ev GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(l.n_words, 0) AS n_words,
+                   coalesce(a.n_tri, 0) AS n_trigrams,
+                   round(coalesce(a.s, 0)
+                         / greatest(coalesce(a.n_tri, 0), 1) + 1e-9, 4)
+                     AS mean_nll
+            FROM documents d
+            LEFT JOIN lens l USING (doc_id)
+            LEFT JOIN agg a USING (doc_id)""",
         # the full curation composition is the AND of four SQL-expressible
         # gates plus a group-by-text dedup; every threshold compares the
         # rounded values both engines compute identically

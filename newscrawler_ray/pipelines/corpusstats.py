@@ -703,6 +703,242 @@ def bigram_logprob_docs(sf_dir: str) -> rd.Dataset:
     return docs.map_batches(score, batch_format="pyarrow")
 
 
+# --------------------------------------- interpolated Kneser-Ney trigram
+
+
+def _chain2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Order-sensitive uint64 pair key (same chain as ``_bigram_rows``)."""
+    return splitmix64(splitmix64(a) ^ b)
+
+
+def _trigram_rows(texts):
+    """Per-batch trigram events: (k3, k12, k23, w2, w3, doc_of, lens)
+    where k3 keys the trigram, k12 the left-context bigram, k23 the
+    continuation bigram, w2/w3 the word hashes — everything a KN lookup
+    needs, all uint64, vectorized (events crossing doc boundaries are
+    masked)."""
+    flat, offsets = tokenize_word_hashes(texts)
+    lens = np.diff(offsets)
+    n = len(flat)
+    if n < 3:
+        e = np.empty(0, _U64)
+        return e, e, e, e, e, np.empty(0, np.int64), lens
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    m = doc_of[:-2] == doc_of[2:]
+    h1, h2, h3 = flat[:-2][m], flat[1:-1][m], flat[2:][m]
+    k12 = _chain2(h1, h2)
+    k23 = _chain2(h2, h3)
+    k3 = splitmix64(k12 ^ h3)
+    return k3, k12, k23, h2, h3, doc_of[:-2][m], lens
+
+
+def _collect_keyed_counts(
+    rows: rd.Dataset, cols: "list[str]", cap: int
+) -> "dict[str, np.ndarray]":
+    """Fold a post-groupby (h, cnt, *cols) stream onto the driver with
+    the running top-``cap`` trim (exact selection below the cap — each
+    key arrives exactly once with its final count). Returns columns
+    sorted by ``h``."""
+    bufs: dict[str, list] = {c: [] for c in ["h", "cnt", *cols]}
+
+    def _trim(arrs: "dict[str, np.ndarray]", k: int):
+        top = np.argpartition(-arrs["cnt"], k - 1)[:k]
+        return {c: a[top] for c, a in arrs.items()}
+
+    cur: "dict[str, np.ndarray] | None" = None
+    for b in rows.iter_batches(batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        part = {c: b.column(c).to_numpy() for c in bufs}
+        cur = (
+            part
+            if cur is None
+            else {c: np.concatenate([cur[c], part[c]]) for c in bufs}
+        )
+        if len(cur["h"]) > 2 * cap:
+            cur = _trim(cur, cap)
+    if cur is None:
+        return {c: np.empty(0, np.int64) for c in bufs}
+    if len(cur["h"]) > cap:
+        cur = _trim(cur, cap)
+    order = np.argsort(cur["h"])
+    return {c: a[order] for c, a in cur.items()}
+
+
+def _sorted_lookup(h: np.ndarray, v: np.ndarray, keys: np.ndarray, default=1.0):
+    """Vectorized value lookup in a sorted (h, v) table; misses read
+    ``default``."""
+    if len(h) == 0:
+        return np.full(len(keys), default, np.float64)
+    pos = np.minimum(np.searchsorted(h, keys), len(h) - 1)
+    return np.where(h[pos] == keys, v[pos].astype(np.float64), default)
+
+
+def kneser_ney_logprob_docs(
+    sf_dir: str, *, discount: float = 0.75, cap: int = 8_000_000
+) -> rd.Dataset:
+    """Interpolated Kneser-Ney trigram scoring (Chen & Goodman 1999) —
+    the CCNet-grade perplexity filter the unigram/bigram rungs build
+    toward: per doc, the mean NLL of its trigram events under
+
+        P(w3|w1 w2) = max(c3-D,0)/c2 + D*N1+(w1 w2 .)/c2 * Pkn(w3|w2)
+        Pkn(w3|w2)  = max(N1+(. w2 w3)-D,0)/N1+(. w2 .)
+                      + D*N1+(w2 .)/N1+(. w2 .) * Pcont(w3)
+        Pcont(w3)   = N1+(. w3) / N1+(. .)
+
+    (D = ``discount``; N1+ are distinct-context continuation counts —
+    the KN signature that "francisco" scores low as a continuation no
+    matter how frequent "san francisco" is).
+
+    Output: (doc_id, n_words, n_trigrams, mean_nll); docs with < 3
+    words have no events and score 0. Scoring covers positions 3..n
+    (full-context events only).
+
+    Shape: TWO distributed count passes (trigram and bigram types via
+    per-batch ``np.unique`` partials + one hash groupby each; component
+    keys ride along as Min aggregates — they are pure functions of the
+    group key). The type tables are model-sized (Heaps' law one order up
+    from bigrams); the driver derives every continuation count from them
+    with np.unique folds and broadcasts ONE sorted-array bundle via
+    ``ray.put``; scoring is a streaming map with seven searchsorted
+    lookups. ``cap`` bounds the driver fold (running exact top-cap trim;
+    count-1 trigrams are KEPT — KN's discounting needs them — so above
+    the cap the tail reads count 1, exact below it: every sandbox run).
+    SQL-exact at sf0.01: the oracle recomputes the same formula from
+    string trigram/bigram CTEs (hash identity == string identity w.h.p.,
+    the same licence as ``bigram_logprob_docs``)."""
+    from ray.data.aggregate import Min, Sum
+
+    docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
+
+    def tri_partial(batch: pa.Table) -> pa.Table:
+        k3, k12, k23, w2, w3, _, _ = _trigram_rows(batch.column("text"))
+        if len(k3) == 0:
+            z = pa.array([], _I64)
+            return pa.table(
+                {"h": z, "cnt": z, "k12": z, "k23": z, "w2": z, "w3": z}
+            )
+        hu, first, cnt = np.unique(k3, return_index=True, return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(hu.view(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64), _I64),
+                "k12": pa.array(k12[first].view(np.int64)),
+                "k23": pa.array(k23[first].view(np.int64)),
+                "w2": pa.array(w2[first].view(np.int64)),
+                "w3": pa.array(w3[first].view(np.int64)),
+            }
+        )
+
+    tri = (
+        docs.map_batches(tri_partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(
+            Sum("cnt", alias_name="cnt"),
+            Min("k12", alias_name="k12"),
+            Min("k23", alias_name="k23"),
+            Min("w2", alias_name="w2"),
+            Min("w3", alias_name="w3"),
+        )
+    )
+    T = _collect_keyed_counts(tri, ["k12", "k23", "w2", "w3"], cap)
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        key, left, _, _ = _bigram_rows(batch.column("text"))
+        if len(key) == 0:
+            z = pa.array([], _I64)
+            return pa.table({"h": z, "cnt": z, "l": z, "r": z})
+        hu, first, cnt = np.unique(key, return_index=True, return_counts=True)
+        # right word hash recovers from the batch stream
+        flat, offsets = tokenize_word_hashes(batch.column("text"))
+        lens = np.diff(offsets)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        same = doc_of[:-1] == doc_of[1:]
+        right = flat[1:][same]
+        return pa.table(
+            {
+                "h": pa.array(hu.view(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64), _I64),
+                "l": pa.array(left[first].view(np.int64)),
+                "r": pa.array(right[first].view(np.int64)),
+            }
+        )
+
+    bi = (
+        docs.map_batches(bi_partial, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(
+            Sum("cnt", alias_name="cnt"),
+            Min("l", alias_name="l"),
+            Min("r", alias_name="r"),
+        )
+    )
+    B = _collect_keyed_counts(bi, ["l", "r"], cap)
+
+    def _unique_counts(keys: np.ndarray):
+        if len(keys) == 0:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        u, c = np.unique(keys, return_counts=True)
+        return u, c.astype(np.float64)
+
+    # continuation tables from the distinct-type tables (driver folds —
+    # all model-sized)
+    mid1_h, mid1_c = _unique_counts(T["k12"])  # N1+(w1 w2 .)
+    cont3_h, cont3_c = _unique_counts(T["k23"])  # N1+(. w2 w3)
+    mid2_h, mid2_c = _unique_counts(T["w2"])  # N1+(. w2 .)
+    fol_h, fol_c = _unique_counts(B["l"])  # N1+(w2 .)
+    cont2_h, cont2_c = _unique_counts(B["r"])  # N1+(. w3)
+    n_bigram_types = float(len(B["h"]))  # N1+(. .)
+    bundle = ray.put(
+        (
+            T["h"], T["cnt"].astype(np.float64),
+            B["h"], B["cnt"].astype(np.float64),
+            mid1_h, mid1_c, cont3_h, cont3_c, mid2_h, mid2_c,
+            fol_h, fol_c, cont2_h, cont2_c,
+        )
+    )
+    D = float(discount)
+
+    def score(batch: pa.Table) -> pa.Table:
+        (t_h, t_c, b_h, b_c, m1h, m1c, c3h, c3c, m2h, m2c,
+         fh, fc, c2h, c2c) = ray.get(bundle)
+        k3, k12, k23, w2, w3, doc_of, lens = _trigram_rows(
+            batch.column("text")
+        )
+        n_docs = batch.num_rows
+        n_tri = np.maximum(lens - 2, 0)
+        nll_sum = np.zeros(n_docs, np.float64)
+        if len(k3):
+            s = np.int64  # all model keys stored as int64 views
+            c3 = _sorted_lookup(t_h, t_c, k3.view(s))
+            c2 = _sorted_lookup(b_h, b_c, k12.view(s))
+            n_mid1 = _sorted_lookup(m1h, m1c, k12.view(s))
+            n_c3 = _sorted_lookup(c3h, c3c, k23.view(s))
+            n_mid2 = _sorted_lookup(m2h, m2c, w2.view(s))
+            n_fol = _sorted_lookup(fh, fc, w2.view(s))
+            n_c2 = _sorted_lookup(c2h, c2c, w3.view(s))
+            p_cont = n_c2 / max(n_bigram_types, 1.0)
+            p_bi = (
+                np.maximum(n_c3 - D, 0.0) / n_mid2
+                + D * n_fol / n_mid2 * p_cont
+            )
+            p = np.maximum(c3 - D, 0.0) / c2 + D * n_mid1 / c2 * p_bi
+            nll_sum = np.bincount(
+                doc_of, weights=-np.log(p), minlength=n_docs
+            )
+        mean_nll = np.round(nll_sum / np.maximum(n_tri, 1) + 1e-9, 4)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(lens, _I64),
+                "n_trigrams": pa.array(n_tri, _I64),
+                "mean_nll": pa.array(mean_nll, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
 # -------------------------------------------------- curation composition
 
 

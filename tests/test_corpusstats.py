@@ -757,3 +757,67 @@ def test_strip_dup_spans_maximal_planted(ray_session, tmp_path):
         for r in corpusstats.strip_dup_spans_maximal(d2, min_words=20).take_all()
     }
     assert m2[0]["n_removed"] == 20 and m2[1]["n_removed"] == 20
+
+
+def test_kneser_ney_exact_recompute(ray_session, tmp_path):
+    """Interpolated KN trigram (verdict r4 #6): engine output equals a
+    pure-Python recompute of the Chen-Goodman formula (string identity,
+    independent counting) on a planted corpus; formulaic docs score
+    below unique-word docs; short docs have zero events."""
+    import math
+    import re
+    from collections import Counter
+
+    from newscrawler_ray.pipelines.corpusstats import kneser_ney_logprob_docs
+
+    texts = [
+        "the cat sat on the mat and the cat sat on the mat again",
+        "the cat sat on the mat today",
+        "zebra quark nebula violin ember glacier prism harbor",
+        "one two",  # < 3 words: no trigram events
+        "",
+    ]
+    d = _write_docs(tmp_path, texts)
+    got = {r["doc_id"]: r for r in kneser_ney_logprob_docs(d).take_all()}
+
+    def toks(s):
+        return [w for w in re.split(r"\W+", (s or "").lower()) if w]
+
+    docs = {i: toks(t) for i, t in enumerate(texts)}
+    c3, c2 = Counter(), Counter()
+    for ws in docs.values():
+        for i in range(len(ws) - 1):
+            c2[(ws[i], ws[i + 1])] += 1
+        for i in range(len(ws) - 2):
+            c3[(ws[i], ws[i + 1], ws[i + 2])] += 1
+    mid1, cont3, mid2 = Counter(), Counter(), Counter()
+    for (a, b, c) in c3:
+        mid1[(a, b)] += 1
+        cont3[(b, c)] += 1
+        mid2[b] += 1
+    fol, cont2 = Counter(), Counter()
+    for (a, b) in c2:
+        fol[a] += 1
+        cont2[b] += 1
+    NT, D = len(c2), 0.75
+    for i, ws in docs.items():
+        n_tri = max(len(ws) - 2, 0)
+        s = 0.0
+        for j in range(n_tri):
+            a, b, c = ws[j], ws[j + 1], ws[j + 2]
+            pcont = cont2[c] / NT
+            pbi = (
+                max(cont3[(b, c)] - D, 0) / mid2[b]
+                + D * fol[b] / mid2[b] * pcont
+            )
+            p = (
+                max(c3[(a, b, c)] - D, 0) / c2[(a, b)]
+                + D * mid1[(a, b)] / c2[(a, b)] * pbi
+            )
+            s += -math.log(p)
+        assert got[i]["n_words"] == len(ws)
+        assert got[i]["n_trigrams"] == n_tri
+        assert got[i]["mean_nll"] == round(s / max(n_tri, 1) + 1e-9, 4), i
+    # KN semantics: the formulaic doc scores below the unique-word doc
+    assert got[0]["mean_nll"] < got[2]["mean_nll"]
+    assert got[3]["n_trigrams"] == 0 and got[3]["mean_nll"] == 0.0
