@@ -206,6 +206,11 @@ QUERY_NAMES = [
     "novelty_by_source",
     "leakage_safe_split_docs",
     "migrate_domain_column",
+    # round-5 additions
+    "kneser_ney_logprob_docs",
+    "strip_dup_spans_maximal",
+    "byte_bpe_encode_docs",
+    "table_checksum_fast",
 ]
 
 

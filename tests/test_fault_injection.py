@@ -174,7 +174,7 @@ def test_object_store_pressure_spills_and_stays_green(ray_session, tmp_path):
         [
             sys.executable, "tools/memory_pressure.py",
             "--n-urls", "20000", "--object-store-mb", "80",
-            "--num-cpus", "4",
+            "--num-cpus", "4", "--block-mb", "8",
         ],
         capture_output=True, text=True, timeout=420,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),

@@ -80,6 +80,14 @@ def test_every_query_has_oracle_or_is_marked():
                                        # iterative BPE / composed tiers /
                                        # model-based mining: no SQL analog
                                        "train_bpe", "bpe_encode",
+                                       # byte-level BPE: iterative + the
+                                       # lookahead split regex has no
+                                       # RE2/SQL twin
+                                       "byte_bpe",
+                                       # xxhash fold has no SQL twin (md5
+                                       # table_checksum is the SQL-paired
+                                       # sibling)
+                                       "table_checksum_fast",
                                        "prepare_training", "mine_hard",
                                        # image-table / tar-side ops (the
                                        # images table isn't a DuckDB view)

@@ -62,9 +62,22 @@ def main() -> int:
         "--fixtures", default=None,
         help="fixture dir (default: /tmp/newscrawler_ray_fixtures/n{n_urls}_s{seed})",
     )
+    ap.add_argument(
+        "--block-mb", type=int, default=32,
+        help="DataContext.target_max_block_size (MB). The store must hold "
+        "~2 blocks per concurrent task; Ray Data's default 128 MB block "
+        "EQUALS a starved store and the executor stalls with every worker "
+        "idle (measured at 128 MB store / 32 CPUs) — sizing blocks so "
+        "block*2*cpus fits is the production rule this flag encodes.",
+    )
     args = ap.parse_args()
 
     import ray
+    import ray.data as _rd
+
+    _rd.DataContext.get_current().target_max_block_size = (
+        args.block_mb * 1024 * 1024
+    )
 
     ray.init(
         address="local",
