@@ -732,37 +732,54 @@ def _trigram_rows(texts):
     return k3, k12, k23, h2, h3, doc_of[:-2][m], lens
 
 
-def _collect_keyed_counts(
-    rows: rd.Dataset, cols: "list[str]", cap: int
-) -> "dict[str, np.ndarray]":
-    """Fold a post-groupby (h, cnt, *cols) stream onto the driver with
-    the running top-``cap`` trim (exact selection below the cap — each
-    key arrives exactly once with its final count). Returns columns
-    sorted by ``h``."""
-    bufs: dict[str, list] = {c: [] for c in ["h", "cnt", *cols]}
+def _collect_kinded_counts(
+    agg: rd.Dataset, cap: int
+) -> "tuple[dict[str, np.ndarray], dict[str, np.ndarray]]":
+    """Split the tagged (kind, h, cnt, a..d) post-groupby stream into the
+    trigram (kind 0) and bigram (kind 1) type tables, each folded with
+    the running top-``cap`` trim and returned sorted by ``h`` (same
+    discipline as the word-count fold in ``tokenizer.py`` — the stream
+    is post-groupby, so each (kind, h) arrives exactly once, final)."""
+    raw = ("h", "cnt", "a", "b", "c", "d")
+    acc: "list[dict[str, np.ndarray] | None]" = [None, None]
 
-    def _trim(arrs: "dict[str, np.ndarray]", k: int):
+    def _trim(arrs, k):
         top = np.argpartition(-arrs["cnt"], k - 1)[:k]
-        return {c: a[top] for c, a in arrs.items()}
+        return {c: v[top] for c, v in arrs.items()}
 
-    cur: "dict[str, np.ndarray] | None" = None
-    for b in rows.iter_batches(batch_format="pyarrow"):
-        if not b.num_rows:
+    for bt in agg.iter_batches(batch_format="pyarrow"):
+        if not bt.num_rows:
             continue
-        part = {c: b.column(c).to_numpy() for c in bufs}
-        cur = (
-            part
-            if cur is None
-            else {c: np.concatenate([cur[c], part[c]]) for c in bufs}
-        )
-        if len(cur["h"]) > 2 * cap:
+        kind = bt.column("kind").to_numpy()
+        for ki in (0, 1):
+            m = kind == ki
+            if not m.any():
+                continue
+            part = {c: bt.column(c).to_numpy()[m] for c in raw}
+            cur = acc[ki]
+            acc[ki] = (
+                part
+                if cur is None
+                else {c: np.concatenate([cur[c], part[c]]) for c in raw}
+            )
+            if len(acc[ki]["h"]) > 2 * cap:
+                acc[ki] = _trim(acc[ki], cap)
+    out = []
+    for ki in (0, 1):
+        cur = acc[ki]
+        if cur is None:
+            cur = {c: np.empty(0, np.int64) for c in raw}
+        elif len(cur["h"]) > cap:
             cur = _trim(cur, cap)
-    if cur is None:
-        return {c: np.empty(0, np.int64) for c in bufs}
-    if len(cur["h"]) > cap:
-        cur = _trim(cur, cap)
-    order = np.argsort(cur["h"])
-    return {c: a[order] for c, a in cur.items()}
+        order = np.argsort(cur["h"])
+        out.append({c: v[order] for c, v in cur.items()})
+    T = {
+        "h": out[0]["h"], "cnt": out[0]["cnt"], "k12": out[0]["a"],
+        "k23": out[0]["b"], "w2": out[0]["c"], "w3": out[0]["d"],
+    }
+    B = {"h": out[1]["h"], "cnt": out[1]["cnt"], "l": out[1]["a"],
+         "r": out[1]["b"]}
+    return T, B
 
 
 def _sorted_lookup(h: np.ndarray, v: np.ndarray, keys: np.ndarray, default=1.0):
@@ -794,10 +811,11 @@ def kneser_ney_logprob_docs(
     words have no events and score 0. Scoring covers positions 3..n
     (full-context events only).
 
-    Shape: TWO distributed count passes (trigram and bigram types via
-    per-batch ``np.unique`` partials + one hash groupby each; component
-    keys ride along as Min aggregates — they are pure functions of the
-    group key). The type tables are model-sized (Heaps' law one order up
+    Shape: ONE distributed count pass (a single tokenize scan emits
+    BOTH trigram and bigram type partials, tagged by kind, into one
+    ``groupby(kind, h)``; component keys ride along as Min aggregates —
+    they are pure functions of the group key), so the operator reads the
+    corpus exactly twice: counts + score. The type tables are model-sized (Heaps' law one order up
     from bigrams); the driver derives every continuation count from them
     with np.unique folds and broadcasts ONE sorted-array bundle via
     ``ray.put``; scoring is a streaming map with seven searchsorted
@@ -811,69 +829,67 @@ def kneser_ney_logprob_docs(
 
     docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
 
-    def tri_partial(batch: pa.Table) -> pa.Table:
-        k3, k12, k23, w2, w3, _, _ = _trigram_rows(batch.column("text"))
-        if len(k3) == 0:
-            z = pa.array([], _I64)
-            return pa.table(
-                {"h": z, "cnt": z, "k12": z, "k23": z, "w2": z, "w3": z}
-            )
-        hu, first, cnt = np.unique(k3, return_index=True, return_counts=True)
-        return pa.table(
-            {
-                "h": pa.array(hu.view(np.int64)),
-                "cnt": pa.array(cnt.astype(np.int64), _I64),
-                "k12": pa.array(k12[first].view(np.int64)),
-                "k23": pa.array(k23[first].view(np.int64)),
-                "w2": pa.array(w2[first].view(np.int64)),
-                "w3": pa.array(w3[first].view(np.int64)),
-            }
-        )
-
-    tri = (
-        docs.map_batches(tri_partial, batch_format="pyarrow")
-        .groupby("h")
-        .aggregate(
-            Sum("cnt", alias_name="cnt"),
-            Min("k12", alias_name="k12"),
-            Min("k23", alias_name="k23"),
-            Min("w2", alias_name="w2"),
-            Min("w3", alias_name="w3"),
-        )
-    )
-    T = _collect_keyed_counts(tri, ["k12", "k23", "w2", "w3"], cap)
-
-    def bi_partial(batch: pa.Table) -> pa.Table:
-        key, left, _, _ = _bigram_rows(batch.column("text"))
-        if len(key) == 0:
-            z = pa.array([], _I64)
-            return pa.table({"h": z, "cnt": z, "l": z, "r": z})
-        hu, first, cnt = np.unique(key, return_index=True, return_counts=True)
-        # right word hash recovers from the batch stream
+    def combined_partial(batch: pa.Table) -> pa.Table:
+        """ONE tokenize pass emits BOTH n-gram type partials (tagged by
+        ``kind``): trigram rows carry (k12, k23, w2, w3) in (a, b, c, d),
+        bigram rows carry (left, right) in (a, b). Sharing the scan cuts
+        the operator's corpus reads from 3 to 2 (counts + score) — at
+        the 100 TB design point the text scan IS the cost."""
         flat, offsets = tokenize_word_hashes(batch.column("text"))
         lens = np.diff(offsets)
-        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        same = doc_of[:-1] == doc_of[1:]
-        right = flat[1:][same]
+        n = len(flat)
+        cols = {c: [] for c in ("kind", "h", "cnt", "a", "b", "c", "d")}
+        if n >= 2:
+            doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            same2 = doc_of[:-1] == doc_of[1:]
+            l2, r2 = flat[:-1][same2], flat[1:][same2]
+            k2 = _chain2(l2, r2)
+            hu, first, cnt = np.unique(k2, return_index=True, return_counts=True)
+            z = np.zeros(len(hu), np.int64)
+            cols["kind"].append(np.ones(len(hu), np.int64))
+            cols["h"].append(hu.view(np.int64))
+            cols["cnt"].append(cnt.astype(np.int64))
+            cols["a"].append(l2[first].view(np.int64))
+            cols["b"].append(r2[first].view(np.int64))
+            cols["c"].append(z)
+            cols["d"].append(z)
+            if n >= 3:
+                same3 = doc_of[:-2] == doc_of[2:]
+                h1, h2, h3 = flat[:-2][same3], flat[1:-1][same3], flat[2:][same3]
+                k12 = _chain2(h1, h2)
+                k23 = _chain2(h2, h3)
+                k3 = splitmix64(k12 ^ h3)
+                hu, first, cnt = np.unique(
+                    k3, return_index=True, return_counts=True
+                )
+                cols["kind"].append(np.zeros(len(hu), np.int64))
+                cols["h"].append(hu.view(np.int64))
+                cols["cnt"].append(cnt.astype(np.int64))
+                cols["a"].append(k12[first].view(np.int64))
+                cols["b"].append(k23[first].view(np.int64))
+                cols["c"].append(h2[first].view(np.int64))
+                cols["d"].append(h3[first].view(np.int64))
+        if not cols["h"]:
+            z = pa.array([], _I64)
+            return pa.table(
+                {c: z for c in ("kind", "h", "cnt", "a", "b", "c", "d")}
+            )
         return pa.table(
-            {
-                "h": pa.array(hu.view(np.int64)),
-                "cnt": pa.array(cnt.astype(np.int64), _I64),
-                "l": pa.array(left[first].view(np.int64)),
-                "r": pa.array(right[first].view(np.int64)),
-            }
+            {c: pa.array(np.concatenate(v), _I64) for c, v in cols.items()}
         )
 
-    bi = (
-        docs.map_batches(bi_partial, batch_format="pyarrow")
-        .groupby("h")
+    agg = (
+        docs.map_batches(combined_partial, batch_format="pyarrow")
+        .groupby(["kind", "h"])
         .aggregate(
             Sum("cnt", alias_name="cnt"),
-            Min("l", alias_name="l"),
-            Min("r", alias_name="r"),
+            Min("a", alias_name="a"),
+            Min("b", alias_name="b"),
+            Min("c", alias_name="c"),
+            Min("d", alias_name="d"),
         )
     )
-    B = _collect_keyed_counts(bi, ["l", "r"], cap)
+    T, B = _collect_kinded_counts(agg, cap)
 
     def _unique_counts(keys: np.ndarray):
         if len(keys) == 0:
