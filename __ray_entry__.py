@@ -221,6 +221,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # k-gram seeds extend to maximal runs, only runs covering >=
         # min_words words are stripped (short boilerplate dups preserved)
         "strip_dup_spans_maximal": CS.strip_dup_spans_maximal,
+        # ... and its flagging side: per-doc maximal duplicated-run
+        # stats (runs >= min_words counted, longest run reported) — the
+        # signal a drop-whole-doc dedup policy gates on
+        "dup_span_runs": CS.dup_span_runs,
         # Dolma-style paragraph (disjoint-block) keep-first dedup: later
         # copies of a duplicated block are stripped, the first survives
         "paragraph_dedup_docs": CS.paragraph_dedup_docs,
@@ -2251,6 +2255,54 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(n_removed, 0) AS n_removed,
                    coalesce(clean, '') AS clean_text
             FROM documents d LEFT JOIN agg USING (doc_id)""",
+        # flagging side of the maximal-run form: same islands CTE, per
+        # doc the count of >=20-word runs and the longest run
+        "dup_span_runs": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split_regex(lower(text),
+                       '\W+'), x -> x <> '')) AS w,
+                     generate_subscripts(list_filter(string_split_regex(
+                       lower(text), '\W+'), x -> x <> ''), 1) AS i
+              FROM documents
+            ), g AS (
+              SELECT doc_id, i,
+                w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+                  || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+                  || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win
+                  || ' ' || lead(w, 7) OVER win AS g8
+              FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+              QUALIFY g8 IS NOT NULL
+            ), duppos AS (
+              SELECT doc_id, i FROM (
+                SELECT doc_id, i,
+                       count(*) OVER (PARTITION BY g8) AS c FROM g)
+              WHERE c >= 2
+            ), isl AS (
+              SELECT doc_id, i,
+                     i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                       AS grp
+              FROM duppos
+            ), runs AS (
+              SELECT doc_id, max(i) + 8 - min(i) AS run_words
+              FROM isl GROUP BY doc_id, grp
+            ), lens AS (
+              SELECT doc_id, count(*)::BIGINT AS n_words FROM w GROUP BY doc_id
+            ), agg AS (
+              SELECT doc_id,
+                     count(*) FILTER (WHERE run_words >= 20)::BIGINT
+                       AS n_runs,
+                     max(run_words)::BIGINT AS max_run_words
+              FROM runs GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(l.n_words, 0) AS n_words,
+                   coalesce(a.n_runs, 0) AS n_runs,
+                   coalesce(a.max_run_words, 0) AS max_run_words,
+                   coalesce(a.n_runs, 0) > 0 AS flagged
+            FROM documents d
+            LEFT JOIN lens l USING (doc_id)
+            LEFT JOIN agg a USING (doc_id)""",
         # exact TF-IDF: score = tf * ln(N/df), per-doc top-5 ranked by
         # (rounded score DESC, term ASC) on BOTH sides
         "tfidf_top_terms": r"""

@@ -209,6 +209,7 @@ QUERY_NAMES = [
     # round-5 additions
     "kneser_ney_logprob_docs",
     "strip_dup_spans_maximal",
+    "dup_span_runs",
     "byte_bpe_encode_docs",
     "table_checksum_fast",
 ]

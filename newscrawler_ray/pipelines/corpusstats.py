@@ -1052,41 +1052,12 @@ def curate_text_corpus(
 # ---------------------------------------------------- dup-span stripping
 
 
-def strip_dup_spans(
-    sf_dir: str,
-    *,
-    k: int = 8,
-    min_words: "int | None" = None,
-    num_partitions: int | None = None,
-) -> rd.Dataset:
-    """Exact-substring dedup as a TRANSFORM (Lee et al. 2021: remove the
-    duplicated substrings, keep the rest): every word position covered
-    by any corpus-duplicated k-gram window is dropped, and the doc is
-    rebuilt from the surviving normalized tokens.
-
-    ``min_words`` (verdict r4 #4, the maximal-span refinement — see
-    ``strip_dup_spans_maximal``): when set, duplicated k-gram window
-    starts are first extended into MAXIMAL runs (consecutive duplicated
-    starts = one duplicated region), and a region is stripped only when
-    it covers >= ``min_words`` words — the >=L-token threshold real
-    pipelines use (Lee et al. strip >=50-token duplicates). ``None``
-    keeps the original strip-every-window behavior, which over-strips
-    docs whose maximal duplicated run is shorter than the threshold
-    (e.g. a single duplicated 8-gram).
-
-    Output: (doc_id, n_words, n_removed, clean_text) where clean_text
-    joins the kept tokens of the shared ``\\W+`` tokenizer with single
-    spaces (the normalized token stream, NOT the original byte text —
-    the same convention the SQL oracle recomputes with string_agg).
-
-    Shape: span-position rows (part, hash, doc_id, pos) -> coarse
-    groupby(part) marks corpus-duplicated positions (segment counts) ->
-    coarse groupby(doc part) folds each doc's positions into ONE binary
-    blob row -> hash join of the blobs onto the docs -> a final
-    streaming map rebuilds each text with a difference-array coverage
-    mask. Payload text crosses only the one doc-keyed join; every other
-    exchange is int64 rows.
-    """
+def _dup_pos_joined(sf_dir: str, k: int, num_partitions: "int | None"):
+    """Shared prefix of the exact-substring transforms: span-position
+    rows -> coarse duplicated-position marking -> per-doc position blobs
+    -> ONE doc-keyed left join onto the docs. Returns the joined Dataset
+    (doc_id, text, dup_pos) — `strip_dup_spans` rebuilds texts from it,
+    `dup_span_runs` computes maximal-run stats from it."""
     nparts = _nparts(num_partitions)
     coarse = nparts * 4
     docs = read_clean(_p(sf_dir, "documents"), columns=["doc_id", "text"])
@@ -1168,6 +1139,46 @@ def strip_dup_spans(
     joined = docs.join(
         blobs, join_type="left_outer", num_partitions=nparts, on=("doc_id",)
     )
+
+    return joined
+
+
+def strip_dup_spans(
+    sf_dir: str,
+    *,
+    k: int = 8,
+    min_words: "int | None" = None,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Exact-substring dedup as a TRANSFORM (Lee et al. 2021: remove the
+    duplicated substrings, keep the rest): every word position covered
+    by any corpus-duplicated k-gram window is dropped, and the doc is
+    rebuilt from the surviving normalized tokens.
+
+    ``min_words`` (verdict r4 #4, the maximal-span refinement — see
+    ``strip_dup_spans_maximal``): when set, duplicated k-gram window
+    starts are first extended into MAXIMAL runs (consecutive duplicated
+    starts = one duplicated region), and a region is stripped only when
+    it covers >= ``min_words`` words — the >=L-token threshold real
+    pipelines use (Lee et al. strip >=50-token duplicates). ``None``
+    keeps the original strip-every-window behavior, which over-strips
+    docs whose maximal duplicated run is shorter than the threshold
+    (e.g. a single duplicated 8-gram).
+
+    Output: (doc_id, n_words, n_removed, clean_text) where clean_text
+    joins the kept tokens of the shared ``\\W+`` tokenizer with single
+    spaces (the normalized token stream, NOT the original byte text —
+    the same convention the SQL oracle recomputes with string_agg).
+
+    Shape: span-position rows (part, hash, doc_id, pos) -> coarse
+    groupby(part) marks corpus-duplicated positions (segment counts) ->
+    coarse groupby(doc part) folds each doc's positions into ONE binary
+    blob row -> hash join of the blobs onto the docs -> a final
+    streaming map rebuilds each text with a difference-array coverage
+    mask. Payload text crosses only the one doc-keyed join; every other
+    exchange is int64 rows.
+    """
+    joined = _dup_pos_joined(sf_dir, k, num_partitions)
 
     def rebuild(batch: pa.Table) -> pa.Table:
         if batch.num_columns == 0 or batch.num_rows == 0:
@@ -1279,6 +1290,73 @@ def strip_dup_spans_maximal(
     return strip_dup_spans(
         sf_dir, k=k, min_words=min_words, num_partitions=num_partitions
     )
+
+
+def dup_span_runs(
+    sf_dir: str,
+    *,
+    k: int = 8,
+    min_words: int = 20,
+    num_partitions: int | None = None,
+) -> rd.Dataset:
+    """Per-document MAXIMAL duplicated-run statistics — the flagging
+    side of Lee et al. 2021 (``strip_dup_spans_maximal`` is the removal
+    side; pipelines that DROP whole documents containing a >=L-token
+    duplicate gate on this signal): consecutive corpus-duplicated
+    k-gram window starts merge into maximal runs; per doc we report how
+    many runs clear the ``min_words`` threshold, and the longest run of
+    any length.
+
+    Output: (doc_id, n_words, n_runs, max_run_words, flagged) where
+    n_runs counts runs covering >= min_words words, max_run_words is
+    the longest maximal run in words (0 if the doc has no duplicated
+    window), flagged = n_runs > 0.
+
+    Same exchange plan as ``strip_dup_spans`` (shared
+    ``_dup_pos_joined`` prefix); the run fold is local numpy over each
+    doc's already-joined position blob. SQL-exact: the oracle reuses
+    the gaps-and-islands recompute."""
+    joined = _dup_pos_joined(sf_dir, k, num_partitions)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], _I64),
+                 "n_words": pa.array([], _I64),
+                 "n_runs": pa.array([], _I64),
+                 "max_run_words": pa.array([], _I64),
+                 "flagged": pa.array([], pa.bool_())}
+            )
+        batch = batch.combine_chunks()
+        lens = _word_counts(batch.column("text"))
+        n_docs = batch.num_rows
+        n_runs = np.zeros(n_docs, np.int64)
+        max_run = np.zeros(n_docs, np.int64)
+        blob_col = batch.column("dup_pos")
+        for i in range(n_docs):
+            v = blob_col[i].as_py()
+            if v is None:
+                continue
+            p = np.frombuffer(v, dtype=np.int64)
+            if len(p) == 0:
+                continue
+            brk = np.flatnonzero(np.diff(p) > 1)
+            s0 = np.r_[0, brk + 1]
+            s1 = np.r_[brk, len(p) - 1]
+            run_words = p[s1] - p[s0] + k
+            n_runs[i] = int((run_words >= min_words).sum())
+            max_run[i] = int(run_words.max())
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(lens, _I64),
+                "n_runs": pa.array(n_runs, _I64),
+                "max_run_words": pa.array(max_run, _I64),
+                "flagged": pa.array(n_runs > 0),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 # ------------------------------------------------- domain-level curation

@@ -821,3 +821,31 @@ def test_kneser_ney_exact_recompute(ray_session, tmp_path):
     # KN semantics: the formulaic doc scores below the unique-word doc
     assert got[0]["mean_nll"] < got[2]["mean_nll"]
     assert got[3]["n_trigrams"] == 0 and got[3]["mean_nll"] == 0.0
+
+
+def test_dup_span_runs_planted(ray_session, tmp_path):
+    """Flagging side of the maximal-run family: a short shared 8-gram
+    yields max_run_words=8 but n_runs=0/flagged=False at min_words=20;
+    a 25-word shared passage yields one qualifying run of 25; unique
+    docs report zeros."""
+    from newscrawler_ray.pipelines.corpusstats import dup_span_runs
+
+    short_dup = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    long_dup = " ".join(f"tok{i}" for i in range(25))
+    texts = [
+        f"lead one two {short_dup} tail three four five",
+        f"other start {short_dup} different ending here now",
+        f"intro {long_dup} outro",
+        f"{long_dup} closing words here",
+        "unique words only nothing shared at all among these tokens",
+    ]
+    d = _write_docs(tmp_path, texts)
+    got = {r["doc_id"]: r for r in dup_span_runs(d, min_words=20).take_all()}
+    for i in (0, 1):
+        assert got[i]["max_run_words"] == 8
+        assert got[i]["n_runs"] == 0 and not got[i]["flagged"]
+    for i in (2, 3):
+        assert got[i]["max_run_words"] == 25
+        assert got[i]["n_runs"] == 1 and got[i]["flagged"]
+    assert got[4]["max_run_words"] == 0 and not got[4]["flagged"]
+    assert got[0]["n_words"] == len(texts[0].split())
